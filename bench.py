@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing method matches BASELINE.md: warm run (2nd execution) with full
+collect(), so JVM/codegen warmup is excluded from per-query numbers but a
+cold pass has primed everything first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.plans import load_all, registry
+
+HEADLINE = (
+    "q_agg_group",
+    "q_join_star",
+    "q_window_tumbling",
+    "q_topk_pergroup",
+    "q_window_session",
+    "q_fn_json",
+    "q_llm_knn",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all()
+    available = [k for k in HEADLINE if k in registry.REGISTRY]
+    spark = get_spark(app_name="fqs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for key in available:
+        builder = registry.REGISTRY[key].builder
+        builder(spark, sf_dir).collect()  # warm-up: codegen + IO cache
+        t0 = time.time()
+        builder(spark, sf_dir).collect()
+        timings[key] = round(time.time() - t0, 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

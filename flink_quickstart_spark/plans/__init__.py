@@ -1,0 +1,27 @@
+"""Declared query set (SURVEY.md §2) — importing this package registers
+every query key into the registry."""
+
+from flink_quickstart_spark.plans.registry import (
+    REGISTRY,
+    QuerySpec,
+    oracle_sql,
+    queries,
+    register,
+)
+
+
+def load_all() -> None:
+    """Import every plan module so all keys register."""
+    # Imports are side-effectful: each module body calls @register.
+    from flink_quickstart_spark.plans import (  # noqa: F401
+        aggregations,
+        functions_scalar,
+        joins,
+        llm_ops,
+        relational,
+        streaming_analog,
+        window_functions,
+    )
+
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql", "load_all"]

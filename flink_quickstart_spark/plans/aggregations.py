@@ -1,0 +1,251 @@
+"""Aggregation query keys (SURVEY.md §2.D).
+
+Reference surface [PK]: Flink ``keyBy().reduce/aggregate``, Table API
+``GROUP BY`` / ``HAVING`` / ``GROUPING SETS`` / UDAF ``AggregateFunction``
+(checkout empty — see SURVEY.md §0; no file:line citable).
+
+Scale notes: every groupBy here plans as partial (map-side) + final
+HashAggregate, so the shuffle carries pre-aggregated rows — the right shape
+at 100 TB. Cardinalities of the grouping keys are tiny-to-moderate, so no
+skew handling is needed; for high-cardinality keys the same plans hold
+because AQE coalesces/splits post-shuffle partitions.
+
+FP discipline: every double aggregate is ROUNDed identically on both the
+Spark and DuckDB side — summation order differs between engines, so raw
+double sums differ in final ulps (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+_Q1_CUTOFF = "2001-09-01"
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_price,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price,
+           round(avg(l_discount), 6)       AS avg_disc
+    FROM lineitem
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_global(spark, sf_dir):
+    """D1: non-keyed global aggregate (Flink ``stream.sum/min/max`` analog)."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           CAST(count(*) AS BIGINT)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("batch", "agg", "flagship"),
+)
+def q_agg_group(spark, sf_dir):
+    """D2 FLAGSHIP: grouped hash agg, TPC-H Q1 shape (partial+final agg)."""
+    t = tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    HAVING count(*) > 50
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_having(spark, sf_dir):
+    """D3: post-aggregation filter (Table API ``having``)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") > 50)
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+    tags=("batch", "agg"),
+)
+def q_distinct(spark, sf_dir):
+    """D4: distinct (Flink ``DataSet.distinct``) — planned as hash agg."""
+    t = tables(spark, sf_dir)
+    return t.events.select("event_type", "user_id").distinct()
+
+
+@register(
+    "q_agg_countdistinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_countdistinct(spark, sf_dir):
+    """D5: exact COUNT(DISTINCT) — expands to two-phase agg in Catalyst."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_agg_approxcd", oracle=None, tags=("batch", "agg", "approx"))
+def q_agg_approxcd(spark, sf_dir):
+    """D5b: approx_count_distinct (HLL++) — engine-specific sketch, declared
+    rows-only (the estimate differs across engines by design).
+
+    This is the 100 TB path for count-distinct: fixed-size sketch per group,
+    mergeable map-side, no exact-distinct expansion shuffle.
+    """
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT)      AS n_customers,
+           round(sum(c_acctbal), 2)      AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_rollup(spark, sf_dir):
+    """D6: rollup region→nation→grand-total (Table API GROUPING SETS)."""
+    t = tables(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+    ).join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_cube(spark, sf_dir):
+    """D6: cube over returnflag × linestatus."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{et}') AS BIGINT) AS {et}" for et in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("batch", "agg"),
+)
+def q_pivot(spark, sf_dir):
+    """D7: pivot with an explicit value list (determinism requirement)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "q_udaf_wavg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("batch", "agg", "udf"),
+)
+def q_udaf_wavg(spark, sf_dir):
+    """D8: UDAF (Flink ``AggregateFunction``) as a GROUPED_AGG pandas UDF.
+
+    Quantity-weighted average price per returnflag; Arrow-batched, one
+    partial per group partition. The oracle is the algebraic identity
+    ``sum(x*w)/sum(w)``.
+    """
+    t = tables(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )

@@ -1,0 +1,260 @@
+"""Row-transform, sort/limit, set-op, and scan query keys
+(SURVEY.md §2.B, §2.F, §2.G, §2.A2).
+
+Reference surface [PK]: Flink ``map`` / ``flatMap`` / ``filter`` row
+transforms, ``DataSet.sortPartition`` / ``first(n)``, union/distinct set
+ops, and ``readTextFile``/``readCsvFile`` sources (checkout empty — see
+SURVEY.md §0).
+
+All keys here are narrow transformations (no shuffle) except the sorts and
+set ops; Catalyst pushes the filters and projections into the parquet scan
+(verified via ``.explain`` — PushedFilters / ReadSchema show the pruning).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_project_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS disc_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS charge
+    FROM lineitem
+    """,
+    tags=("batch", "transform"),
+)
+def q_project_arith(spark, sf_dir):
+    """B1: map/1→1 transform as a projection expression (stays in codegen).
+
+    Money arithmetic is done in DECIMAL: the products have exactly 6
+    decimal digits, so double-rounding at 4 digits hits exact ``…5`` ties
+    where Spark (HALF_UP on shortest repr) and DuckDB (binary value)
+    disagree. Decimal math at full natural scale (4 for the 2dp×2dp
+    product, 6 for the three-factor product) is exact — no rounding at
+    all, hence engine-portable.
+    """
+    t = tables(spark, sf_dir)
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = ep * (F.lit(1).cast("decimal(18,2)") - disc)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price.cast("decimal(18,4)").alias("disc_price"),
+        (disc_price * (F.lit(1).cast("decimal(18,2)") + tax))
+        .cast("decimal(18,6)")
+        .alias("charge"),
+    )
+
+
+@register(
+    "q_flatmap_tokenize",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("batch", "transform"),
+)
+def q_flatmap_tokenize(spark, sf_dir):
+    """B2: flatMap/1→N — the canonical word-count tokenizer via explode."""
+    t = tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+    """,
+    tags=("batch", "transform"),
+)
+def q_filter_pred(spark, sf_dir):
+    """B3: filter — predicate pushed to the parquet scan by Catalyst."""
+    t = tables(spark, sf_dir)
+    return t.events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@register(
+    "q_cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey AS VARCHAR)   AS orderkey_str,
+           CAST(l_quantity AS INTEGER)   AS qty_int,
+           CAST(l_linenumber AS DOUBLE)  AS linenum_d,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS shipdate_str
+    FROM lineitem
+    """,
+    tags=("batch", "transform"),
+)
+def q_cast_types(spark, sf_dir):
+    """B4: type casts / schema projection (Flink map-to-POJO analog)."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("double").alias("linenum_d"),
+        F.col("l_shipdate").cast("date").cast("string").alias("shipdate_str"),
+    )
+
+
+@register(
+    "q_sort",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS pos
+    FROM orders
+    """,
+    tags=("batch", "sort"),
+)
+def q_sort(spark, sf_dir):
+    """F1: global total sort (range-partitioned in Spark). The ``pos``
+    column makes ordering observable under the driver's order-insensitive
+    hash."""
+    t = tables(spark, sf_dir)
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return t.orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "q_limit_topn",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("batch", "sort"),
+)
+def q_limit_topn(spark, sf_dir):
+    """F2: global top-N — planned as TakeOrderedAndProject (per-partition
+    top-N then merge, no total sort: the scalable shape)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT event_id, event_type, user_id FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type, user_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("batch", "setop"),
+)
+def q_union(spark, sf_dir):
+    """G1: union all (Flink ``stream.union``) — no shuffle, partition concat."""
+    t = tables(spark, sf_dir)
+    cols = ["event_id", "event_type", "user_id"]
+    clicks = t.events.where(F.col("event_type") == "click").select(*cols)
+    views = t.events.where(F.col("event_type") == "view").select(*cols)
+    return clicks.unionByName(views)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    """,
+    tags=("batch", "setop"),
+)
+def q_intersect(spark, sf_dir):
+    """G2: intersect — rewritten by Catalyst to a left-semi join + distinct."""
+    t = tables(spark, sf_dir)
+    a = t.orders.select(F.col("o_custkey").alias("custkey"))
+    b = t.customer.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    """,
+    tags=("batch", "setop"),
+)
+def q_except(spark, sf_dir):
+    """G3: except — nations with no customers (left-anti under the hood)."""
+    t = tables(spark, sf_dir)
+    a = t.nation.select(F.col("n_nationkey").alias("nationkey"))
+    b = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    return a.exceptAll(b.distinct())
+
+
+@register(
+    "q_scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_csv_roundtrip(spark, sf_dir):
+    """A2: CSV write → read with explicit schema → aggregate; the oracle
+    runs the same aggregate on the original parquet, proving lossless
+    round-trip (Spark CSV doubles use shortest-round-trip repr).
+
+    Exercises the text-file source surface (Flink ``readCsvFile``).
+    """
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "csv_roundtrip", os.path.basename(sf_dir)
+    )
+    t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+Centralizes every config the engine depends on. Notable and load-bearing:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the testdata ``events.ts``
+  column is parquet TIMESTAMP(NANOS), which Spark 4.x refuses to read
+  natively; with this flag it arrives as bigint nanoseconds and
+  ``sources.tables`` converts it to a microsecond TimestampType using exact
+  integer division (``ts DIV 1000``) so values match DuckDB's ns→µs
+  truncation bit-for-bit.
+- ``spark.sql.session.timeZone=UTC`` — deterministic timestamp rendering;
+  the oracle engine (DuckDB) is timezone-naive.
+- AQE on (skew-join splitting, runtime coalescing, broadcast demotion) —
+  the 100 TB path leans on it; harmless at test scale.
+- Arrow enabled — every Pandas-UDF exchange is columnar.
+
+At 100 TB on a real cluster the same factory applies; only
+``shuffle.partitions`` (sized ~128 MB/partition of shuffle data) and
+executor sizing change, both env-overridable here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "flink-quickstart-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    ``shuffle_partitions`` defaults to ``$SPARK_GRAFT_SHUFFLE_PARTITIONS``
+    or 32 — at cluster scale, set it to ~2-3× total cores or rely on AQE
+    coalescing from a high initial value.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Streaming: RocksDB state store scales to out-of-heap state sizes
+        # (jar verified present in /opt/spark/jars). HDFS-backed default
+        # would OOM at 100 TB-scale keyed state.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

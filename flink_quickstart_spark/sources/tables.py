@@ -1,0 +1,63 @@
+"""Testdata table loaders.
+
+The canonical input catalog: TPC-H-ish star schema + an ``events`` stream
+table + LLM-pipeline tables (``documents``, ``embeddings``), one parquet
+file per table per scale factor (TESTDATA.md).
+
+``events.ts`` is parquet TIMESTAMP(NANOS). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it loads as bigint nanos; we
+convert with exact integer division ``ts DIV 1000`` → ``timestamp_micros``.
+Double division (``ts/1000``) would be WRONG: 1.7e18 does not fit a double
+mantissa, so the rounded result drifts ±1µs from DuckDB's truncation.
+
+At scale these loaders are the single choke point for scan hygiene:
+everything downstream composes on the returned DataFrames, so filter/
+column pushdown reaches the parquet reader via Catalyst automatically.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tiny dimensions that should always be broadcast in joins (row counts at
+# sf1.0 remain O(10^2): region=5, nation=25, supplier/part grow slowly).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes ``events.ts`` to TimestampType."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Exact ns→µs truncation, matching DuckDB's TIMESTAMP_NS→µs read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """Load every table as an attribute namespace: ``t.lineitem`` etc."""
+    return SimpleNamespace(
+        **{name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` is first-class."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

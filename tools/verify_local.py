@@ -1,0 +1,137 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and exact values (column-name-sorted, row-sorted) — STRICTER than
+the driver's order-insensitive value hash: if this passes, any sane hash
+matches.
+
+Usage:
+    python tools/verify_local.py [--sf /root/testdata/sf0.01] [--keys k1,k2] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonicalize a cell value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "asDict"):  # pyspark Row (struct col)
+        return tuple(sorted((k, canon(x)) for k, x in v.asDict().items()))
+    return v
+
+
+def normalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--keys", default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from flink_quickstart_spark import get_spark
+
+    spark = get_spark(app_name="verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = args.keys.split(",") if args.keys else list(qs)
+
+    n_pass = n_fail = n_rows_only = 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {key}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"rows-only {key}: {len(srows)} rows ({time.time() - t0:.2f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[key])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {key}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        sc, sr = normalize(scols, srows)
+        oc, orr = normalize(ocols, orows)
+        status, detail = "PASS", ""
+        if sc != oc:
+            status, detail = "FAIL", f"columns spark={sc} duck={oc}"
+        elif len(sr) != len(orr):
+            status, detail = "FAIL", f"rowcount spark={len(sr)} duck={len(orr)}"
+        elif sr != orr:
+            status = "FAIL"
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
+            detail = f"{len(diffs)} differing rows; first: spark={diffs[0][1]} duck={diffs[0][2]} (cols {sc})"
+        if status == "PASS":
+            n_pass += 1
+            if args.verbose:
+                print(f"PASS {key}: {len(sr)} rows ({time.time() - t0:.2f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {key}: {detail}")
+
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"(of {len(keys)} keys, sf={args.sf}) =="
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
