@@ -1,1 +1,342 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Join query keys (SURVEY.md §2.C).
+
+Reference surface [PK]: Flink ``DataSet.join/coGroup/cross``, Table API
+inner/outer/semi/anti joins, ``KeyedStream.intervalJoin``, and the temporal
+(as-of) join (checkout empty — see SURVEY.md §0).
+
+Scale notes per key are on the builders. The recurring decisions:
+- dimensions (region/nation/supplier) are broadcast explicitly — no shuffle
+  of the fact side;
+- fact-fact joins shuffle on the equi key and rely on AQE for skew
+  splitting;
+- the theta join is a BroadcastNestedLoopJoin and is only sane because one
+  side is a dimension — flagged in the docstring as the anti-pattern to
+  avoid on two fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.operators.joins import asof_join, interval_join
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("batch", "join"),
+)
+def q_join_orders_customer(spark, sf_dir):
+    """C1: equi inner join — Catalyst picks SMJ/shuffled-hash; at 100 TB
+    both sides shuffle on custkey (co-partitioned bucketing would remove
+    the shuffle for repeated joins)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderstatus") == "O")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("batch", "join"),
+)
+def q_join_broadcast(spark, sf_dir):
+    """C2: broadcast join — nation (25 rows at any SF) ships to every
+    executor; the orders⋈customer equi join shuffles once."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "q_join_star",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("batch", "join", "headline"),
+)
+def q_join_star(spark, sf_dir):
+    """C3: multi-way star join, TPC-H Q5 shape. Dims broadcast; the
+    region filter prunes via the broadcasted dim before the fact shuffle;
+    AQE reorders/adjusts at runtime."""
+    t = tables(spark, sf_dir)
+    dims = F.broadcast(
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        t.customer.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t.orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS sum_total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("batch", "join"),
+)
+def q_join_outer(spark, sf_dir):
+    """C4: left outer join — customers with zero orders kept (count=0)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    tags=("batch", "join"),
+)
+def q_join_semi(spark, sf_dir):
+    """C5: left-semi join (EXISTS rewrite) — probe side never duplicates."""
+    t = tables(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("batch", "join"),
+)
+def q_join_anti(spark, sf_dir):
+    """C6: left-anti join (NOT EXISTS rewrite) — customers with no urgent orders."""
+    t = tables(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("batch", "join"),
+)
+def q_join_cross(spark, sf_dir):
+    """C7: cross join (Flink ``DataSet.cross``) — only ever dim×dim; a
+    fact-side cross product is quadratic and never shipped."""
+    t = tables(spark, sf_dir)
+    return t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_poorer_customers
+    FROM supplier JOIN customer ON s_acctbal > c_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("batch", "join"),
+)
+def q_join_theta(spark, sf_dir):
+    """C8: theta/non-equi join → BroadcastNestedLoopJoin. Tolerable only
+    because supplier is a broadcastable dim; for fact-fact inequality
+    joins, bin the predicate into ranges first (turns it into an equi join
+    on the bin key)."""
+    t = tables(spark, sf_dir)
+    return (
+        F.broadcast(t.supplier)
+        .join(t.customer, F.col("s_acctbal") > F.col("c_acctbal"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_poorer_customers"))
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("batch", "join"),
+)
+def q_join_interval(spark, sf_dir):
+    """C9: interval join (Flink ``intervalJoin().between(0, 10min)``):
+    purchase within 10 minutes after a click, same user. Equi key carries
+    the shuffle; the time predicate filters matches in-join."""
+    t = tables(spark, sf_dir)
+    clicks = t.events.where(F.col("event_type") == "click")
+    purchases = t.events.where(F.col("event_type") == "purchase")
+    joined = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower=F.expr("INTERVAL 0 SECONDS"),
+        upper=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros("l.ts").alias("click_ts_us"),
+        F.unix_micros("r.ts").alias("purchase_ts_us"),
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.r_event_id AS click_id,
+           c.r_ts_us AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id AS r_event_id, user_id, ts,
+                           epoch_us(ts) AS r_ts_us
+                    FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("batch", "join"),
+)
+def q_join_asof(spark, sf_dir):
+    """C10: as-of join (Flink temporal-join analog): each purchase gets the
+    most recent click at-or-before it, per user. Implemented via the
+    union+window operator (single shuffle, no pandas) —
+    :func:`flink_quickstart_spark.operators.joins.asof_join`.
+
+    DuckDB's native ASOF LEFT JOIN is the oracle. Ties (equal ts) match,
+    i.e. non-strict.
+    """
+    t = tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("r_event_id").alias("click_id"),
+        F.unix_micros("r_ts").alias("click_ts_us"),
+    )
+
+
+@register(
+    "q_cogroup_stats",
+    oracle="""
+    SELECT coalesce(o.k, e.k) AS custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+    FULL JOIN (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY user_id) e
+      ON o.k = e.k
+    """,
+    tags=("batch", "join", "udf"),
+)
+def q_cogroup_stats(spark, sf_dir):
+    """C11: coGroup (Flink ``DataSet.coGroup``) via
+    ``groupBy().cogroup().applyInPandas`` — both sides shuffle once on the
+    key, each key's two row-groups meet in one Arrow batch. Counting could
+    of course be done relationally (that's the oracle); the point is the
+    cogroup surface for genuinely non-relational per-key logic.
+    """
+    import pandas as pd
+
+    t = tables(spark, sf_dir)
+
+    def stats(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "n_orders": [len(orders_pdf)],
+                "n_events": [len(events_pdf)],
+            }
+        )
+
+    orders = t.orders.select(F.col("o_custkey").alias("k"))
+    events = t.events.select(F.col("user_id").alias("k"))
+    return (
+        orders.groupBy("k")
+        .cogroup(events.groupBy("k"))
+        .applyInPandas(stats, "custkey bigint, n_orders bigint, n_events bigint")
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Batch-analog keys for the streaming operator surface (SURVEY.md §2.I).
+
+Reference surface [PK]: the core of a Flink quickstart — event-time
+tumbling/sliding/session windows, keyed dedup, count windows, CEP-lite
+pattern detection (checkout empty — see SURVEY.md §0).
+
+Spark's ``window``/``session_window`` evaluate identically on batch and
+streaming DataFrames, so each key here is the exact batch twin of a
+streaming query in ``flink_quickstart_spark/streaming`` — the streaming
+tests assert equivalence against these results, and the DuckDB oracle
+hash-checks the semantics.
+
+Window starts are emitted as epoch-microsecond bigints: exact integers on
+both engines, immune to timestamp-rendering differences. Spark tumbling/
+sliding windows align to the 1970 epoch; DuckDB ``time_bucket`` aligns to
+2000-01-01 — both are whole multiples of the window sizes used here, so
+the grids coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_window_tumbling",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS ws_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("batch", "streaming-analog", "headline"),
+)
+def q_window_tumbling(spark, sf_dir):
+    """I1: event-time tumbling window (Flink
+    ``TumblingEventTimeWindows.of(10 min)``) — 10-minute buckets per
+    event_type. Streams through the same expression with a watermark."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle="""
+    SELECT ws_us, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM (
+      SELECT unnest([epoch_us(time_bucket(INTERVAL '5 minutes', ts)),
+                     epoch_us(time_bucket(INTERVAL '5 minutes', ts)) - 300000000]) AS ws_us,
+             event_type, value
+      FROM events
+    )
+    GROUP BY ws_us, event_type
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_window_sliding(spark, sf_dir):
+    """I2: sliding window 10min/5min (Flink ``SlidingEventTimeWindows``).
+    Each event lands in 2 windows; the oracle materializes both window
+    starts per event (the 5-min bucket and the one 5 min earlier)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 300000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("batch", "streaming-analog", "headline"),
+)
+def q_window_session(spark, sf_dir):
+    """I3: session window, 5-minute gap (Flink
+    ``EventTimeSessionWindows.withGap``). Spark merges events whose gap is
+    strictly less than 5 min; window end = last event + gap. The oracle is
+    the gaps-and-islands formulation with the same ``>= gap`` boundary."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_dedup_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM (SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_dedup_events(spark, sf_dir):
+    """I6: keyed dedup — first event per (user, type), deterministic
+    tie-break. The streaming twin is ``dropDuplicatesWithinWatermark``
+    (bounded state); batch uses the row_number=1 idiom because
+    ``dropDuplicates`` keeps an arbitrary row."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t.events.select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_count_window",
+    oracle="""
+    SELECT user_id, CAST((rn - 1) // 20 AS BIGINT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    GROUP BY user_id, block_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_count_window(spark, sf_dir):
+    """I10: count window (Flink ``countWindow(20)``) — per-user blocks of
+    20 events in event-time order. The streaming twin is a
+    transformWithStateInPandas processor in ``streaming/stateful.py``."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.select(
+            "user_id", "value", ((F.row_number().over(w) - 1) / 20).cast("long").alias("block_id")
+        )
+        .groupBy("user_id", "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_pattern_click_then_purchase",
+    oracle="""
+    SELECT user_id,
+           event_id            AS click_id,
+           epoch_us(ts)        AS click_ts_us,
+           next_id             AS purchase_id,
+           next_ts_us          AS purchase_ts_us
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 lead(event_type) OVER w AS next_type,
+                 lead(event_id)   OVER w AS next_id,
+                 lead(epoch_us(ts)) OVER w AS next_ts_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'click' AND next_type = 'purchase'
+      AND next_ts_us - epoch_us(ts) <= 600000000
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_pattern_click_then_purchase(spark, sf_dir):
+    """I11: CEP-lite — click immediately followed by a purchase within 10
+    minutes, per user (Flink CEP ``next`` + time constraint analog). The
+    stateful streaming twin lives in ``streaming/stateful.py``."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    enriched = t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.lead(ts_us).over(w).alias("next_ts_us"),
+    )
+    return enriched.where(
+        (F.col("event_type") == "click")
+        & (F.col("next_type") == "purchase")
+        & (F.col("next_ts_us") - F.col("ts_us") <= 600_000_000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("next_id").alias("purchase_id"),
+        F.col("next_ts_us").alias("purchase_ts_us"),
+    )

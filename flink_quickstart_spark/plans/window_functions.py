@@ -1,1 +1,197 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Analytic (OVER) window query keys (SURVEY.md §2.E).
+
+Reference surface [PK]: Flink Table API OVER windows (checkout empty — see
+SURVEY.md §0).
+
+Every key maps to ``pyspark.sql.Window`` with fully deterministic ordering
+(explicit tie-breaks everywhere — Spark and DuckDB must rank identically).
+Scale note: an OVER window shuffles once on its partition key; these
+partition on high-cardinality keys (user_id, priority) so partitions stay
+small. A window with NO partition key (q_sort's global row_number) is the
+single-reducer anti-pattern — acceptable only for final small outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_wf_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_rank(spark, sf_dir):
+    """E1: row_number / rank / dense_rank within order priority."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "q_wf_laglead",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts))  OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_laglead(spark, sf_dir):
+    """E2: lag/lead — per-user inter-event gap in exact integer µs."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_wf_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_running(spark, sf_dir):
+    """E3: running sum (rows frame) — cumulative revenue per customer."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_wf_rangeframe",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+             AS n_within_1k
+    FROM orders
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_rangeframe(spark, sf_dir):
+    """E4: RANGE frame — peers counted by value distance, not row offset."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within_1k"),
+    )
+
+
+@register(
+    "q_wf_distribution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT)   AS quartile,
+           round(percent_rank() OVER w, 6)   AS pct_rank,
+           round(cume_dist() OVER w, 6)      AS cdist
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_distribution(spark, sf_dir):
+    """E5: ntile / percent_rank / cume_dist over account balance (global
+    window — fine for a dimension-sized table, never for a fact table)."""
+    t = tables(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q_wf_firstlast",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_firstlast(spark, sf_dir):
+    """E6: first/last value per key — via min_by/max_by (deterministic,
+    unlike Spark's first()/last() without ordering). Event timestamps are
+    µs-distinct per user in this data, so arg_min/min_by agree."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_topk_pergroup",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,
+    tags=("batch", "window", "headline"),
+)
+def q_topk_pergroup(spark, sf_dir):
+    """E7: top-k per group — the row_number≤k idiom. Scale note: Spark
+    plans partial sort + window; for very hot keys, pre-aggregate a
+    per-partition top-k first (same idiom over mapPartitions output)."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        t.events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
