@@ -1,0 +1,179 @@
+"""Deduplication operator family for large-scale text corpora.
+
+Beyond the reference surface: mandated LLM-data-pipeline extension
+(BASELINE.json's north star; SURVEY.md §2.K1-K2). Four tiers, cheapest
+first — the order a real 100 TB pipeline applies them:
+
+1. exact content hash  — one shuffle on a 256-bit key, no FP risk
+2. n-gram Jaccard      — shingle inverted index join; exact similarity,
+                         cost bounded by shingle collision counts
+3. MinHash + LSH       — sublinear candidate generation (pyspark.ml),
+                         fixed seed for reproducibility
+4. SimHash             — 64-bit fingerprint, hamming-distance buckets
+
+All operators return DataFrames and never collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """K1: group identical content by sha256; keep the lowest id as the
+    canonical row. Scales as one hash-shuffle regardless of corpus size."""
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    JVM-side only: split → transform over index sequence → explode →
+    distinct. The distinct is per (doc, shingle) — a narrow pre-aggregation
+    that bounds the inverted-index fanout.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """K2 (exact flavor): document pairs with shingle-set Jaccard ≥
+    threshold, via an inverted-index self-join on shingles.
+
+    Plan: shingles shuffle once on the shingle key (the inverted index);
+    pair counts shuffle once on (d1, d2). Exact — no randomization — so
+    it is SQL-oracle-checkable. At 100 TB, cap hot shingles first (drop
+    shingles with document-frequency above a bound: they generate
+    quadratic candidates but never distinguish near-dups).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    common = (
+        a.join(b, ["shingle"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """K2 (sublinear flavor): MinHash LSH candidate pairs via pyspark.ml.
+
+    Shingle → HashingTF (sparse binary vector) → MinHashLSH with a fixed
+    seed → approxSimilarityJoin on Jaccard *distance*. Randomized by
+    design → declared rows-only in the oracle contract. This is the 100 TB
+    path: candidates come from band-bucket joins, never the full pair
+    matrix.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (
+        word_shingles(df, id_col, text_col, 3)
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="dist")
+    return (
+        pairs.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("d1"),
+            F.col(f"datasetB.{id_col}").alias("d2"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """K2 (fingerprint flavor): 64-bit SimHash per document.
+
+    Token hashes via xxhash64 (JVM, engine-specific → rows-only). Bit b of
+    the fingerprint is the sign of sum over tokens of ±1 per token-hash
+    bit — computed as 64 conditional-sum aggregates, entirely in one
+    hash aggregation (no Python, no explode-to-64× blowup: one explode to
+    tokens, then a single groupBy).
+
+    Near-dup candidates = identical fingerprints (or hamming ≤ k via
+    rotations at scale).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fingerprint = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**b).cast("long"))
+        for b in range(63)  # bit 63 left clear: keeps the value in signed-long range
+    )
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Deterministic keep-first dedup: row_number=1 over an explicit order
+    (Spark's dropDuplicates keeps an arbitrary row — never oracle-safe)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

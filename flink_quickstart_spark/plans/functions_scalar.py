@@ -1,1 +1,376 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""Scalar function library + UDF/UDTF query keys (SURVEY.md §2.H, §2.J).
+
+Reference surface [PK]: Flink Table API built-in functions and
+``ScalarFunction`` / ``TableFunction`` / ``ProcessWindowFunction`` UDFs
+(checkout empty — see SURVEY.md §0).
+
+Every function key computes several family members as aliased columns so
+one oracle row-set covers the family. Portability notes baked in below:
+- DuckDB 1.0 lacks ``initcap``/``try_divide``/``soundex`` — excluded.
+- ``ceil``/``floor`` return BIGINT in Spark but DOUBLE in DuckDB → CAST.
+- Spark ``weekday()+1`` == DuckDB ``isodow`` (Mon=1..Sun=7).
+- Transcendentals (ln/exp/log10) can differ by 1 ulp across libm
+  implementations → ROUND(…, 6) on both sides.
+
+UDF keys stay Arrow-vectorized (pandas_udf / applyInPandas); the scalar
+UDF emits the RAW double product — both engines execute the identical
+IEEE-754 multiply on identical inputs, so no rounding is needed at all.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                         AS up,
+           lower(c_name)                         AS lo,
+           substring(c_name, 1, 8)               AS sub8,
+           CAST(length(c_name) AS BIGINT)        AS len,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           concat(c_mktsegment, ':', c_name)     AS tagged,
+           regexp_extract(c_name, '[0-9]+')      AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+           reverse(c_mktsegment)                 AS rev,
+           repeat(c_mktsegment, 2)               AS rep2,
+           CAST(strpos(c_name, 'e') AS BIGINT)   AS pos_e,
+           trim(concat(' ', c_name, ' '))        AS trimmed,
+           (c_mktsegment LIKE 'B%')              AS is_b
+    FROM customer
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_string(spark, sf_dir):
+    """H1: string function family over customer names."""
+    t = tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.length("c_name").cast("long").alias("len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("lev"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat("c_mktsegment", 2).alias("rep2"),
+        F.instr("c_name", "e").cast("long").alias("pos_e"),
+        F.trim(F.concat(F.lit(" "), "c_name", F.lit(" "))).alias("trimmed"),
+        F.col("c_mktsegment").like("B%").alias("is_b"),
+    )
+
+
+@register(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS yr,
+           CAST(month(o_orderdate) AS BIGINT)   AS mo,
+           CAST(day(o_orderdate) AS BIGINT)     AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT)  AS dow_iso,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+           CAST(epoch(o_orderdate) AS BIGINT)   AS epoch_s,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_datetime(spark, sf_dir):
+    """H2: date/time family over order dates (µs timestamps, tz-free)."""
+    t = tables(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.weekday(d) + 1).cast("long").alias("dow_iso"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+        F.unix_timestamp(d).cast("long").alias("epoch_s"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)          AS abs_c,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS ceil_p,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS floor_p,
+           round(sqrt(l_extendedprice), 6)           AS sqrt_p,
+           round(ln(l_extendedprice), 6)             AS ln_p,
+           round(log10(l_extendedprice), 6)          AS log10_p,
+           round(exp(l_tax), 6)                      AS exp_tax,
+           pow(l_quantity, 2)                        AS qty_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS sgn,
+           CAST(mod(l_orderkey, 7) AS BIGINT)        AS mod7,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_tax / l_discount, 6) END AS tax_over_disc
+    FROM lineitem
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_math(spark, sf_dir):
+    """H3: math family. ceil/floor CAST to BIGINT on the DuckDB side
+    (type divergence); transcendentals rounded to 6 (libm ulp drift);
+    try_divide expressed as a CASE in the oracle (absent in DuckDB 1.0)."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_c"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_p"),
+        F.floor("l_extendedprice").cast("long").alias("floor_p"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_p"),
+        F.round(F.exp("l_tax"), 6).alias("exp_tax"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("mod7"),
+        F.round(F.try_divide("l_tax", F.nullif("l_discount", F.lit(0))), 6).alias(
+            "tax_over_disc"
+        ),
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                         AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           least(o_totalprice, 250000.0)                AS capped,
+           greatest(o_totalprice, 50000.0)              AS floored,
+           (o_orderstatus = 'F')                        AS is_f
+    FROM orders
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_conditional(spark, sf_dir):
+    """H4: CASE / coalesce / nullif / least / greatest."""
+    t = tables(spark, sf_dir)
+    p = F.col("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.when(p >= 300000, "high").when(p >= 100000, "mid").otherwise("low").alias(
+            "bucket"
+        ),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.least(p, F.lit(250000.0)).alias("capped"),
+        F.greatest(p, F.lit(50000.0)).alias("floored"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(emb) AS BIGINT)            AS n_dims,
+           round(CAST(list_sum(emb) AS DOUBLE), 4) AS sum_elems,
+           round(emb[1], 6)                    AS first_elem,
+           round(CAST(list_max(emb) AS DOUBLE), 6) AS max_elem,
+           round(list_sort(emb)[1], 6)         AS min_via_sort,
+           CAST(len(list_distinct(emb)) AS BIGINT) AS n_distinct,
+           round(list_sum(list_transform(emb, x -> x * x)), 4) AS sum_sq
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_array(spark, sf_dir):
+    """H5: array family incl. higher-order transform/aggregate over the
+    64-dim embedding vectors (cast float→double to match DuckDB math)."""
+    t = tables(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    zero = F.lit(0.0)
+    return t.embeddings.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("n_dims"),
+        F.round(F.aggregate(emb, zero, lambda a, x: a + x), 4).alias("sum_elems"),
+        F.round(F.element_at(emb, 1), 6).alias("first_elem"),
+        F.round(F.array_max(emb), 6).alias("max_elem"),
+        F.round(F.element_at(F.sort_array(emb), 1), 6).alias("min_via_sort"),
+        F.size(F.array_distinct(emb)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(F.transform(emb, lambda x: x * x), zero, lambda a, x: a + x), 4
+        ).alias("sum_sq"),
+    )
+
+
+@register("q_fn_map", oracle=None, tags=("batch", "function"))
+def q_fn_map(spark, sf_dir):
+    """H6: map family — per-user map<event_type, count> plus lookups.
+    Declared rows-only: map key ordering is engine-specific, so a value
+    hash cannot be portable (SURVEY.md §2.H6)."""
+    t = tables(spark, sf_dir)
+    counted = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("type_counts")
+        )
+        .select(
+            "user_id",
+            "type_counts",
+            F.element_at("type_counts", "click").alias("n_clicks"),
+            F.size(F.map_keys("type_counts")).alias("n_types"),
+        )
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY k
+    """,
+    tags=("batch", "function", "headline"),
+)
+def q_fn_json(spark, sf_dir):
+    """H7: JSON extraction — ``get_json_object`` on the ``props`` string
+    column, aggregated by the extracted key."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h,
+           CAST(length(to_base64(CAST(substring(text, 1, 12) AS BLOB))) AS BIGINT) AS b64len
+    FROM documents
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_hash(spark, sf_dir):
+    """H8: hash/binary family — the content-addressing building block for
+    exact dedup (K1). xxhash64 exists Spark-side but is engine-specific,
+    so the portable pair sha256/md5 carries the oracle."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha"),
+        F.md5("text").alias("md5h"),
+        F.length(F.base64(F.substring("text", 1, 12).cast("binary")))
+        .cast("long")
+        .alias("b64len"),
+    )
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+    tags=("batch", "udf"),
+)
+def q_udf_scalar(spark, sf_dir):
+    """J1: scalar pandas UDF (Arrow series→series) computing the
+    discounted price. Emits the RAW double — numpy and DuckDB run the
+    identical IEEE multiply on identical inputs, so results are
+    bit-equal with no rounding."""
+    t = tables(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@register(
+    "q_udtf_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS pos,
+           unnest(parts) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+    """,
+    tags=("batch", "udf"),
+)
+def q_udtf_split(spark, sf_dir):
+    """J2: table function (UDTF / lateral) — one row per token with its
+    position, via posexplode (the JVM-side form; a Python ``@udtf`` would
+    add an Arrow hop for no semantic gain)."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@register(
+    "q_grouped_map_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL
+                ELSE round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 4)
+           END AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("batch", "udf"),
+)
+def q_grouped_map_zscore(spark, sf_dir):
+    """J3: grouped-map transform (Flink ``ProcessWindowFunction`` analog)
+    via ``applyInPandas`` — per-user z-score of event values. One shuffle
+    on user_id; each group is one Arrow batch."""
+    t = tables(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - pdf["value"].mean()) / std if std > 0 else None
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": z.round(4) if std > 0 else float("nan"),
+            }
+        )
+
+    return (
+        t.events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id bigint, user_id bigint, zscore double")
+    )

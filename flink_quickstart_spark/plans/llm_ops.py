@@ -1,1 +1,351 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""LLM-data-pipeline query keys (SURVEY.md §2.K): dedup family, embedding
+similarity search, text analysis. Mandated beyond the Flink-quickstart
+reference surface — these are first-class operators for a 100 TB
+training-data pipeline.
+
+Randomized ops (MinHash LSH, random-projection ANN) are seeded for
+reproducibility but remain engine-specific → declared rows-only. Every
+exact op carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.functions import text as X
+from flink_quickstart_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from flink_quickstart_spark.operators.similarity import brute_knn, lsh_ann_buckets
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_exact(spark, sf_dir):
+    """K1: exact dedup by content hash — one shuffle on the sha256 key."""
+    t = tables(spark, sf_dir)
+    return exact_dedup(t.documents, "text", "doc_id")
+
+
+@register(
+    "q_llm_neardup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT d1, d2, n_common,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_neardup(spark, sf_dir):
+    """K2: exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
+    shingle inverted-index self-join — deterministic, hence sql-oracle."""
+    t = tables(spark, sf_dir)
+    return jaccard_neardup_pairs(t.documents, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("q_llm_neardup_minhash", oracle=None, tags=("batch", "llm", "dedup", "approx"))
+def q_llm_neardup_minhash(spark, sf_dir):
+    """K2b: MinHash LSH near-dup candidates (seed=42) — the sublinear
+    100 TB path. Randomized sketch → rows-only check."""
+    t = tables(spark, sf_dir)
+    return minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.5)
+
+
+@register("q_llm_simhash", oracle=None, tags=("batch", "llm", "dedup", "approx"))
+def q_llm_simhash(spark, sf_dir):
+    """K2c: 64-bit SimHash fingerprints (xxhash64 token hashes — Spark-
+    specific hash → rows-only). Fingerprint equality buckets near-dups."""
+    t = tables(spark, sf_dir)
+    return simhash64(t.documents, "doc_id", "text")
+
+
+@register(
+    "q_llm_knn",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+             list_cosine_similarity(a.e, b.e) AS sim,
+             CAST(row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id)
+                  AS BIGINT) AS rank
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+    tags=("batch", "llm", "similarity", "headline"),
+)
+def q_llm_knn(spark, sf_dir):
+    """K3: exact brute-force cosine top-3 per vector via broadcast-numpy
+    ``mapInPandas`` (one BLAS matmul per Arrow batch). The HOF expression
+    route measured 185× slower than DuckDB — do not ship it (SURVEY §6)."""
+    t = tables(spark, sf_dir)
+    return brute_knn(t.embeddings, k=3)
+
+
+@register("q_llm_ann_lsh", oracle=None, tags=("batch", "llm", "similarity", "approx"))
+def q_llm_ann_lsh(spark, sf_dir):
+    """K4: ANN candidate pairs via random-projection LSH (seed=42) — the
+    scale path where the corpus no longer broadcasts. Threshold 1.2 keeps
+    the closest ~1%% of pairs on these unit-norm vectors. Rows-only."""
+    t = tables(spark, sf_dir)
+    return lsh_ann_buckets(t.embeddings, threshold=1.2)
+
+
+@register(
+    "q_llm_wordcount",
+    oracle="""
+    SELECT lang, word, cnt FROM (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rn
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY lang, word
+    ) WHERE rn <= 10
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_wordcount(spark, sf_dir):
+    """K5: top-10 terms per language — explode + two-level agg + top-k."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counted = (
+        t.documents.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE word <> '' GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_tfidf(spark, sf_dir):
+    """K5b: hand-computed TF-IDF (deterministic, unlike hashed ML-lib
+    variants): tf per (doc, word), document frequency per word,
+    idf = ln(N/df). The df side is a broadcastable vocabulary dim."""
+    t = tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.documents.count()
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+
+
+@register(
+    "q_llm_langstats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           round(avg(n_chars), 4)         AS avg_chars,
+           CAST(min(n_chars) AS BIGINT)   AS min_chars,
+           CAST(max(n_chars) AS BIGINT)   AS max_chars,
+           round(avg(length(text)), 4)    AS avg_len
+    FROM documents GROUP BY lang
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_langstats(spark, sf_dir):
+    """K6: per-language corpus stats (plus n_chars sanity vs length)."""
+    t = tables(spark, sf_dir)
+    return t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+_LEXICON = (("fast", 1), ("big", 1), ("small", -1), ("slow", -1), ("dup", -2))
+
+
+@register(
+    "q_llm_lexicon_score",
+    oracle=f"""
+    WITH lex(word, weight) AS (VALUES {", ".join(f"('{w}', {s})" for w, s in _LEXICON)}),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT d.doc_id, CAST(coalesce(sum(l.weight), 0) AS BIGINT) AS score
+    FROM documents d
+    LEFT JOIN toks t ON d.doc_id = t.doc_id
+    LEFT JOIN lex l ON t.word = l.word
+    GROUP BY d.doc_id
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_lexicon_score(spark, sf_dir):
+    """K7: lexicon scoring (sentiment-style): broadcast a tiny weighted
+    word list against exploded tokens; sum per document."""
+    t = tables(spark, sf_dir)
+    lex = spark.createDataFrame(list(_LEXICON), "word string, weight int")
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    scored = (
+        toks.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"))
+    )
+    # keep docs whose token list was empty (none in this data, but correct)
+    return (
+        t.documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce("score", F.lit(0)).cast("long").alias("score"))
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+           round(CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','of','and','to')))
+                      AS DOUBLE) / len(toks), 4) AS stop_ratio,
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks), 4) AS mean_tok_len
+    FROM m
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_quality(spark, sf_dir):
+    """Text quality metrics: token counts, type-token ratio, stopword
+    ratio, mean token length — the cheap pre-filter tier of a training
+    data pipeline, all as JVM expressions."""
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    return t.documents.select(
+        "doc_id",
+        X.n_tokens(txt).alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens(txt))).cast("long").alias("n_distinct"),
+        X.type_token_ratio(txt).alias("ttr"),
+        X.stopword_ratio(txt).alias("stop_ratio"),
+        X.mean_token_len(txt).alias("mean_tok_len"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    token count (word runs + isolated symbols) — the budget estimator."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        X.n_tokens("text").alias("n_ws_tokens"),
+        X.n_bpe_tokens("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'),
+                                                      t -> t <> ''),
+                                          t -> lower(t) IN ('the','a','of','is')))
+                     AS DOUBLE)
+                / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0.02
+                THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM documents
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_langid(spark, sf_dir):
+    """Marker-based language ID (deterministic heuristic tier; the n-gram
+    profile extension keeps the same expression shape)."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", "lang", X.lang_id("text").alias("predicted_lang")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(w) - 1),
+                    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS fp
+    FROM toks WHERE len(w) >= 3
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min md5 over word trigram shingles —
+    portable (md5), order-insensitive, one expression per row."""
+    t = tables(spark, sf_dir)
+    return t.documents.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", X.fingerprint("text", 3).alias("fp")
+    )
