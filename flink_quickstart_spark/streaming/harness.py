@@ -1,0 +1,143 @@
+"""Structured Streaming harness.
+
+Reference lifecycle [PK]: a Flink quickstart job builds a DataStream DAG
+and ``env.execute()``s it against unbounded sources. Our engine's twin:
+``readStream`` file sources → the SAME DataFrame transformations used in
+batch → ``writeStream`` with ``availableNow`` (bounded replay) for tests
+or ``processingTime`` triggers in production.
+
+The central correctness tool is :func:`run_stream_equivalent`: run a query
+builder in batch AND as a stream over the same parquet directory, then
+compare results — Spark guarantees window/agg semantics are identical, so
+any drift is an engine bug or a non-replayable query shape. This replaces
+Flink's harness-based operator tests (SURVEY.md §5.2).
+
+No Kafka jar ships in this container (SURVEY.md §2.A7); Kafka is a
+deploy-time ``--packages`` dependency and the directory-monitoring file
+source is the test-time streaming source.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.sources.tables import load_table
+
+
+def _scratch(*parts: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "fqs_scratch", *parts)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The ``events`` table as a file-source stream with the same schema
+    and ts normalization as the batch loader (A6: directory-monitoring
+    source, Flink ``readFile(..., PROCESS_CONTINUOUSLY)`` analog)."""
+    batch = load_table(spark, sf_dir, "events")
+    # The file source monitors a DIRECTORY; testdata is one file per table
+    # in a shared dir, so stage a scratch dir containing only the events
+    # file (symlink — no copy). In production this is the landing dir.
+    src_dir = _scratch("stream_src", os.path.basename(sf_dir.rstrip("/")), "events")
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    reader = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(src_dir)
+    # Re-apply the ns→µs conversion on the raw stream (schema carries ts
+    # as bigint nanos under nanosAsLong).
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    assert raw.schema == batch.schema, "stream/batch schema drift"
+    return raw
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str | None = None, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame through an availableNow trigger into a
+    memory sink; returns the sink contents as a batch DataFrame (A11)."""
+    spark = df.sparkSession
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _scratch("ckpt", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def run_stream_equivalent(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    output_mode: str = "complete",
+    watermark: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``transform(events_df) -> DataFrame`` in batch and as a stream
+    over the same data; returns (batch_result, stream_result) for
+    equality assertion by the caller."""
+    batch_df = transform(load_table(spark, sf_dir, "events"))
+    stream_in = events_stream(spark, sf_dir)
+    if watermark:
+        stream_in = stream_in.withWatermark("ts", watermark)
+    stream_df = transform(stream_in)
+    return batch_df, run_to_memory(stream_df, output_mode=output_mode)
+
+
+def write_stream_parquet(
+    df: DataFrame, out_dir: str, checkpoint: str | None = None
+) -> None:
+    """A9 streaming file sink: exactly-once via checkpoint WAL + atomic
+    task commits. availableNow-bounded for tests."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint or _scratch("ckpt", uuid.uuid4().hex[:8]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def foreach_batch_with_late_side_output(
+    df: DataFrame,
+    ts_col: str,
+    lateness: str,
+    on_time_sink,
+    late_sink,
+):
+    """G-1 mitigation: Spark drops late rows silently and has no Flink-
+    style side outputs. This wrapper runs BEFORE the watermarked agg:
+    within each micro-batch, rows older than (max seen ts − lateness) are
+    routed to ``late_sink`` (quarantine) and the rest to ``on_time_sink``.
+
+    State is the running max event time, kept per-batch via the batch's
+    own max — a conservative (per-batch, not global) watermark proxy that
+    never misroutes an on-time row.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        row = batch_df.agg(F.max(ts_col).alias("m")).collect()[0]
+        if row.m is None:
+            return
+        cutoff = F.lit(row.m) - F.expr(f"INTERVAL {lateness}")
+        on_time_sink(batch_df.where(F.col(ts_col) >= cutoff), batch_id)
+        late_sink(batch_df.where(F.col(ts_col) < cutoff), batch_id)
+
+    return df.writeStream.foreachBatch(handle)

@@ -1,0 +1,146 @@
+"""Custom keyed stateful operators (SURVEY.md §2.I9-I11).
+
+Reference surface [PK]: Flink ``KeyedProcessFunction`` with
+``ValueState``/``ListState`` and timers — the extension point every
+quickstart demonstrates (checkout empty — see SURVEY.md §0).
+
+Spark twin: ``transformWithStateInPandas`` (Spark 4.x StatefulProcessor —
+value/list/map state + timers) for the full surface, and
+``applyInPandasWithState`` (GroupState) as the simpler stable API. Both
+shuffle once on the key and keep state in the state store (RocksDB
+provider configured in ``session.py`` — at 100 TB-scale keyed state the
+default HDFS-backed heap store would OOM).
+
+Batch analogs of both operators are registered as oracle-checked keys
+(``q_count_window``, ``q_pattern_click_then_purchase``); the streaming
+forms here are asserted equivalent in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNT_WINDOW_SCHEMA = "user_id bigint, block_id bigint, n_events bigint, sum_value double"
+_COUNT_STATE_SCHEMA = "blocks_done bigint, cur_n bigint, cur_sum double"
+
+CEP_SCHEMA = (
+    "user_id bigint, click_id bigint, click_ts_us bigint, "
+    "purchase_id bigint, purchase_ts_us bigint"
+)
+_CEP_STATE_SCHEMA = "click_id bigint, click_ts_us bigint"
+
+
+def count_window(events: DataFrame, n: int = 20) -> DataFrame:
+    """I10: Flink ``countWindow(n)`` — emit an aggregate per key every n
+    events (event arrival order within the stream). Only *complete*
+    blocks are emitted, matching Flink's tumbling count-window.
+
+    State per key: finished-block count + running (count, sum) of the
+    open block — O(1) per key.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        blocks_done, cur_n, cur_sum = (
+            state.get if state.exists else (0, 0, 0.0)
+        )
+        out: list[tuple[int, int, int, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].to_numpy():
+                cur_n += 1
+                cur_sum += float(v)
+                if cur_n == n:
+                    out.append((key[0], blocks_done, cur_n, round(cur_sum, 2)))
+                    blocks_done += 1
+                    cur_n, cur_sum = 0, 0.0
+        state.update((blocks_done, cur_n, cur_sum))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "block_id", "n_events", "sum_value"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        COUNT_WINDOW_SCHEMA,
+        _COUNT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def cep_click_then_purchase(events: DataFrame, within_us: int = 600_000_000) -> DataFrame:
+    """I11: CEP-lite state machine per user — emit (click, purchase) when
+    a purchase directly follows a click within ``within_us`` microseconds
+    (Flink CEP ``begin('click').next('purchase').within(10 min)``).
+
+    State per key: the pending click (id, ts) or empty — O(1).
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pending_id, pending_ts = state.get if state.exists else (None, None)
+        out: list[tuple[int, int, int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for et, eid, ts_us in zip(
+                pdf["event_type"], pdf["event_id"], pdf["ts_us"]
+            ):
+                if et == "click":
+                    pending_id, pending_ts = int(eid), int(ts_us)
+                    continue
+                if (
+                    et == "purchase"
+                    and pending_id is not None
+                    and ts_us - pending_ts <= within_us
+                ):
+                    out.append((key[0], pending_id, pending_ts, int(eid), int(ts_us)))
+                pending_id, pending_ts = None, None
+        if pending_id is None:
+            state.remove()
+        else:
+            state.update((pending_id, pending_ts))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "click_id",
+                    "click_ts_us",
+                    "purchase_id",
+                    "purchase_ts_us",
+                ],
+            )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        CEP_SCHEMA,
+        _CEP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """I6 streaming form: first event per (user, type) with state bounded
+    by the watermark horizon (``dropDuplicatesWithinWatermark`` — the
+    100 TB answer to unbounded dedup state)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

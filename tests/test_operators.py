@@ -1,0 +1,119 @@
+"""Unit tests for composed operators on hand-built micro data — the
+Flink-style operator-harness tests (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.operators.dedup import exact_dedup, keep_first, simhash64
+from flink_quickstart_spark.operators.joins import asof_join
+from flink_quickstart_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_stub,
+    frame_sample_plan,
+)
+from flink_quickstart_spark.operators.similarity import brute_knn
+
+
+def ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_backward_with_ties(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(5), "p2"), (2, ts(7), "p3"), (3, ts(1), "p4")],
+        "k int, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(4), 101), (2, ts(8), 102)],
+        "k int, t timestamp, v int",
+    )
+    out = {
+        r.name: r.r_v
+        for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    }
+    # p1@10: right@10 matches (<= tie included); p2@5: right@4; p3@7: right@8
+    # is later → no match; p4: no right rows for key 3.
+    assert out == {"p1": 100, "p2": 101, "p3": None, "p4": None}
+
+
+def test_asof_join_strict_excludes_ties(spark):
+    left = spark.createDataFrame([(1, ts(10), "p1")], "k int, t timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, ts(10), 100), (1, ts(2), 101)], "k int, t timestamp, v int"
+    )
+    out = asof_join(left, right, "k", "t", "t", ["v"], strict=True).collect()
+    assert out[0].r_v == 101  # the equal-ts right row is out of frame
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, txt string"
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "txt", "id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (1, 3, "y"), (2, 9, "z")], "k int, ord int, v string"
+    )
+    out = {r.k: r.v for r in keep_first(df, ["k"], ["ord"]).collect()}
+    assert out == {1: "y", 2: "z"}
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "spark fast join"), (2, "spark fast join"), (3, "totally different words here")],
+        "id long, txt string",
+    )
+    out = {r.id: r.simhash for r in simhash64(df, "id", "txt").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(v >= 0 for v in out.values())  # bit 63 kept clear
+
+
+def test_brute_knn_micro(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_knn(df, k=1).collect()
+    nearest = {r.query_id: r.nbr_id for r in out}
+    assert nearest[1] == 2 and nearest[2] == 1 and nearest[3] == 2
+    assert all(r.rank == 1 for r in out)
+
+
+def test_multimodal_decode_stub_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = decode_stub(media, deterministic_fake=True)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert len(rows[1].feature) == 16
+    assert rows[1].n_bytes == len("hello world")
+    # determinism: same payload → same fake feature
+    again = {r.media_id: r.feature for r in decode_stub(media, deterministic_fake=True).collect()}
+    assert again[1] == rows[1].feature
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_stub(media, deterministic_fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("video/fake", 10, 10, 3000, "c"))],
+        "media_id long, payload binary, meta struct<media_type:string,width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]

@@ -1,0 +1,115 @@
+"""Streaming ↔ batch equivalence (SURVEY.md §5.2) — the Spark-idiomatic
+replacement for Flink harness-based operator tests: the same declarative
+query must produce identical results on a bounded replay of the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.sources.tables import load_table
+from flink_quickstart_spark.streaming.harness import (
+    events_stream,
+    run_stream_equivalent,
+    run_to_memory,
+)
+from flink_quickstart_spark.streaming.stateful import (
+    cep_click_then_purchase,
+    count_window,
+    streaming_dedup,
+)
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_window_equivalence(spark):
+    def tumbling(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "event_type", "n", "s")
+        )
+
+    batch, stream = run_stream_equivalent(
+        spark, SF_DIR, tumbling, output_mode="complete", watermark="10 minutes"
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_stream_session_window_equivalence(spark):
+    def session(df):
+        return (
+            df.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros("w.start").alias("ss_us"),
+                F.unix_micros("w.end").alias("se_us"),
+                "n",
+            )
+        )
+
+    batch, stream = run_stream_equivalent(
+        spark, SF_DIR, session, output_mode="complete", watermark="10 minutes"
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_stream_static_enrichment_join(spark):
+    """I8: stream ⋈ static dimension — supported natively by Spark."""
+    static_types = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = events_stream(spark, SF_DIR).join(F.broadcast(static_types), "event_type")
+    out = run_to_memory(stream.select("event_id", "category"))
+    batch = load_table(spark, SF_DIR, "events").join(static_types, "event_type").select(
+        "event_id", "category"
+    )
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_count_window_matches_batch_analog(spark):
+    """I10: stateful count-window (applyInPandasWithState) must agree with
+    the oracle-checked batch-analog for complete blocks."""
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    n = 20
+    stream_out = run_to_memory(count_window(events_stream(spark, SF_DIR), n=n))
+    batch = registry.REGISTRY["q_count_window"].builder(spark, SF_DIR)
+    complete_blocks = batch.where(F.col("n_events") == n).select(
+        "user_id", "block_id", "n_events", "sum_value"
+    )
+    assert _rows(stream_out) == _rows(complete_blocks)
+
+
+def test_stream_cep_matches_batch_analog(spark):
+    """I11: stateful CEP (pending-click state machine) must agree with the
+    lag/lead batch analog."""
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    stream_out = run_to_memory(cep_click_then_purchase(events_stream(spark, SF_DIR)))
+    batch = registry.REGISTRY["q_pattern_click_then_purchase"].builder(spark, SF_DIR)
+    assert _rows(stream_out.select(batch.columns)) == _rows(batch)
+
+
+def test_streaming_dedup_bounded_state(spark):
+    """I6: dropDuplicatesWithinWatermark keeps exactly one row per key
+    here (all duplicates of a (user, type) fall inside the horizon)."""
+    out = run_to_memory(streaming_dedup(events_stream(spark, SF_DIR), "40 days"))
+    batch = load_table(spark, SF_DIR, "events")
+    n_keys = batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+
+
+def test_rate_and_socket_sources_exist(spark):
+    """A4/A5: rate source builds a valid streaming plan (socket needs a
+    live endpoint; schema check only)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+    assert rate.isStreaming and set(rate.columns) == {"timestamp", "value"}
