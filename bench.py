@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from flink_quickstart_spark import get_spark
 from flink_quickstart_spark.plans import load_all, registry
+from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
 
 HEADLINE = (
     "q_agg_group",
@@ -35,7 +36,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
     available = [k for k in HEADLINE if k in registry.REGISTRY]
-    spark = get_spark(app_name="fqs-bench")
+    # Data-sized shuffle partitions (~128 MB each, floor 8): the policy a
+    # cluster deployment uses, which at bench scale also removes pure
+    # task-scheduling overhead. Explicit env override still wins.
+    parts = None
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" not in os.environ:
+        parts = shuffle_partitions_for_bytes(dir_bytes(sf_dir))
+    spark = get_spark(app_name="fqs-bench", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

