@@ -57,6 +57,22 @@ def _ensure_configs(spark: SparkSession) -> None:
 def _with_configs(fn):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_configs(spark)
+        # Size shuffle partitions to the input (runtime-settable): the
+        # driver's session may default to 200 partitions, which is pure
+        # scheduling overhead at correctness-gate scale and undersized on
+        # a real cluster; ~128 MB per partition either way.
+        try:
+            from flink_quickstart_spark.session import (
+                dir_bytes,
+                shuffle_partitions_for_bytes,
+            )
+
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions_for_bytes(dir_bytes(sf_dir))),
+            )
+        except Exception:  # noqa: BLE001 — never fail a query over tuning
+            pass
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")

@@ -19,6 +19,7 @@ def load_all() -> None:
         joins,
         llm_ops,
         relational,
+        sql_surface,
         streaming_analog,
         window_functions,
     )

@@ -201,6 +201,31 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+@register(
+    "q_agg_groupingsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_groupingsets(spark, sf_dir):
+    """D6: explicit GROUPING SETS via DataFrame.groupingSets (Spark 4.x) —
+    the general form behind rollup/cube."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 

@@ -1,0 +1,63 @@
+"""SQL-string entry point (SURVEY.md §3.2 lifecycle 2).
+
+The engine registers every testdata table as a temp view, so ``spark.sql``
+is a first-class query surface (Flink Table API / SQL analog [PK]). These
+keys run ANSI SQL through Spark's parser — near-identical text runs on
+DuckDB as the oracle, demonstrating dialect-portable SQL authoring.
+"""
+
+from __future__ import annotations
+
+from flink_quickstart_spark.plans.registry import register
+from flink_quickstart_spark.sources.tables import register_views
+
+_Q3_SPARK = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS STRING)         AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q_sql_q3",
+    oracle=_Q3_SPARK.replace("AS STRING", "AS VARCHAR"),
+    tags=("batch", "sql"),
+)
+def q_sql_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority) authored as a SQL STRING —
+    exercises parser → analyzer → same Catalyst pipeline as the DataFrame
+    API. The oracle is the identical text modulo STRING/VARCHAR."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SPARK)
+
+
+_WINDOW_SQL_SPARK = """
+SELECT user_id, event_type, n,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+"""
+
+
+@register(
+    "q_sql_window",
+    oracle=_WINDOW_SQL_SPARK,
+    tags=("batch", "sql"),
+)
+def q_sql_window(spark, sf_dir):
+    """Nested aggregate + OVER window as a SQL string — identical text on
+    both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_SQL_SPARK)
