@@ -113,3 +113,38 @@ def test_rate_and_socket_sources_exist(spark):
     live endpoint; schema check only)."""
     rate = spark.readStream.format("rate").option("rowsPerSecond", 10).load()
     assert rate.isStreaming and set(rate.columns) == {"timestamp", "value"}
+
+
+def test_stream_stream_interval_join(spark):
+    """I7: stream-stream join with watermarks + time-range condition must
+    agree with the batch interval-join key (q_join_interval)."""
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    clicks = (
+        events_stream(spark, SF_DIR)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("c")
+    )
+    purchases = (
+        events_stream(spark, SF_DIR)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.unix_micros("c.ts").alias("click_ts_us"),
+        F.unix_micros("p.ts").alias("purchase_ts_us"),
+    )
+    stream_out = run_to_memory(joined)
+    batch = registry.REGISTRY["q_join_interval"].builder(spark, SF_DIR)
+    assert _rows(stream_out.select(batch.columns)) == _rows(batch)
