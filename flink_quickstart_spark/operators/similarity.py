@@ -73,6 +73,48 @@ def brute_knn(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (d1, d2, sim) for all pairs
+    with cosine ≥ threshold and d1 < d2 — the semantic-dedup tier.
+
+    Same broadcast-matrix mapInPandas pattern as brute_knn: each Arrow
+    batch of query rows does one BLAS matmul against the corpus and emits
+    only above-threshold pairs, so output (not the N² matrix) hits the
+    shuffle. At corpus sizes beyond broadcast, run it per LSH/IVF bucket.
+    """
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    matrix = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(matrix, axis=1)
+    bc = spark.sparkContext.broadcast((ids, matrix, norms))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        for pdf_b in batches:
+            q = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            q_ids = pdf_b[id_col].to_numpy()
+            sims = (q @ c_mat.T) / (np.linalg.norm(q, axis=1)[:, None] * c_norms[None, :])
+            # keep d1 < d2 and sim >= threshold, vectorized
+            mask = (sims >= threshold) & (q_ids[:, None] < c_ids[None, :])
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "d1": q_ids[qi].astype(np.int64),
+                    "d2": c_ids[ci].astype(np.int64),
+                    "sim": np.round(sims[qi, ci], sim_decimals),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(pairs, "d1 bigint, d2 bigint, sim double")
+
+
 def lsh_ann_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -19,7 +19,11 @@ from flink_quickstart_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash64,
 )
-from flink_quickstart_spark.operators.similarity import brute_knn, lsh_ann_buckets
+from flink_quickstart_spark.operators.similarity import (
+    brute_knn,
+    cosine_neardup_pairs,
+    lsh_ann_buckets,
+)
 from flink_quickstart_spark.plans.registry import register, tables
 
 
@@ -103,6 +107,25 @@ def q_llm_knn(spark, sf_dir):
     route measured 185× slower than DuckDB — do not ship it (SURVEY §6)."""
     t = tables(spark, sf_dir)
     return brute_knn(t.embeddings, k=3)
+
+
+@register(
+    "q_llm_neardup_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(a.e, b.e), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+    tags=("batch", "llm", "dedup", "similarity"),
+)
+def q_llm_neardup_cosine(spark, sf_dir):
+    """K2d: embedding-cosine near-dup pairs (semantic dedup tier) — exact
+    pairs with cosine ≥ 0.4 via the broadcast-matrix mapInPandas pattern;
+    only above-threshold pairs ever leave the Python worker."""
+    t = tables(spark, sf_dir)
+    return cosine_neardup_pairs(t.embeddings, threshold=0.4)
 
 
 @register("q_llm_ann_lsh", oracle=None, tags=("batch", "llm", "similarity", "approx"))
