@@ -101,7 +101,7 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """K2 (sublinear flavor): MinHash LSH candidate pairs via pyspark.ml.

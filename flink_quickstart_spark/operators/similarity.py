@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,6 +113,120 @@ def cosine_neardup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(pairs, "d1 bigint, d2 bigint, sim double")
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 20_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors — the
+    similarity-search scale path when the corpus no longer broadcasts.
+
+    1. Train ``n_clusters`` centroids with a few k-means iterations on a
+       bounded sample (driver-side numpy, deterministic seed).
+    2. Assign every vector to its nearest centroid → ``cluster_id``
+       (one mapInPandas; at 100 TB this is the partition/bucket key the
+       corpus is WRITTEN under, so probes prune files).
+    3. Each query probes its ``n_probe`` nearest centroids; candidates
+       meet per-cluster via cogroup and one local BLAS matmul.
+    4. Global top-k per query via the row_number idiom over per-cluster
+       candidates (≤ n_probe·k rows per query reach the final window).
+
+    Approximate (recall < 1 when the true neighbor lives outside probed
+    clusters) → rows-only in the oracle contract; recall vs brute force
+    is asserted in tests.
+    """
+    spark = df.sparkSession
+    sample = df.select(id_col, vec_col).limit(sample_rows).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf_b in batches:
+            v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.argmax(v @ cents.T, axis=1).astype(np.int32),
+                    id_col: pdf_b[id_col],
+                    vec_col: pdf_b[vec_col],
+                }
+            )
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf_b in batches:
+            v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe]
+            n = len(pdf_b)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": order.reshape(-1).astype(np.int32),
+                    id_col: np.repeat(pdf_b[id_col].to_numpy(), n_probe),
+                    vec_col: [pdf_b[vec_col].iloc[i] for i in np.repeat(np.arange(n), n_probe)],
+                }
+            )
+
+    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    members = df.select(id_col, vec_col).mapInPandas(assign_members, schema)
+    probes = df.select(id_col, vec_col).mapInPandas(assign_probes, schema)
+
+    def local_topk(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or mpdf.empty:
+            return pd.DataFrame({"query_id": [], "nbr_id": [], "sim": []})
+        q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        m = np.stack(mpdf[vec_col].to_numpy()).astype(np.float64)
+        sims = (q @ m.T) / (
+            np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]
+        )
+        q_ids = qpdf[id_col].to_numpy()
+        m_ids = mpdf[id_col].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            s = np.where(m_ids == qid, -np.inf, sims[i])
+            top = np.lexsort((m_ids, -s))[: min(k, len(m_ids))]
+            keep = s[top] > -np.inf
+            out_q.extend([qid] * int(keep.sum()))
+            out_n.extend(m_ids[top][keep])
+            out_s.extend(s[top][keep])
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "nbr_id": pd.array(out_n, dtype="int64"),
+                "sim": pd.array(np.round(np.asarray(out_s, dtype=np.float64), 6), dtype="float64"),
+            }
+        )
+
+    candidates = (
+        probes.groupBy("cluster_id")
+        .cogroup(members.groupBy("cluster_id"))
+        .applyInPandas(local_topk, "query_id bigint, nbr_id bigint, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        candidates.dropDuplicates(["query_id", "nbr_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def lsh_ann_buckets(

@@ -22,6 +22,7 @@ from flink_quickstart_spark.operators.dedup import (
 from flink_quickstart_spark.operators.similarity import (
     brute_knn,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_ann_buckets,
 )
 from flink_quickstart_spark.plans.registry import register, tables
@@ -126,6 +127,15 @@ def q_llm_neardup_cosine(spark, sf_dir):
     only above-threshold pairs ever leave the Python worker."""
     t = tables(spark, sf_dir)
     return cosine_neardup_pairs(t.embeddings, threshold=0.4)
+
+
+@register("q_llm_ann_ivf", oracle=None, tags=("batch", "llm", "similarity", "approx"))
+def q_llm_ann_ivf(spark, sf_dir):
+    """K4b: IVF approximate top-3 — centroid-bucketed search (probe 4 of
+    16 clusters). The partition-pruning scale path; recall vs brute force
+    asserted in tests. Rows-only (approximate by design)."""
+    t = tables(spark, sf_dir)
+    return ivf_topk(t.embeddings, k=3, n_clusters=16, n_probe=4)
 
 
 @register("q_llm_ann_lsh", oracle=None, tags=("batch", "llm", "similarity", "approx"))

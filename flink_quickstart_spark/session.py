@@ -69,9 +69,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # Spark's 1 GiB local-mode default driver heap causes TaskMemoryManager
+    # page-allocation stalls under concurrent jobs even at bench scale
+    # (observed at sf0.1); only effective at JVM launch, ignored afterwards.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

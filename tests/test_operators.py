@@ -117,3 +117,20 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with 4/16 probes must recover most true top-3 neighbors on the
+    real embeddings table, and every reported sim must equal brute force's
+    for the same pair."""
+    from flink_quickstart_spark.operators.similarity import ivf_topk
+    from flink_quickstart_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {(r.query_id, r.nbr_id): r.sim for r in brute_knn(emb, k=3).collect()}
+    approx = {(r.query_id, r.nbr_id): r.sim for r in ivf_topk(emb, k=3).collect()}
+    hits = len(set(truth) & set(approx))
+    recall = hits / len(truth)
+    assert recall >= 0.6, f"recall {recall:.2f} too low"
+    for pair in set(truth) & set(approx):
+        assert abs(truth[pair] - approx[pair]) < 1e-9
