@@ -1,0 +1,167 @@
+"""Physical-plan quality regression tests (SURVEY.md §4).
+
+Correctness tests prove the right ROWS come back; these prove the right
+PLAN produces them — the property that actually matters at 100 TB. Each
+test pins an optimizer behavior the engine's scale story depends on:
+filters reaching the parquet scan, scans pruned to the projected columns,
+dimensions broadcast instead of shuffled, aggregates planned
+partial+final (map-side combine), top-N planned without a global sort,
+and rank-filter window queries using the WindowGroupLimit pushdown.
+
+If a future query edit regresses one of these (e.g. wrapping a filter in
+a non-pushable expression, or dropping a broadcast hint), these fail even
+though the row-level oracle still passes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_quickstart_spark.plans import load_all, registry
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def plan_of(spark, key: str, mode: str = "formatted") -> str:
+    df = registry.REGISTRY[key].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "PushedFilters: []" not in line
+    ]
+
+
+def read_schemas(plan: str) -> list[str]:
+    return [line.strip() for line in plan.splitlines() if "ReadSchema" in line]
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """B3: the predicate must appear in the scan's PushedFilters — at
+    100 TB this is the difference between reading row groups and skipping
+    them via min/max statistics."""
+    plan = plan_of(spark, "q_filter_pred")
+    pushed = "\n".join(pushed_filters(plan))
+    assert "EqualTo(event_type,purchase)" in pushed
+    assert "GreaterThan(value,100.0)" in pushed
+
+
+def test_flagship_agg_pushdown_pruning_partial_agg(spark):
+    """D2 flagship: shipdate filter pushed; scan pruned to the 7 used
+    columns (no l_orderkey/l_partkey/l_suppkey); partial+final
+    HashAggregate pairs (map-side combine before the shuffle)."""
+    plan = plan_of(spark, "q_agg_group")
+    assert "LessThanOrEqual(l_shipdate" in "\n".join(pushed_filters(plan))
+    schema = "\n".join(read_schemas(plan))
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in schema, f"scan reads unused column {col}"
+    # Catalyst plans grouped agg as partial + final HashAggregate.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_star_join_broadcasts_dims_not_shuffles(spark):
+    """C3: every dim join must be a BroadcastHashJoin — shuffling the
+    fact table against a 25-row dim is the canonical 100 TB mistake. The
+    region filter must also prune the nation dim before broadcast."""
+    plan = plan_of(spark, "q_join_star")
+    assert plan.count("BroadcastHashJoin") >= 4 * 2  # 4 joins, each named twice in formatted mode
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in "\n".join(pushed_filters(plan))
+    # Scans pruned: lineitem contributes only join key + revenue columns.
+    schema = "\n".join(read_schemas(plan))
+    assert "l_quantity" not in schema and "l_shipdate" not in schema
+
+
+def test_global_topn_avoids_total_sort(spark):
+    """F2: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a range-partitioned total sort
+    followed by a limit."""
+    plan = plan_of(spark, "q_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_pergroup_uses_window_group_limit(spark):
+    """E7: the row_number()<=k idiom must trigger Spark's
+    WindowGroupLimit pushdown, which keeps only k rows per key per
+    partition BEFORE the shuffle — the property that makes top-k-per-
+    group survive a 100× scale-up."""
+    plan = plan_of(spark, "q_topk_pergroup")
+    assert "WindowGroupLimit" in plan
+
+
+def test_projection_prunes_scan(spark):
+    """B1: a 5-column projection over the 11-column lineitem must read
+    exactly those 5 columns."""
+    plan = plan_of(spark, "q_project_arith")
+    schemas = read_schemas(plan)
+    assert schemas, "no scan found"
+    for col in ("l_returnflag", "l_shipdate", "l_quantity", "l_partkey"):
+        assert col not in schemas[0], f"scan reads unused column {col}"
+
+
+def test_broadcast_join_hint_respected(spark):
+    """C2: the explicit broadcast() hint on nation must survive
+    planning."""
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["q_agg_group", "q_join_star", "q_window_tumbling", "q_filter_pred"],
+)
+def test_hot_paths_stay_in_codegen(spark, key):
+    """Hot-path queries must not contain row-at-a-time Python evaluation
+    (BatchEvalPython) — everything stays JVM-side in whole-stage
+    codegen. Pandas-UDF stages (ArrowEvalPython / MapInPandas) are the
+    sanctioned Python escape hatch and only appear in keys that declare
+    them. AQE hides codegen markers until the plan is final, so execute
+    first and assert on the executed plan."""
+    df = registry.REGISTRY[key].builder(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # whole-stage-codegen'd operators carry a "*(n)" prefix
+    assert "*(" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located bucketed join (docs/SCALE_DESIGN.md): two tables
+    bucketed on the join key with equal bucket counts must join with ZERO
+    Exchange operators — the storage layout replaces the shuffle. This is
+    the designed path for repeated 100 TB fact⋈fact joins."""
+    from flink_quickstart_spark.plans.registry import tables
+    from flink_quickstart_spark.sources.bucketing import read_table, write_bucketed
+
+    t = tables(spark, SF_DIR)
+    write_bucketed(t.orders, "b_orders", str(tmp_path / "b_orders"), "o_custkey", 4)
+    write_bucketed(
+        t.customer, "b_customer", str(tmp_path / "b_customer"), "c_custkey", 4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the shuffle question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "b_orders").join(
+            read_table(spark, "b_customer"),
+            read_table(spark, "b_orders").o_custkey
+            == read_table(spark, "b_customer").c_custkey,
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
