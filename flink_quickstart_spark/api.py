@@ -1,0 +1,373 @@
+"""Fluent DataStream-style API façade.
+
+The reference archetype's programming model [PK — SURVEY.md §0; checkout
+empty] is the Flink quickstart skeleton::
+
+    env = StreamExecutionEnvironment.getExecutionEnvironment()
+    env.readTextFile(path)
+       .flatMap(tokenizer).keyBy(0).sum(1)
+       .print()
+    env.execute("job")
+
+This module offers the same shape so a reference user can port a job
+line-by-line, while every call compiles to declarative DataFrame
+operations — Catalyst sees one logical plan per pipeline and optimizes
+it whole (pushdown/pruning/broadcast still apply; nothing here is
+row-at-a-time Python). The wrapper adds NO execution machinery: a
+``DataStream`` is a thin immutable handle on a ``DataFrame``; batch
+pipelines are eager at the sink only (Spark semantics), streaming
+pipelines start on ``env.execute()``.
+
+Scale note: because each fluent chain is just a DataFrame plan, the
+100 TB design contract of docs/SCALE_DESIGN.md (partial aggregation,
+broadcast dims, AQE skew handling) applies unchanged to jobs written in
+this style.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ColumnLike = Column | str
+
+
+def _col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Window assigners (Flink: TumblingEventTimeWindows.of(...) etc.)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TumblingEventTimeWindows:
+    """``TumblingEventTimeWindows.of(Time.minutes(10))`` analog."""
+
+    duration: str
+
+    @classmethod
+    def of(cls, duration: str) -> "TumblingEventTimeWindows":
+        return cls(duration)
+
+    def apply(self, time_col: Column) -> Column:
+        return F.window(time_col, self.duration)
+
+
+@dataclass(frozen=True)
+class SlidingEventTimeWindows:
+    """``SlidingEventTimeWindows.of(size, slide)`` analog."""
+
+    duration: str
+    slide: str
+
+    @classmethod
+    def of(cls, duration: str, slide: str) -> "SlidingEventTimeWindows":
+        return cls(duration, slide)
+
+    def apply(self, time_col: Column) -> Column:
+        return F.window(time_col, self.duration, self.slide)
+
+
+@dataclass(frozen=True)
+class EventTimeSessionWindows:
+    """``EventTimeSessionWindows.withGap(gap)`` analog."""
+
+    gap: str
+
+    @classmethod
+    def with_gap(cls, gap: str) -> "EventTimeSessionWindows":
+        return cls(gap)
+
+    def apply(self, time_col: Column) -> Column:
+        return F.session_window(time_col, self.gap)
+
+
+WindowAssigner = (
+    TumblingEventTimeWindows | SlidingEventTimeWindows | EventTimeSessionWindows
+)
+
+
+# ---------------------------------------------------------------------------
+# DataStream / KeyedStream / WindowedStream
+# ---------------------------------------------------------------------------
+
+
+class DataStream:
+    """Immutable fluent handle on a (batch or streaming) DataFrame."""
+
+    def __init__(self, df: DataFrame, env: "StreamExecutionEnvironment") -> None:
+        self._df = df
+        self._env = env
+
+    # -- transforms (Flink: map / flatMap / filter / project) --------------
+
+    def map(self, *cols: ColumnLike, **named: ColumnLike) -> "DataStream":
+        """1→1 transform. Positional args keep columns; keyword args add
+        or replace aliased expressions (``.map("user_id", doubled=F.col("value")*2)``).
+        Compiles to a single Project — stays in whole-stage codegen."""
+        exprs = [_col(c) for c in cols] + [_col(e).alias(n) for n, e in named.items()]
+        return DataStream(self._df.select(*exprs), self._env)
+
+    def with_column(self, name: str, expr: ColumnLike) -> "DataStream":
+        return DataStream(self._df.withColumn(name, _col(expr)), self._env)
+
+    def flat_map(
+        self, expr: ColumnLike, alias: str, keep: Iterable[ColumnLike] = ()
+    ) -> "DataStream":
+        """1→N transform (Flink ``flatMap``): explode an array expression
+        into ``alias``, keeping ``keep`` alongside. The canonical
+        word-count tokenizer is
+        ``.flat_map(F.split("text", r"\\s+"), "word")``."""
+        cols = [_col(c) for c in keep] + [F.explode(_col(expr)).alias(alias)]
+        return DataStream(self._df.select(*cols), self._env)
+
+    def filter(self, cond: ColumnLike) -> "DataStream":
+        return DataStream(self._df.where(_col(cond)), self._env)
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self._df
+        for o in others:
+            df = df.unionByName(o._df)
+        return DataStream(df, self._env)
+
+    def assign_timestamps_and_watermarks(
+        self, time_col: str, max_out_of_orderness: str
+    ) -> "DataStream":
+        """``WatermarkStrategy.forBoundedOutOfOrderness`` analog — a
+        no-op marker on batch frames, a real watermark on streams."""
+        if self._df.isStreaming:
+            return DataStream(
+                self._df.withWatermark(time_col, max_out_of_orderness), self._env
+            )
+        return self
+
+    # -- partitioning (Flink: keyBy) ---------------------------------------
+
+    def key_by(self, *keys: ColumnLike) -> "KeyedStream":
+        return KeyedStream(self._df, [_col(k) for k in keys], self._env)
+
+    # -- sinks -------------------------------------------------------------
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def print(self, n: int = 20) -> None:
+        """Flink ``stream.print()`` analog (console sink on streams)."""
+        if self._df.isStreaming:
+            q = self._df.writeStream.format("console").start()
+            self._env._queries.append(q)
+        else:
+            self._df.show(n, truncate=False)
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).parquet(path)
+
+    def add_sink(self, fn: Callable) -> None:
+        """Custom sink (Flink ``SinkFunction``): ``foreachBatch`` on
+        streams, a direct call with the full frame on batch."""
+        if self._df.isStreaming:
+            q = self._df.writeStream.foreachBatch(fn).start()
+            self._env._queries.append(q)
+        else:
+            fn(self._df, -1)
+
+
+class KeyedStream:
+    def __init__(
+        self, df: DataFrame, keys: list[Column], env: "StreamExecutionEnvironment"
+    ) -> None:
+        self._df = df
+        self._keys = keys
+        self._env = env
+
+    def _agg(self, *aggs: Column) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(*aggs), self._env)
+
+    # -- Flink keyed reductions -------------------------------------------
+
+    def sum(self, col: ColumnLike) -> DataStream:
+        name = col if isinstance(col, str) else "sum"
+        return self._agg(F.sum(_col(col)).alias(name))
+
+    def min(self, col: ColumnLike) -> DataStream:
+        name = col if isinstance(col, str) else "min"
+        return self._agg(F.min(_col(col)).alias(name))
+
+    def max(self, col: ColumnLike) -> DataStream:
+        name = col if isinstance(col, str) else "max"
+        return self._agg(F.max(_col(col)).alias(name))
+
+    def count(self) -> DataStream:
+        return self._agg(F.count(F.lit(1)).alias("count"))
+
+    def reduce(self, **aggs: Column) -> DataStream:
+        """General keyed aggregate: ``.reduce(total=F.sum("v"), n=F.count("*"))``.
+        Catalyst plans every entry partial+final (map-side combine), the
+        distributed analog of Flink's incremental ``ReduceFunction``."""
+        return self._agg(*[e.alias(n) for n, e in aggs.items()])
+
+    # -- windows -----------------------------------------------------------
+
+    def window(self, assigner: WindowAssigner, time_col: str = "ts") -> "WindowedStream":
+        return WindowedStream(self, assigner, time_col)
+
+    def count_window(self, size: int, order_col: str = "ts") -> "CountWindowedStream":
+        return CountWindowedStream(self, size, order_col)
+
+    # -- process functions -------------------------------------------------
+
+    def apply_in_pandas(self, fn: Callable, schema) -> DataStream:
+        """Grouped-map escape hatch (Flink ``ProcessWindowFunction``
+        analog) — Arrow-batched, one pandas frame per key group."""
+        return DataStream(
+            self._df.groupBy(*self._keys).applyInPandas(fn, schema), self._env
+        )
+
+
+class WindowedStream:
+    def __init__(
+        self, keyed: KeyedStream, assigner: WindowAssigner, time_col: str
+    ) -> None:
+        self._keyed = keyed
+        self._assigner = assigner
+        self._time_col = time_col
+
+    def aggregate(self, **aggs: Column) -> DataStream:
+        window_col = self._assigner.apply(F.col(self._time_col))
+        df = self._keyed._df.groupBy(window_col, *self._keyed._keys).agg(
+            *[e.alias(n) for n, e in aggs.items()]
+        )
+        return DataStream(df, self._keyed._env)
+
+    # Flink convenience reductions on windows
+    def sum(self, col: ColumnLike) -> DataStream:
+        name = col if isinstance(col, str) else "sum"
+        return self.aggregate(**{name: F.sum(_col(col))})
+
+    def count(self) -> DataStream:
+        return self.aggregate(count=F.count(F.lit(1)))
+
+
+class CountWindowedStream:
+    """Flink ``countWindow(n)`` — no Spark native; the batch-exact
+    formulation groups each key's rows (ordered by ``order_col``) into
+    blocks of ``size`` via ``(row_number()-1) div size`` (SURVEY.md
+    §2.I10; the streaming form lives in streaming/stateful.py)."""
+
+    def __init__(self, keyed: KeyedStream, size: int, order_col: str) -> None:
+        self._keyed = keyed
+        self._size = size
+        self._order_col = order_col
+
+    def aggregate(self, **aggs: Column) -> DataStream:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self._keyed._keys).orderBy(F.col(self._order_col))
+        blocked = self._keyed._df.withColumn(
+            "_win_id", ((F.row_number().over(w) - F.lit(1)) / self._size).cast("bigint")
+        )
+        df = blocked.groupBy(*self._keyed._keys, F.col("_win_id")).agg(
+            *[e.alias(n) for n, e in aggs.items()]
+        )
+        return DataStream(df, self._keyed._env)
+
+
+# ---------------------------------------------------------------------------
+# Environments
+# ---------------------------------------------------------------------------
+
+
+class StreamExecutionEnvironment:
+    """``StreamExecutionEnvironment.getExecutionEnvironment()`` analog.
+
+    Sources mirror the quickstart set: collections, text files, CSV,
+    parquet, sockets, rate generator (SURVEY.md §2.A). Batch sources
+    yield batch DataStreams; ``*_stream`` variants yield streaming ones.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._queries: list = []  # StreamingQuery handles started by sinks
+
+    @classmethod
+    def get_execution_environment(
+        cls, spark: SparkSession | None = None
+    ) -> "StreamExecutionEnvironment":
+        if spark is None:
+            from flink_quickstart_spark.session import get_spark
+
+            spark = get_spark()
+        return cls(spark)
+
+    # -- sources -----------------------------------------------------------
+
+    def from_collection(self, rows, schema=None) -> DataStream:
+        return DataStream(self._spark.createDataFrame(rows, schema), self)
+
+    def from_elements(self, *rows, schema=None) -> DataStream:
+        return self.from_collection(list(rows), schema)
+
+    def read_text_file(self, path: str) -> DataStream:
+        return DataStream(self._spark.read.text(path), self)
+
+    def read_csv_file(self, path: str, schema, **options) -> DataStream:
+        return DataStream(
+            self._spark.read.schema(schema).options(**options).csv(path), self
+        )
+
+    def read_parquet(self, path: str) -> DataStream:
+        return DataStream(self._spark.read.parquet(path), self)
+
+    def read_table(self, name: str, sf_dir: str) -> DataStream:
+        """Load one of the engine's registered testdata tables (with the
+        events.ts nanosecond normalization applied)."""
+        from flink_quickstart_spark.sources.tables import load_tables
+
+        return DataStream(getattr(load_tables(self._spark, sf_dir), name), self)
+
+    def socket_text_stream(self, host: str, port: int) -> DataStream:
+        df = (
+            self._spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .load()
+        )
+        return DataStream(df, self)
+
+    def rate_stream(self, rows_per_second: int = 100) -> DataStream:
+        df = (
+            self._spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        return DataStream(df, self)
+
+    def parquet_stream(self, path: str, schema) -> DataStream:
+        """Directory-monitoring file stream (Flink
+        ``readFile(PROCESS_CONTINUOUSLY)`` analog)."""
+        return DataStream(self._spark.readStream.schema(schema).parquet(path), self)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def execute(self, job_name: str = "job", await_termination: bool = False) -> None:
+        """Flink ``env.execute()`` analog. Batch pipelines have already
+        run eagerly at their sinks (Spark semantics); for streaming
+        pipelines this optionally blocks on every started query."""
+        if await_termination:
+            for q in self._queries:
+                q.awaitTermination()
+
+    def stop(self) -> None:
+        for q in self._queries:
+            q.stop()
+        self._queries.clear()
+
+
+class ExecutionEnvironment(StreamExecutionEnvironment):
+    """Batch twin (Flink ``ExecutionEnvironment`` / ``BatchJob``) — the
+    same surface; Spark unifies batch and streaming over one API."""

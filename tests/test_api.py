@@ -1,0 +1,158 @@
+"""Tests for the Flink-style fluent API façade (api.py).
+
+Each test writes a job the way a reference user would write it in the
+quickstart skeleton, and asserts the result equals the equivalent plain
+DataFrame program — proving the façade adds semantics-preserving sugar,
+not a second engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.api import (
+    EventTimeSessionWindows,
+    SlidingEventTimeWindows,
+    StreamExecutionEnvironment,
+    TumblingEventTimeWindows,
+)
+from flink_quickstart_spark.sources.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def env_of(spark) -> StreamExecutionEnvironment:
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_word_count_canonical_job(spark):
+    """THE quickstart program: readTextFile → flatMap(tokenize) →
+    keyBy(word) → sum — here over the documents table."""
+    env = env_of(spark)
+    counts = (
+        env.read_table("documents", SF_DIR)
+        .flat_map(F.split(F.lower("text"), r"\s+"), "word")
+        .filter(F.col("word") != "")
+        .key_by("word")
+        .count()
+        .to_df()
+    )
+    expected = (
+        load_tables(spark, SF_DIR)
+        .documents.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+    assert rows_set(counts) == rows_set(expected)
+
+
+def test_map_filter_keyby_reduce(spark):
+    env = env_of(spark)
+    got = (
+        env.read_table("orders", SF_DIR)
+        .filter(F.col("o_orderstatus") == "O")
+        .map("o_custkey", price=F.col("o_totalprice"))
+        .key_by("o_custkey")
+        .reduce(total=F.round(F.sum("price"), 2), n=F.count(F.lit(1)))
+        .to_df()
+    )
+    t = load_tables(spark, SF_DIR)
+    expected = (
+        t.orders.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    assert rows_set(got) == rows_set(expected)
+
+
+def test_tumbling_window_matches_plain_dataframe(spark):
+    env = env_of(spark)
+    got = (
+        env.read_table("events", SF_DIR)
+        .key_by("event_type")
+        .window(TumblingEventTimeWindows.of("10 minutes"), time_col="ts")
+        .aggregate(n=F.count(F.lit(1)), total=F.round(F.sum("value"), 4))
+        .to_df()
+        .select("window.start", "window.end", "event_type", "n", "total")
+    )
+    t = load_tables(spark, SF_DIR)
+    expected = (
+        t.events.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select("window.start", "window.end", "event_type", "n", "total")
+    )
+    assert rows_set(got) == rows_set(expected)
+
+
+def test_sliding_and_session_assigners(spark):
+    env = env_of(spark)
+    ds = env.read_table("events", SF_DIR).key_by("user_id")
+    sliding = (
+        ds.window(SlidingEventTimeWindows.of("10 minutes", "5 minutes"), "ts")
+        .count()
+        .to_df()
+    )
+    session = ds.window(EventTimeSessionWindows.with_gap("5 minutes"), "ts").count().to_df()
+    t = load_tables(spark, SF_DIR)
+    assert sliding.count() == (
+        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes"), "user_id").count().count()
+    )
+    assert session.count() == (
+        t.events.groupBy(F.session_window("ts", "5 minutes"), "user_id").count().count()
+    )
+
+
+def test_count_window_blocks(spark):
+    """countWindow(20): every user's events split into orderly blocks of
+    20 (only the last block per key may be smaller)."""
+    env = env_of(spark)
+    got = (
+        env.read_table("events", SF_DIR)
+        .key_by("user_id")
+        .count_window(20, order_col="ts")
+        .aggregate(n=F.count(F.lit(1)))
+        .to_df()
+    )
+    rows = got.collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r._win_id, r.n))
+    for user, blocks in by_user.items():
+        blocks.sort()
+        # all blocks full except possibly the final one
+        assert all(n == 20 for _, n in blocks[:-1]), f"user {user}: ragged non-final block"
+        assert 1 <= blocks[-1][1] <= 20
+
+
+def test_union_and_from_collection(spark):
+    env = env_of(spark)
+    a = env.from_collection([(1, "a"), (2, "b")], "id long, tag string")
+    b = env.from_collection([(3, "c")], "id long, tag string")
+    assert rows_set(a.union(b).to_df()) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_streaming_job_through_fluent_api(spark, tmp_path):
+    """The fluent API drives a real Structured Streaming job: rate
+    source → filter → map, sunk via add_sink(foreachBatch)."""
+    env = env_of(spark)
+    seen: list = []
+    (
+        env.rate_stream(rows_per_second=500)
+        .filter(F.col("value") % 2 == 0)
+        .map(doubled=F.col("value") * 2)
+        .add_sink(lambda df, epoch: seen.extend(df.collect()))
+    )
+    import time
+
+    deadline = time.time() + 30
+    while not seen and time.time() < deadline:
+        time.sleep(0.5)
+    env.stop()
+    assert seen, "streaming sink never received a batch"
+    assert all(r.doubled % 4 == 0 for r in seen)
