@@ -21,6 +21,7 @@ def load_all() -> None:
         relational,
         sql_surface,
         streaming_analog,
+        timeseries,
         window_functions,
     )
 

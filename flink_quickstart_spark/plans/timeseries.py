@@ -1,0 +1,112 @@
+"""Time-series query keys (SURVEY.md §2.K9 — the declared stretch row).
+
+Reference surface [PK]: keyed event-time processing over sensor-style
+streams is the Flink quickstart's home turf (checkout empty — SURVEY.md
+§0); the similarity tier follows the public subsequence-matching
+literature (z-normalized Euclidean distance, cf. PAPERS.md time-series
+entry).
+
+``q_ts_features`` is the JVM-side feature-extraction tier: windowed
+statistics including least-squares slope and correlation against time,
+all built-in aggregates (partial+final, map-side combined). The time
+regressor is epoch seconds computed identically on both engines as
+``epoch_us(ts)/1e6`` so slope magnitudes are human-scale and survive
+6-decimal rounding.
+
+``q_ts_znorm_match`` is the shape tier over
+``operators.timeseries.sliding_znorm_distance`` — NumPy strided windows
+per key via ``applyInPandas``. Exact but engine-specific output shape →
+declared rows-only, with a NumPy-reference equivalence test in
+tests/test_timeseries.py standing in for the value check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.operators.timeseries import (
+    best_match_per_key,
+    sliding_znorm_distance,
+)
+from flink_quickstart_spark.plans.registry import register, tables
+
+# Fixed query shape for the rows-only match key: rise-then-fall pulse.
+ZNORM_PATTERN = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
+
+
+@register(
+    "q_ts_features",
+    oracle="""
+    SELECT user_id,
+           epoch_us(time_bucket(INTERVAL '1 day', ts)) AS ws_us,
+           CAST(count(*) AS BIGINT)                          AS n,
+           round(avg(value), 4)                              AS mean_v,
+           round(stddev_pop(value), 4)                       AS std_v,
+           round(min(value), 4)                              AS min_v,
+           round(max(value), 4)                              AS max_v,
+           round(regr_slope(value, epoch_us(ts) / 1000000.0), 6) AS slope,
+           round(corr(value, epoch_us(ts) / 1000000.0), 4)   AS corr_vt
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_features(spark, sf_dir):
+    """K9 feature tier: per (user, 1-day window) statistical features —
+    mean/std/extremes plus least-squares slope and correlation of value
+    against time. Everything is a built-in aggregate: one shuffle on
+    (user, window), partial aggregation before it, whole plan in
+    codegen. The n>=3 guard keeps corr/slope well-defined on both
+    engines; day buckets match the testdata's event density (~2 events
+    per user-day). Both engines' day grids align to midnight UTC."""
+    t = tables(spark, sf_dir)
+    sec = F.unix_micros("ts") / F.lit(1000000.0)
+    return (
+        t.events.groupBy(
+            "user_id", F.window("ts", "1 day").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_v"),
+            F.round(F.stddev_pop("value"), 4).alias("std_v"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.regr_slope(F.col("value"), sec), 6).alias("slope"),
+            F.round(F.corr(F.col("value"), sec), 4).alias("corr_vt"),
+        )
+        .where(F.col("n") >= 3)
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("ws_us"),
+            "n",
+            "mean_v",
+            "std_v",
+            "min_v",
+            "max_v",
+            "slope",
+            "corr_vt",
+        )
+    )
+
+
+@register(
+    "q_ts_znorm_match",
+    oracle=None,  # rows-only: engine-specific NumPy kernel; value-checked
+    # against a pure-NumPy reference in tests/test_timeseries.py
+    tags=("batch", "timeseries", "pandas-udf"),
+)
+def q_ts_znorm_match(spark, sf_dir):
+    """K9 shape tier: top-3 best z-normalized matches of a fixed pulse
+    pattern in each user's value series (UCR-style subsequence search).
+    One shuffle on user_id; per-key work is vectorized NumPy over Arrow
+    batches; the top-k uses the WindowGroupLimit idiom."""
+    t = tables(spark, sf_dir)
+    dists = sliding_znorm_distance(
+        t.events, ZNORM_PATTERN, key_col="user_id", ts_col="ts", value_col="value"
+    )
+    return best_match_per_key(dists, k=3).select(
+        F.col("key").alias("user_id"),
+        "win_pos",
+        F.round("dist", 6).alias("dist"),
+    )
