@@ -41,6 +41,31 @@ def q_sql_q3(spark, sf_dir):
     return spark.sql(_Q3_SPARK)
 
 
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT)                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q_sql_q6",
+    oracle=_Q6_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure filter+aggregate
+    with every predicate pushable to the parquet scan — byte-identical
+    SQL text runs on both engines. At 100 TB this query is scan-bound
+    and its cost is set entirely by row-group skipping."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
 _WINDOW_SQL_SPARK = """
 SELECT user_id, event_type, n,
        CAST(rank() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS BIGINT) AS rnk
