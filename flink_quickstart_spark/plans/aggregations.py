@@ -274,3 +274,62 @@ def q_udaf_wavg(spark, sf_dir):
     return t.lineitem.groupBy("l_returnflag").agg(
         F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_percentile(spark, sf_dir):
+    """D-family extension: exact interpolated percentiles per key — the
+    latency-quantile staple of stream analytics. Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear-interpolation semantics. Scale
+    note: exact percentile sorts each group's values in the aggregate
+    buffer; at 100 TB swap in ``approx_percentile`` (t-digest, mergeable,
+    bounded memory) — declared engine-specific like q_agg_approxcd."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)            AS n,
+           round(min(value), 4)                AS lo,
+           round(max(value), 4)                AS hi
+    FROM events GROUP BY 1
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_histogram(spark, sf_dir):
+    """D-family extension: fixed-width histogram via floor-division
+    binning — fully portable SQL, one map-side-combined shuffle on the
+    bucket id. The distributed-histogram primitive for data-quality
+    dashboards over 100 TB (bucket cardinality is constant, so the
+    reduce side is trivially small)."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.withColumn(
+            "bucket", F.floor(F.col("value") / F.lit(50.0)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

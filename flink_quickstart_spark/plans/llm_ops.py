@@ -382,3 +382,32 @@ def q_text_fingerprint(spark, sf_dir):
     return t.documents.where(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", X.fingerprint("text", 3).alias("fp")
     )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle=None,  # rows-only: feature values come from the stubbed decoder
+    # (sha256-derived deterministic fake); Spark-side value checks live in
+    # tests/test_operators.py. Real decoders plug into operators/multimodal.
+    tags=("batch", "llm", "multimodal", "pandas-udf"),
+)
+def q_multimodal_decode(spark, sf_dir):
+    """K8: the full multimodal pipeline over real Spark plumbing —
+    documents → binary payload + typed metadata (attach_fake_media) →
+    Arrow-batched mapInPandas decode (deterministic fake features) →
+    per-media aggregate. At 100 TB the decode stage is the cost center:
+    metadata filters run BEFORE it (column pruning keeps payload bytes
+    unread for pruned rows), and batch size is tuned by payload bytes."""
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_stub,
+    )
+
+    t = tables(spark, sf_dir)
+    media = attach_fake_media(t.documents, "doc_id", "text")
+    decoded = decode_stub(media, deterministic_fake=True)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("mean_feat0"),
+    )
