@@ -1,0 +1,150 @@
+"""Iterative dataflow operators (Flink ``DataSet.iterate()`` analog).
+
+Reference surface [PK — SURVEY.md §0, checkout empty]: quickstart-era
+Flink exposed bulk/delta iterations on DataSets (the canonical examples
+are connected components and PageRank). Spark has no iteration operator;
+the idiomatic mapping is a *driver-side loop over DataFrame
+transformations*, which is exactly how GraphX/Pregel and MLlib implement
+the same algorithms on RDDs. The loop body is declarative (joins +
+aggregations, Catalyst-optimized per step); the driver only controls
+convergence.
+
+Scale design (100 TB graphs):
+- **Lineage control**: each iteration extends the logical plan; after a
+  few dozen steps planning cost and recovery lineage explode. We
+  ``localCheckpoint(eager=True)`` every ``checkpoint_interval``
+  iterations to truncate lineage (on a real cluster use
+  ``checkpoint()`` to reliable storage instead — flag exposed).
+- **Convergence is data-driven**: the loop stops on a *count* of changed
+  labels / mass delta, one cheap aggregate per iteration (the Flink
+  delta-iteration termination criterion).
+- **Partitioning**: the label/rank table and the edge table are both
+  shuffled on node id every step — at scale, pre-bucket the edge table
+  on src (sources/bucketing.py) so only the small label table moves.
+- AQE handles skewed hub nodes (power-law degree) in the join; for
+  extreme hubs combine with operators/skew.py salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame, use_reliable: bool) -> DataFrame:
+    if use_reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_interval: int = 5,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``edges`` has columns ``src`` and ``dst`` (long). Returns
+    ``(node, component)`` where ``component`` is the smallest node id
+    reachable from ``node``. Deterministic for any input.
+
+    Each iteration: every node adopts the minimum label among itself and
+    its neighbors (one join + one groupBy agg = two shuffles on node
+    id); stops when no label changed (count aggregate). Iterations are
+    bounded by graph diameter.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    for i in range(max_iter):
+        # neighbor's current label, per edge
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(sym.src.alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0:
+            new_labels = _truncate_lineage(new_labels, reliable_checkpoint)
+        changed = new_labels.where(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_interval: int = 5,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list ``(src, dst)``.
+
+    Fixed iteration count → deterministic output (modulo float summation
+    order; consumers should round). Dangling nodes (no out-edges) follow
+    the standard redistribute-to-all treatment via a scalar aggregate of
+    dangling mass per step — one extra cheap reduce, no extra shuffle of
+    the big tables. Returns ``(node, rank)`` with ranks summing to ~1.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # mass of dangling nodes, redistributed uniformly
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(with_deg.where(F.col("out_deg").isNotNull()), edges.src == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0:
+            ranks = _truncate_lineage(ranks, reliable_checkpoint)
+    return ranks

@@ -1,0 +1,73 @@
+"""Iterative-graph query keys (Flink ``DataSet.iterate`` surface).
+
+Reference surface [PK — SURVEY.md §0, checkout empty]: quickstart-era
+Flink shipped bulk/delta iterations whose canonical demos are connected
+components and PageRank. Both run here as driver-side loops over
+DataFrame steps (operators/iterative.py) on a deterministic
+customer–supplier bipartite graph derived from orders⋈lineitem.
+
+Iteration cannot be expressed in a single ANSI query (recursive CTEs
+over 10⁴+-edge graphs blow up as transitive closure), so both keys are
+declared rows-only — the driver contract's sanctioned path for
+iterative algorithms — and their VALUE checks are exact single-machine
+references in tests/test_iterative.py (union-find; dense power
+iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.operators.iterative import connected_components, pagerank
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+def _bipartite_edges(spark, sf_dir):
+    """customer —bought-from— supplier edges; supplier ids offset into
+    their own namespace. Distinct edge list, one shuffle."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_graph_components",
+    oracle=None,  # rows-only: iterative, not ANSI-expressible; value check
+    # = union-find reference in tests/test_iterative.py
+    tags=("batch", "graph", "iterative"),
+)
+def q_graph_components(spark, sf_dir):
+    """Connected components by min-label propagation: component sizes,
+    largest first. Lineage checkpointed every 5 iterations; converges in
+    O(diameter) steps (hub suppliers keep it small here)."""
+    labels = connected_components(_bipartite_edges(spark, sf_dir), max_iter=20)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component"))
+    )
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=None,  # rows-only: iterative; value check = power-iteration
+    # reference in tests/test_iterative.py
+    tags=("batch", "graph", "iterative"),
+)
+def q_graph_pagerank(spark, sf_dir):
+    """Top-50 PageRank nodes after 8 fixed power iterations (damping
+    0.85, dangling mass redistributed). Deterministic modulo double
+    summation order — ranks rounded to 6 decimals, ties broken on node
+    id."""
+    ranks = pagerank(_bipartite_edges(spark, sf_dir), iterations=8)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(50)
+    )

@@ -1,0 +1,87 @@
+"""Tests for iterative operators (Flink DataSet.iterate analog).
+
+Exact single-machine references computed in-process: union-find for
+connected components, dense power iteration for PageRank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.operators.iterative import connected_components, pagerank
+from flink_quickstart_spark.sources.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_two_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_cc_matches_union_find_on_testdata_graph(spark):
+    """Customer–supplier bipartite graph from orders⋈lineitem."""
+    t = load_tables(spark, SF_DIR)
+    edges_df = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    got = {(r.node, r.component) for r in connected_components(edges_df).collect()}
+    ref = union_find([(r.src, r.dst) for r in edges_df.collect()])
+    assert got == set(ref.items())
+
+
+def test_pagerank_matches_power_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 has in-degree 0; 3 is a hub
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=15).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(15):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[u]] for u in nodes if u not in out)
+        for s, ds in out.items():
+            for t_ in ds:
+                nxt[idx[t_]] += r[idx[s]] / len(ds)
+        r = (1 - d) / n + d * dangling / n + d * nxt
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 is dangling
+    ranks = {r.node: r.rank for r in pagerank(df, iterations=20).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks[2] > ranks[1]  # 2 receives 1's mass
