@@ -411,3 +411,106 @@ def q_multimodal_decode(spark, sf_dir):
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("mean_feat0"),
     )
+
+
+@register(
+    "q_sample_split",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_sample_split(spark, sf_dir):
+    """Training-pipeline staple: deterministic hash-based train/test
+    split. md5 of the stable id — identical hex on every engine and
+    every run, no RNG state — gives each doc a reproducible bucket;
+    first hex digit in {0,1} → 'test' (12.5%). At 100 TB this is a pure
+    map (no shuffle, no sampling coordination), and the same expression
+    splits consistently across tables that share the id."""
+    t = tables(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return t.documents.select(
+        "doc_id",
+        F.substring(h, 1, 2).alias("h2"),
+        F.when(F.substring(h, 1, 1).isin("0", "1"), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)   AS n_distinct,
+           round(min(o_orderkey), 4) AS min_num, round(max(o_orderkey), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    tags=("batch", "llm", "quality"),
+)
+def q_profile_columns(spark, sf_dir):
+    """Data-quality column profiler (the validation step every training
+    pipeline runs before ingest): per column — row count, null count,
+    distinct count, min/max. One pass per column group; Catalyst shares
+    the scan via reused exchange where possible, and every aggregate is
+    map-side combined. At 100 TB, profile from a hash sample
+    (q_sample_split) instead of the full table when exactness is not
+    required."""
+    t = tables(spark, sf_dir)
+    o = t.orders
+
+    def num_profile(col):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 4).alias("min_num"),
+            F.round(F.max(col).cast("double"), 4).alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+
+    def str_profile(col):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min(col).alias("min_str"),
+            F.max(col).alias("max_str"),
+        )
+
+    return (
+        num_profile("o_orderkey")
+        .unionByName(num_profile("o_totalprice"))
+        .unionByName(str_profile("o_orderstatus"))
+        .unionByName(str_profile("o_orderpriority"))
+    )
