@@ -247,3 +247,40 @@ def q_pattern_click_then_purchase(spark, sf_dir):
         F.col("next_id").alias("purchase_id"),
         F.col("next_ts_us").alias("purchase_ts_us"),
     )
+
+
+@register(
+    "q_upsert_latest",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                               || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_type,
+           arg_max(event_id, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                             || lpad(CAST(event_id AS VARCHAR), 10, '0'))   AS last_event_id,
+           epoch_us(max(ts))        AS last_ts_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_upsert_latest(spark, sf_dir):
+    """Upsert / changelog materialization (Flink retract-stream analog,
+    Spark streaming ``update``-mode analog): the LATEST state per key —
+    via max_by over a zero-padded (epoch_us, event_id) string sort key
+    (deterministic under ts ties, portable: DuckDB 1.0 arg_max rejects
+    struct ordering keys), a single map-side-combined aggregate. This is
+    the batch twin of maintaining a keyed materialized view over a CDC
+    stream; at 100 TB it is one shuffle on the key and O(keys) state,
+    the cheapest possible formulation (no window sort)."""
+    t = tables(spark, sf_dir)
+    sort_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return t.events.groupBy("user_id").agg(
+        F.max_by("event_type", sort_key).alias("last_type"),
+        F.max_by("event_id", sort_key).alias("last_event_id"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

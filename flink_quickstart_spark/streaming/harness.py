@@ -141,3 +141,29 @@ def foreach_batch_with_late_side_output(
         late_sink(batch_df.where(F.col(ts_col) < cutoff), batch_id)
 
     return df.writeStream.foreachBatch(handle)
+
+
+def idempotent_foreach_batch(out_dir: str):
+    """I13 exactly-once custom sink: epoch-partitioned overwrite.
+
+    Spark's foreachBatch gives at-least-once delivery — after a failure,
+    the SAME batch_id may be re-delivered with the same data. Writing to
+    ``out_dir/batch_id=<n>/`` with dynamic partition overwrite makes the
+    replay idempotent: a re-delivered epoch atomically replaces its own
+    partition and never duplicates rows (the standard Spark recipe for
+    transactional-sink semantics without a transactional store; Flink's
+    analog is the two-phase-commit sink).
+
+    Returns a handler for ``df.writeStream.foreachBatch(...)``.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return handle

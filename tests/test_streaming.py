@@ -148,3 +148,36 @@ def test_stream_stream_interval_join(spark):
     stream_out = run_to_memory(joined)
     batch = registry.REGISTRY["q_join_interval"].builder(spark, SF_DIR)
     assert _rows(stream_out.select(batch.columns)) == _rows(batch)
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """I13: re-delivering the same epoch to the idempotent sink must
+    leave the output identical — the exactly-once property foreachBatch
+    alone does not give."""
+    from flink_quickstart_spark.streaming.harness import idempotent_foreach_batch
+
+    out = str(tmp_path / "sink")
+    handle = idempotent_foreach_batch(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    handle(batch, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect())
+    handle(batch, 0)  # simulated failure replay of the same epoch
+    twice = sorted(tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect())
+    assert once == twice == [(1, "a"), (2, "b")]
+    handle(spark.createDataFrame([(3, "c")], "id long, v string"), 1)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Scans must tolerate schema drift across files (a 100 TB corpus is
+    written over months): mergeSchema unions the columns, nulling the
+    gaps."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p + "/d1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/d2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/d1", p + "/d2")
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {(r.id, r.v, r.score) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
