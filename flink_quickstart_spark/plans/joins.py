@@ -340,3 +340,40 @@ def q_cogroup_stats(spark, sf_dir):
         .cogroup(events.groupBy("k"))
         .applyInPandas(stats, "custkey bigint, n_orders bigint, n_events bigint")
     )
+
+
+@register(
+    "q_join_range_binned",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(count(*) AS BIGINT)  AS n_close,
+           round(min(c_acctbal), 2)  AS closest_lo,
+           round(max(c_acctbal), 2)  AS closest_hi
+    FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 2.5
+    GROUP BY s_suppkey
+    """,
+    tags=("batch", "join"),
+)
+def q_join_range_binned(spark, sf_dir):
+    """C8 scale path: |s_acctbal − c_acctbal| ≤ ε as a BINNED EQUI-JOIN
+    (operators/range_join.py) — bucket by floor(v/ε), replicate one side
+    into neighbor buckets, hash-join on the bucket, re-check exactly.
+    Same semantics as the naive inequality join (the oracle), but plans
+    as BroadcastHashJoin/SMJ instead of BroadcastNestedLoopJoin: linear
+    not quadratic, which is the difference between minutes and never at
+    100 TB. Plan asserted nested-loop-free in tests/test_plans.py."""
+    from flink_quickstart_spark.operators.range_join import range_join
+
+    t = tables(spark, sf_dir)
+    pairs = range_join(
+        t.supplier.select("s_suppkey", "s_acctbal"),
+        t.customer.select("c_custkey", "c_acctbal"),
+        "s_acctbal",
+        "c_acctbal",
+        eps=2.5,
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_close"),
+        F.round(F.min("c_acctbal"), 2).alias("closest_lo"),
+        F.round(F.max("c_acctbal"), 2).alias("closest_hi"),
+    )

@@ -284,3 +284,56 @@ def q_upsert_latest(spark, sf_dir):
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_rollup_multires",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_v,
+           round(min(value), 4)     AS min_v,
+           round(max(value), 4)     AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_rollup_multires(spark, sf_dir):
+    """Hypertable-style continuous aggregate: raw → 10-min rollup →
+    1-hour rollup, where the hour level is computed FROM the 10-min
+    level (counts sum, sums sum, min/max merge — all algebraic). The
+    oracle computes the hour level directly from raw, so the hash-match
+    proves hierarchical re-aggregation is exact. At 100 TB this is the
+    materialized-rollup pattern: each resolution reads the previous one
+    (1/6th, then 1/60th of the data), not the raw table; the 10-min
+    tier would be a stored table updated incrementally by the streaming
+    twin of this query."""
+    t = tables(spark, sf_dir)
+    ten_min = t.events.groupBy(
+        F.window("ts", "10 minutes").alias("w10"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return (
+        ten_min.groupBy(
+            F.window(F.col("w10.start"), "1 hour").alias("w60"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_v"), 2).alias("sum_v"),
+            F.round(F.min("min_v"), 4).alias("min_v"),
+            F.round(F.max("max_v"), 4).alias("max_v"),
+        )
+        .select(
+            F.unix_micros("w60.start").alias("hour_us"),
+            "event_type",
+            "n",
+            "sum_v",
+            "min_v",
+            "max_v",
+        )
+    )

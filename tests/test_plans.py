@@ -165,3 +165,12 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """C8 scale path: the binned range join must plan as a hash/merge
+    equi-join on the bucket key — a BroadcastNestedLoopJoin here means
+    the rewrite regressed to the quadratic plan."""
+    plan = plan_of(spark, "q_join_range_binned", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
