@@ -337,3 +337,54 @@ def q_rollup_multires(spark, sf_dir):
             "max_v",
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')  AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_then_click,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_full_funnel
+    FROM stages
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_funnel(spark, sf_dir):
+    """Product-analytics funnel (the composite workload a stream
+    processor's users actually run): per user, earliest view/click/
+    purchase; count users who progressed view→click→purchase in strict
+    event-time order. Two aggregates, both map-side combined; the
+    per-user stage table is O(users) regardless of event volume — the
+    right shape at 100 TB. Conditional aggregation replaces a 3-way
+    self-join (which would be 3 shuffles of the full event table)."""
+    t = tables(spark, sf_dir)
+    stages = t.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

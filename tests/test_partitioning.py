@@ -45,3 +45,26 @@ def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
         r.o_orderstatus for r in t.orders.select("o_orderstatus").distinct().collect()
     }
     assert got == exp
+
+
+def test_corrupt_json_records_quarantined_not_fatal(spark, tmp_path):
+    """Source robustness: a 100 TB ingest WILL contain malformed rows.
+    PERMISSIVE mode with a corrupt-record column must load the good rows
+    and capture the bad ones for quarantine instead of failing the job."""
+    p = tmp_path / "raw.json"
+    p.write_text('{"id": 1, "v": "ok"}\n{not json at all}\n{"id": 2, "v": "ok2"}\n')
+    df = (
+        spark.read.schema("id long, v string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(p))
+    ).cache()  # cache: referencing only _corrupt plus the data cols is
+    # otherwise disallowed in Spark's one-pass parse
+    try:
+        good = df.where(F.col("_corrupt").isNull())
+        bad = df.where(F.col("_corrupt").isNotNull())
+        assert {(r.id, r.v) for r in good.collect()} == {(1, "ok"), (2, "ok2")}
+        assert bad.count() == 1
+        assert "{not json at all}" in bad.collect()[0]._corrupt
+    finally:
+        df.unpersist()
