@@ -86,3 +86,59 @@ def q_sql_window(spark, sf_dir):
     both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_WINDOW_SQL_SPARK)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q_sql_q10",
+    oracle=_Q10_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): 3-table fact join +
+    broadcast dim + grouped revenue + top-20 — byte-identical SQL on
+    both engines. Catalyst broadcasts nation automatically and plans
+    TakeOrderedAndProject for the limit."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@register(
+    "q_sql_q14",
+    oracle=_Q14_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion revenue share): conditional aggregate
+    over a fact⋈dim join with a tight date filter — the filter prunes at
+    the scan, part broadcasts."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
