@@ -181,3 +181,41 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {(r.id, r.v, r.score) for r in merged.collect()}
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_stream_sliding_window_equivalence(spark):
+    def sliding(df):
+        return (
+            df.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "event_type", "n")
+        )
+
+    batch, stream = run_stream_equivalent(
+        spark, SF_DIR, sliding, output_mode="complete", watermark="10 minutes"
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_stream_upsert_latest_equivalence(spark):
+    """The q_upsert_latest materialization runs identically as a
+    streaming aggregation (Spark update/complete mode = Flink upsert
+    stream)."""
+
+    def latest(df):
+        key = F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        )
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias("last_type"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    batch, stream = run_stream_equivalent(
+        spark, SF_DIR, latest, output_mode="complete", watermark="10 minutes"
+    )
+    assert _rows(batch) == _rows(stream)
