@@ -1,0 +1,113 @@
+"""Scale probe — empirical check that the engine's partitioning policy
+holds as data grows (docs/SCALE_DESIGN.md).
+
+Replicates the sf0.1 fact tables N× with key offsets (so join/group keys
+stay distinct — no artificial key collapse), then runs the flagship
+aggregate and star join and reports wall time, shuffle partition count,
+and per-task input. The claim under test: runtime scales ~linearly with
+input while the plan shape (broadcasts, partial aggs) is unchanged —
+i.e. nothing in the design depends on the data being small.
+
+Run: ``python tools/scale_probe.py [replication=10]``
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
+from flink_quickstart_spark.sources.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, key_cols: list[str], n: int, stride: int) -> DataFrame:
+    """Union n copies, offsetting key columns so keys stay distinct."""
+    copies = []
+    for i in range(n):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * stride))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def timed(label: str, df: DataFrame) -> float:
+    t0 = time.time()
+    df.collect()
+    dt = time.time() - t0
+    print(f"{label}: {dt:.2f}s")
+    return dt
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    est_bytes = dir_bytes(SF_DIR) * n
+    parts = shuffle_partitions_for_bytes(est_bytes)
+    spark = get_spark(app_name="scale-probe", shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, SF_DIR)
+    print(f"replication={n} est_input={est_bytes/1e6:.0f}MB shuffle_partitions={parts}")
+
+    stride = 10_000_000
+    lineitem = replicate(t.lineitem, ["l_orderkey"], n, stride)
+    orders = replicate(t.orders, ["o_orderkey", "o_custkey"], n, stride)
+    customer = replicate(t.customer, ["c_custkey"], n, stride)
+
+    # flagship agg (TPC-H Q1 shape) at 1× and N×
+    def q1(li):
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    q1(t.lineitem).collect()  # warm-up: codegen + IO cache out of the timings
+    base = timed("q1 1x", q1(t.lineitem))
+    big = timed(f"q1 {n}x", q1(lineitem))
+    print(f"q1 scaling factor: {big / base:.1f}x for {n}x data")
+
+    # star join at N×: dims still broadcast, facts shuffle
+    def star(c, o, li):
+        dims = F.broadcast(
+            t.nation.join(
+                F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        )
+        return (
+            c.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+
+    star(t.customer, t.orders, t.lineitem).collect()  # warm-up
+    base_j = timed("star 1x", star(t.customer, t.orders, t.lineitem))
+    big_j = timed(f"star {n}x", star(customer, orders, lineitem))
+    print(f"star scaling factor: {big_j / base_j:.1f}x for {n}x data")
+
+    plan = star(customer, orders, lineitem)._jdf.queryExecution().executedPlan().toString()
+    n_bc = plan.count("BroadcastHashJoin")
+    print(f"star {n}x plan: BroadcastHashJoin={n_bc} (dims still broadcast at scale)")
+
+
+if __name__ == "__main__":
+    main()
