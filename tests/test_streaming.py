@@ -219,3 +219,43 @@ def test_stream_upsert_latest_equivalence(spark):
         spark, SF_DIR, latest, output_mode="complete", watermark="10 minutes"
     )
     assert _rows(batch) == _rows(stream)
+
+
+def test_checkpoint_restart_resumes_without_loss_or_dup(spark, tmp_path):
+    """I13 savepoint analog: stop a streaming query, land more input,
+    restart from the SAME checkpoint — the offset WAL must resume where
+    it left off, producing each input row exactly once across both runs."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "id long, v double").write.parquet(
+            str(src / name)
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v double")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .withColumn("doubled", F.col("v") * 2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("batch1", [(i, float(i)) for i in range(100)])
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    land("batch2", [(i, float(i)) for i in range(100, 150)])
+    run_once()  # restart from the same checkpoint
+    final = spark.read.parquet(out)
+    assert final.count() == 150  # batch1 NOT reprocessed, batch2 not missed
+    assert final.select("id").distinct().count() == 150
