@@ -388,3 +388,82 @@ def q_funnel(spark, sf_dir):
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS new_value
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(c_custkey, user_id) AS key,
+           round(c_acctbal, 2)          AS old_value,
+           round(new_value, 2)          AS new_value,
+           round(coalesce(new_value, c_acctbal), 2) AS merged,
+           CASE WHEN c_custkey IS NULL THEN 'insert'
+                WHEN new_value IS NULL THEN 'keep'
+                ELSE 'update' END       AS op
+    FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_merge_upsert(spark, sf_dir):
+    """SCD-1 / MERGE INTO semantics without a transactional table
+    format: base (customer) ⊔ change set (latest event value per user)
+    as a full-outer join — rows classify as update/insert/keep and the
+    merged value is coalesce(new, old). This is the batch formulation of
+    a CDC apply step; at 100 TB it is one shuffle of each side on the
+    key (or zero with bucketed layouts), and the changelog side is
+    usually far smaller — broadcast it when it fits."""
+    t = tables(spark, sf_dir)
+    sort_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    latest = t.events.groupBy("user_id").agg(
+        F.max_by("value", sort_key).alias("new_value")
+    )
+    merged = t.customer.join(
+        latest, F.col("c_custkey") == F.col("user_id"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "user_id").alias("key"),
+        F.round("c_acctbal", 2).alias("old_value"),
+        F.round("new_value", 2).alias("new_value"),
+        F.round(F.coalesce("new_value", "c_acctbal"), 2).alias("merged"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("new_value").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type   AS state,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS valid_to_us
+    FROM events
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD-2 / temporal-table history (the batch twin of Flink's
+    versioned temporal tables): each per-key state change becomes a
+    validity interval [valid_from, valid_to), open-ended for the current
+    state — one lead() window per key, one shuffle. The as-of join
+    (q_join_asof) is the lookup side of this same pattern."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )
