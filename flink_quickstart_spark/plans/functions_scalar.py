@@ -220,28 +220,50 @@ def q_fn_array(spark, sf_dir):
     )
 
 
-@register("q_fn_map", oracle=None, tags=("batch", "function"))
+@register(
+    "q_fn_map",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || cnt, ',' ORDER BY event_type)
+             AS type_counts_str,
+           max(CASE WHEN event_type = 'click' THEN cnt END) AS n_clicks,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM counted GROUP BY user_id
+    """,
+    tags=("batch", "function"),
+)
 def q_fn_map(spark, sf_dir):
-    """H6: map family — per-user map<event_type, count> plus lookups.
-    Declared rows-only: map key ordering is engine-specific, so a value
-    hash cannot be portable (SURVEY.md §2.H6)."""
+    """H6: map family — per-user map<event_type, count> built with
+    create-map machinery (map_from_entries), then read back via
+    map_entries / element_at / map_keys. A raw MapType column cannot
+    value-hash portably (key order is engine-specific), so the map is
+    emitted as its canonical sorted ``k:v,...`` rendering — the map ops
+    still run; the oracle rebuilds the same rendering relationally."""
     t = tables(spark, sf_dir)
     counted = t.events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return (
-        counted.groupBy("user_id")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
-            ).alias("type_counts")
-        )
-        .select(
-            "user_id",
-            "type_counts",
-            F.element_at("type_counts", "click").alias("n_clicks"),
-            F.size(F.map_keys("type_counts")).alias("n_types"),
-        )
+    with_map = counted.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    entries = F.map_entries("type_counts")  # insertion order = sorted
+    return with_map.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("type_counts_str"),
+        F.element_at("type_counts", "click").alias("n_clicks"),
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
     )
 
 

@@ -386,9 +386,21 @@ def q_text_fingerprint(spark, sf_dir):
 
 @register(
     "q_multimodal_decode",
-    oracle=None,  # rows-only: feature values come from the stubbed decoder
-    # (sha256-derived deterministic fake); Spark-side value checks live in
-    # tests/test_operators.py. Real decoders plug into operators/multimodal.
+    # The stub decoder derives feature[0] from the first 4 sha256 digest
+    # bytes (little-endian uint32 / 2^32, cast to float32) — DuckDB can
+    # rebuild that exactly from hex, so even the Arrow decode path is
+    # value-hash-checked against an independent engine. Real decoders
+    # plug into operators/multimodal and would demote this to rows-only.
+    oracle="""
+    SELECT 'image/fake' AS media_type,
+           CAST(count(*) AS BIGINT)        AS n_media,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           round(avg(CAST(
+             CAST(('0x' || substr(sha256(text), 7, 2) || substr(sha256(text), 5, 2)
+                        || substr(sha256(text), 3, 2) || substr(sha256(text), 1, 2))
+                  AS BIGINT) / 4294967296.0 AS REAL)), 6) AS mean_feat0
+    FROM documents
+    """,
     tags=("batch", "llm", "multimodal", "pandas-udf"),
 )
 def q_multimodal_decode(spark, sf_dir):
