@@ -138,14 +138,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """K2 (fingerprint flavor): 64-bit SimHash per document.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
+    """K2 (fingerprint flavor): SimHash per document.
 
-    Token hashes via xxhash64 (JVM, engine-specific → rows-only). Bit b of
-    the fingerprint is the sign of sum over tokens of ±1 per token-hash
-    bit — computed as 64 conditional-sum aggregates, entirely in one
-    hash aggregation (no Python, no explode-to-64× blowup: one explode to
-    tokens, then a single groupBy).
+    Bit b of the fingerprint is the sign of sum over tokens of ±1 per
+    token-hash bit — computed as conditional-sum aggregates, entirely in
+    one hash aggregation (no Python, no explode-to-64× blowup: one
+    explode to tokens, then a single groupBy).
+
+    ``token_hash``:
+    - ``"xxhash64"`` (default) — JVM xxhash64, 63 usable bits; the
+      cheapest path for production (engine-specific output).
+    - ``"md5_60"`` — 60 bits from the md5 hex prefix; bit-identical
+      across engines (md5 is universal), so the fingerprints value-match
+      a DuckDB oracle. ~Same cost class; use when cross-engine
+      reproducibility of the fingerprints themselves matters.
 
     Near-dup candidates = identical fingerprints (or hamming ≤ k via
     rotations at scale).
@@ -153,17 +162,23 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).where(F.col("tok") != "")
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if token_hash == "md5_60":
+        n_bits = 60
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        n_bits = 63  # bit 63 left clear: keeps the value in signed-long range
+        h = F.xxhash64("tok")
+    hashed = toks.select(id_col, h.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
     fingerprint = sum(
         (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**b).cast("long"))
-        for b in range(63)  # bit 63 left clear: keeps the value in signed-long range
+        for b in range(n_bits)
     )
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 

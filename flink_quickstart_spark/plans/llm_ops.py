@@ -79,12 +79,35 @@ def q_llm_neardup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.5)
 
 
-@register("q_llm_simhash", oracle=None, tags=("batch", "llm", "dedup", "approx"))
+@register(
+    "q_llm_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks WHERE tok <> ''
+    ), bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, unnest(range(60)) AS t(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
 def q_llm_simhash(spark, sf_dir):
-    """K2c: 64-bit SimHash fingerprints (xxhash64 token hashes — Spark-
-    specific hash → rows-only). Fingerprint equality buckets near-dups."""
+    """K2c: SimHash fingerprints with the portable md5-60 token hash —
+    the fingerprints themselves value-match the DuckDB oracle (which
+    recomputes the full majority-vote from the same md5 bits). The
+    xxhash64 flavor (same operator, ``token_hash="xxhash64"``) is the
+    cheaper production default; its statistical behavior is identical."""
     t = tables(spark, sf_dir)
-    return simhash64(t.documents, "doc_id", "text")
+    return simhash64(t.documents, "doc_id", "text", token_hash="md5_60")
 
 
 @register(
