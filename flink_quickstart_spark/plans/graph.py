@@ -38,14 +38,35 @@ def _bipartite_edges(spark, sf_dir):
 
 @register(
     "q_graph_components",
-    oracle=None,  # rows-only: iterative, not ANSI-expressible; value check
-    # = union-find reference in tests/test_iterative.py
+    # Iterative, but still oracle-checkable: DuckDB's recursive CTE
+    # computes min-reachable-label as a transitive closure (quadratic in
+    # component size — fine at gate scale, ~20 s; NOT the scale path,
+    # which is exactly why the Spark side iterates instead). The
+    # union-find reference test in tests/test_iterative.py is the
+    # second, independent value check.
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, r.label FROM sym s JOIN reach r ON s.dst = r.node
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT)  AS n_nodes
+    FROM (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    GROUP BY component
+    """,
     tags=("batch", "graph", "iterative"),
 )
 def q_graph_components(spark, sf_dir):
-    """Connected components by min-label propagation: component sizes,
-    largest first. Lineage checkpointed every 5 iterations; converges in
-    O(diameter) steps (hub suppliers keep it small here)."""
+    """Connected components by min-label propagation: component sizes.
+    Lineage checkpointed every 5 iterations; converges in O(diameter)
+    steps (hub suppliers keep it small here)."""
     labels = connected_components(_bipartite_edges(spark, sf_dir), max_iter=20)
     return (
         labels.groupBy("component")
