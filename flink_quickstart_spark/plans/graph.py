@@ -75,20 +75,60 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
+    """A fixed iteration count makes power iteration ANSI-expressible:
+    unroll each step into a CTE computing ranks from the previous one
+    (contributions via join+sum, dangling mass via scalar subquery).
+    Generated, not hand-written — the loop IS the query plan."""
+    steps = []
+    for i in range(iterations):
+        prev = f"r{i}"
+        steps.append(f"""
+    d{i} AS (SELECT coalesce(sum(rank), 0.0) AS mass FROM {prev}
+             WHERE node NOT IN (SELECT node FROM deg)),
+    r{i + 1} AS (
+      SELECT n.node,
+             (1 - {damping}) / nn.n + {damping} * (SELECT mass FROM d{i}) / nn.n
+             + {damping} * coalesce(m.in_mass, 0.0) AS rank
+      FROM nodes n CROSS JOIN nc nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / g.out_deg) AS in_mass
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg g   ON e.src = g.node
+        GROUP BY e.dst
+      ) m ON n.node = m.node
+    )""")
+    return f"""
+    WITH
+    edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nc nn),
+    {",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
+    FROM r{iterations}
+    """
+
+
 @register(
     "q_graph_pagerank",
-    oracle=None,  # rows-only: iterative; value check = power-iteration
-    # reference in tests/test_iterative.py
+    # Iterative, but the iteration count is FIXED — so the oracle unrolls
+    # the 8 power steps into chained CTEs (generated above). Ranks agree
+    # to 6 decimals across engines; the power-iteration reference test in
+    # tests/test_iterative.py is the second independent check.
+    oracle=_pagerank_oracle(iterations=8, damping=0.85),
     tags=("batch", "graph", "iterative"),
 )
 def q_graph_pagerank(spark, sf_dir):
-    """Top-50 PageRank nodes after 8 fixed power iterations (damping
-    0.85, dangling mass redistributed). Deterministic modulo double
-    summation order — ranks rounded to 6 decimals, ties broken on node
-    id."""
+    """PageRank after 8 fixed power iterations (damping 0.85, dangling
+    mass redistributed), all nodes. Deterministic modulo double
+    summation order — ranks rounded to 6 decimals; the full vector is
+    emitted (no tie-sensitive top-k in the oracle-checked output)."""
     ranks = pagerank(_bipartite_edges(spark, sf_dir), iterations=8)
-    return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), F.col("node"))
-        .limit(50)
-    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
