@@ -15,6 +15,7 @@ from flink_quickstart_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from flink_quickstart_spark.operators.similarity import brute_knn
+from tests.conftest import SF_DIR
 
 
 def ts(s: int) -> dt.datetime:
@@ -134,3 +135,60 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert recall >= 0.6, f"recall {recall:.2f} too low"
     for pair in set(truth) & set(approx):
         assert abs(truth[pair] - approx[pair]) < 1e-9
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """Quantified approximation: LSH candidate pairs must capture most
+    truly-close pairs (euclidean < 1.2 — the closest ~1% on these
+    unit-norm vectors, matching the key's threshold) — the rows-only
+    oracle key is backed by this recall floor."""
+    from flink_quickstart_spark.operators.similarity import lsh_ann_buckets
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR).embeddings
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    d2 = ((m[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if d2[i, j] ** 0.5 < 1.2
+    }
+    assert truth, "no close pairs in fixture — threshold too tight"
+    got = {
+        (r.d1, r.d2)
+        for r in lsh_ann_buckets(emb, threshold=1.2).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Quantified approximation: MinHash LSH candidates must capture most
+    pairs whose EXACT shingle Jaccard ≥ 0.5 (computed by the
+    deterministic inverted-index operator)."""
+    from flink_quickstart_spark.operators.dedup import (
+        jaccard_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR).documents
+    truth = {
+        (r.d1, r.d2)
+        for r in jaccard_neardup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    if not truth:
+        import pytest
+
+        pytest.skip("no exact near-dup pairs at this SF")
+    got = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"MinHash recall {recall:.2f} below floor"
