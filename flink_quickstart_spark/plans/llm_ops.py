@@ -549,3 +549,85 @@ def q_profile_columns(spark, sf_dir):
         .unionByName(str_profile("o_orderstatus"))
         .unionByName(str_profile("o_orderpriority"))
     )
+
+
+@register(
+    "q_text_langid_ngram",
+    oracle="""
+    WITH train AS (
+      SELECT * FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+    ), train_tri AS (
+      SELECT lang, unnest(list_transform(range(1, strlen(text) - 1),
+                                         i -> substr(text, i, 3))) AS tri
+      FROM train
+    ), profile AS (
+      SELECT lang, tri FROM (
+        SELECT lang, tri,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, tri) AS rn
+        FROM train_tri GROUP BY lang, tri
+      ) WHERE rn <= 20
+    ), doc_tri AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(list_transform(range(1, strlen(text) - 1),
+                                   i -> substr(text, i, 3))) AS tri
+      FROM documents
+    ), scored AS (
+      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang,
+             CAST(count(*) AS BIGINT) AS score
+      FROM doc_tri d JOIN profile p ON d.tri = p.tri
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, true_lang, cand_lang AS predicted_lang, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, cand_lang) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_langid_ngram(spark, sf_dir):
+    """K6/text tier 2: corpus-trained n-gram-profile language ID (the
+    classic Cavnar–Trenkle shape, public method): build top-20 character
+    -trigram profiles per language from the md5-hash TRAIN split
+    (q_sample_split's rule), score every document by profile-trigram
+    hits, predict the argmax language (deterministic tie-breaks). The
+    profile is O(langs × 20) — a broadcast dim at any corpus size; the
+    trigram explode is a narrow map; one shuffle per aggregate."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    tri_expr = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
+    )
+    train = t.documents.where(
+        ~F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    train_tri = train.select("lang", F.explode(tri_expr).alias("tri"))
+    w_prof = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
+    profile = (
+        train_tri.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    doc_tri = t.documents.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode(tri_expr).alias("tri")
+    )
+    scored = (
+        doc_tri.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), "score"
+        )
+    )
