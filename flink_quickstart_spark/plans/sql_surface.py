@@ -142,3 +142,27 @@ def q_sql_q14(spark, sf_dir):
     the scan, part broadcasts."""
     register_views(spark, sf_dir)
     return spark.sql(_Q14_SQL)
+
+
+_CORR_SUBQ_SQL = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q_sql_corr_subquery",
+    oracle=_CORR_SUBQ_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_corr_subquery(spark, sf_dir):
+    """Correlated scalar subquery (customers above their nation's mean
+    balance) — byte-identical SQL on both engines. Catalyst DECORRELATES
+    it into an aggregate + join (RewriteCorrelatedScalarSubquery), so the
+    plan is one shuffle per side instead of a per-row subquery — the
+    rewrite that makes this shape viable at 100 TB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ_SQL)

@@ -174,3 +174,13 @@ def test_range_join_avoids_nested_loop(spark):
     plan = plan_of(spark, "q_join_range_binned", mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten to an
+    aggregate+join (no per-row subquery execution): the plan contains a
+    partial/final aggregate pair and a join, and runs as ordinary
+    shuffles."""
+    plan = plan_of(spark, "q_sql_corr_subquery", mode="simple")
+    assert "Join" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
