@@ -631,3 +631,40 @@ def q_text_langid_ngram(spark, sf_dir):
             "doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), "score"
         )
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+      AND event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: ~25% per chosen stratum via the
+    md5-hash rule (first hex digit in 0-3) — the reproducible analog of
+    ``sampleBy`` (whose RNG is engine-specific). Pure map + one
+    aggregate; rates tune per stratum by widening the digit set, and the
+    same rows are selected on any engine, any run, any partitioning —
+    the property that matters when a 100 TB sample must be re-derivable."""
+    t = tables(spark, sf_dir)
+    h1 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    return (
+        t.events.where(
+            h1.isin("0", "1", "2", "3")
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

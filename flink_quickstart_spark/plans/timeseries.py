@@ -24,10 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_quickstart_spark.operators.timeseries import (
-    best_match_per_key,
-    sliding_znorm_distance,
-)
+from flink_quickstart_spark.operators.timeseries import sliding_znorm_distance
 from flink_quickstart_spark.plans.registry import register, tables
 
 # Fixed query shape for the rows-only match key: rise-then-fall pulse.
