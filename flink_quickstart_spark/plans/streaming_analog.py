@@ -467,3 +467,60 @@ def q_scd2_history(spark, sf_dir):
         F.unix_micros("ts").alias("valid_from_us"),
         F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type, ts,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS sk
+      FROM events
+    ),
+    s1 AS (SELECT user_id, arg_max(event_type, sk) AS state FROM k
+           WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+    s2 AS (SELECT user_id, arg_max(event_type, sk) AS state FROM k
+           GROUP BY user_id)
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           s1.state AS state_before,
+           s2.state AS state_after,
+           CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s1.state <> s2.state THEN 'changed'
+                ELSE 'same' END AS diff
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the audit twin of CDC apply (q_merge_upsert):
+    materialize the latest-state view at two points in time (mid-month
+    cut vs full range) and classify each key as added/changed/same via a
+    full-outer join. At 100 TB both snapshots come from the same scan
+    (the t1 aggregate is a filtered twin), diff is one co-partitioned
+    join; with bucketed state tables it is shuffle-free."""
+    t = tables(spark, sf_dir)
+    sk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def latest(df):
+        return df.groupBy("user_id").agg(F.max_by("event_type", sk).alias("state"))
+
+    s1 = latest(t.events.where(F.col("ts") < cut)).select(
+        F.col("user_id").alias("u1"), F.col("state").alias("state_before")
+    )
+    s2 = latest(t.events).select(
+        F.col("user_id").alias("u2"), F.col("state").alias("state_after")
+    )
+    return s1.join(s2, F.col("u1") == F.col("u2"), "full_outer").select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        "state_before",
+        "state_after",
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("state_before") != F.col("state_after"), "changed")
+        .otherwise("same")
+        .alias("diff"),
+    )
