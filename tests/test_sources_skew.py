@@ -109,3 +109,37 @@ def test_salted_join_matches_plain_join(spark):
         (r.k, r.payload, r.tag) for r in salted_join(big, small, "k", n_salts=4).collect()
     )
     assert plain == salted
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story's first line of defense: AQE must detect a
+    skewed partition at the shuffle boundary and split it
+    (SortMergeJoin(skew=true)) — salting (operators/skew.py) is the
+    second line for single pathological keys. Thresholds are lowered so
+    test-scale data exercises the same code path production data would."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
