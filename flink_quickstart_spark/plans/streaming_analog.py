@@ -100,7 +100,7 @@ def q_window_sliding(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 300000000
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 300000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
@@ -122,8 +122,11 @@ def q_window_sliding(spark, sf_dir):
 def q_window_session(spark, sf_dir):
     """I3: session window, 5-minute gap (Flink
     ``EventTimeSessionWindows.withGap``). Spark merges events whose gap is
-    strictly less than 5 min; window end = last event + gap. The oracle is
-    the gaps-and-islands formulation with the same ``>= gap`` boundary."""
+    of at MOST 5 min (an event exactly ``gap`` after the previous one
+    MERGES — verified by the boundary property test in
+    tests/test_property_session.py); window end = last event + gap. The
+    oracle is the gaps-and-islands formulation with the same strict
+    ``> gap`` split rule."""
     t = tables(spark, sf_dir)
     return (
         t.events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")

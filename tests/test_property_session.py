@@ -1,0 +1,92 @@
+"""Property test for session-window boundary semantics (SURVEY.md §7
+sharp edge 3). Decided by experiment, as the survey demanded: Spark's
+``session_window(ts, gap)`` MERGES an event exactly ``gap`` after the
+previous one (touching windows coalesce) and splits only on strictly
+greater gaps — so the gaps-and-islands oracle must use ``> gap``, not
+``>= gap``. This test originally used ``>=`` and FAILED on the exact-
+boundary input ``[300]``, catching a latent oracle bug that sf0.01 data
+(µs-resolution timestamps, measure-zero chance of an exact 300 s gap)
+never triggered. Adversarial inputs — gaps exactly at, one second
+inside, and one second outside the boundary — must agree between Spark
+and the DuckDB formulation on session starts and per-session counts.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+GAP_S = 300
+
+# Inter-event gaps biased to the boundary: exactly 300 s, 299, 301, tiny,
+# and large.
+gaps = st.lists(
+    st.sampled_from([1, 10, 299, 300, 301, 600]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark():
+    from flink_quickstart_spark import get_spark
+
+    return get_spark(app_name="fqs-prop-session")
+
+
+@given(gs=gaps)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_window_boundary_matches_gaps_and_islands(_spark, gs):
+    ts, series = 0, [0]
+    for g in gs:
+        ts += g
+        series.append(ts)
+    rows = [(1, t * 1_000_000) for t in series]  # epoch µs on one key
+
+    df = _spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    spark_sessions = sorted(
+        (r.start_us, r.n)
+        for r in df.groupBy(F.session_window("ts", f"{GAP_S} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("start_us"), "n")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(f"({t})" for _, t in rows)
+        + ") AS t(ts_us)"
+    )
+    duck_sessions = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+        WITH flagged AS (
+          SELECT ts_us,
+                 CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us)
+                      > {GAP_S * 1_000_000} THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ), numbered AS (
+          SELECT ts_us, sum(new_s) OVER (ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(count(*) AS BIGINT)   AS n
+        FROM numbered GROUP BY sid
+        """
+        ).fetchall()
+    )
+    con.close()
+    assert spark_sessions == duck_sessions
