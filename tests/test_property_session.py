@@ -90,3 +90,52 @@ def test_session_window_boundary_matches_gaps_and_islands(_spark, gs):
     )
     con.close()
     assert spark_sessions == duck_sessions
+
+
+tumb_offsets = st.lists(
+    st.sampled_from([0, 1, 599, 600, 601, 1199, 1200]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(offs=tumb_offsets)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tumbling_window_boundary_matches_time_bucket(_spark, offs):
+    """Window-edge semantics: an event exactly on a 10-min boundary must
+    land in the LATER window on both engines ([start, end) intervals —
+    Spark ``window`` and DuckDB ``time_bucket`` agree)."""
+    rows = [(t * 1_000_000,) for t in sorted(set(offs))]
+    df = _spark.createDataFrame(rows, "ts_us long").select(
+        F.timestamp_micros("ts_us").alias("ts")
+    )
+    spark_w = sorted(
+        (r.ws, r.n)
+        for r in df.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("ws"), "n")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(f"({t})" for (t,) in rows)
+        + ") AS t(ts_us)"
+    )
+    duck_w = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        SELECT CAST(epoch_us(time_bucket(INTERVAL '10 minutes',
+                    make_timestamp(ts_us))) AS BIGINT) AS ws,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1
+        """
+        ).fetchall()
+    )
+    con.close()
+    assert spark_w == duck_w
