@@ -527,3 +527,49 @@ def q_snapshot_diff(spark, sf_dir):
         .otherwise("same")
         .alias("diff"),
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT) - f.cohort_week
+               AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (the second canonical product-analytics
+    workload after the funnel): users grouped by first-seen epoch-week,
+    counted as active per week-offset since their cohort. Two aggregates
+    plus one join on user_id — the cohort table is O(users) and
+    broadcastable when small; week ids are epoch-µs integer division so
+    both engines bucket identically (no calendar-week ambiguity)."""
+    t = tables(spark, sf_dir)
+    week = lambda c: F.floor(F.unix_micros(c) / F.lit(604_800_000_000)).cast("long")  # noqa: E731
+    firsts = t.events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        t.events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
