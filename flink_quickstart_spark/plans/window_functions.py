@@ -195,3 +195,37 @@ def q_topk_pergroup(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "q_wf_trailing_7d",
+    oracle="""
+    SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od_us,
+           round(sum(o_totalprice) OVER w, 2)  AS trail_sum,
+           CAST(count(*) OVER w AS BIGINT)     AS trail_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_trailing_7d(spark, sf_dir):
+    """E4b: trailing TIME-range frame — each order's 7-day-lookback
+    revenue per customer. The frame is RANGE over epoch-µs (numeric, so
+    the identical frame spec runs on both engines; Spark's interval
+    rangeBetween is equivalent but not textually portable). The
+    real-time twin is a sliding window aggregate; at 100 TB one shuffle
+    on the partition key, sort amortized within partitions."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
