@@ -139,3 +139,47 @@ def test_tumbling_window_boundary_matches_time_bucket(_spark, offs):
     )
     con.close()
     assert spark_w == duck_w
+
+
+iv_offsets = st.lists(
+    st.sampled_from([0, 1, 599, 600, 601, 900]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(c_offs=iv_offsets, p_offs=iv_offsets)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_boundary_inclusive_both_ends(_spark, c_offs, p_offs):
+    """Interval-join boundary (Flink ``between(0, 10min)`` analog): a
+    purchase exactly 0 s or exactly 600 s after the click is INCLUDED on
+    both engines (closed interval on both ends)."""
+    from flink_quickstart_spark.operators.joins import interval_join
+
+    clicks = _spark.createDataFrame(
+        [(i, 1, t * 1_000_000) for i, t in enumerate(sorted(set(c_offs)))],
+        "cid long, user_id long, ts_us long",
+    ).select("cid", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+    purchases = _spark.createDataFrame(
+        [(100 + i, 1, t * 1_000_000) for i, t in enumerate(sorted(set(p_offs)))],
+        "pid long, user_id long, ts_us long",
+    ).select("pid", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+
+    got = {
+        (r.cid, r.pid)
+        for r in interval_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+            lower=F.expr("INTERVAL 0 SECONDS"), upper=F.expr("INTERVAL 10 MINUTES"),
+        ).select(F.col("l.cid").alias("cid"), F.col("r.pid").alias("pid")).collect()
+    }
+    expected = {
+        (i, 100 + j)
+        for i, ct in enumerate(sorted(set(c_offs)))
+        for j, pt in enumerate(sorted(set(p_offs)))
+        if 0 <= pt - ct <= 600
+    }
+    assert got == expected
