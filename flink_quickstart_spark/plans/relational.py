@@ -206,14 +206,20 @@ def q_intersect(spark, sf_dir):
     SELECT n_nationkey AS nationkey FROM nation
     EXCEPT
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    WHERE c_acctbal > 9950
     """,
     tags=("batch", "setop"),
 )
 def q_except(spark, sf_dir):
-    """G3: except — nations with no customers (left-anti under the hood)."""
+    """G3: except — nations with no near-cap-balance customer (left-anti
+    under the hood). The 9950 threshold is tuned so the result is
+    NON-EMPTY at every testdata scale factor (every nation has customers,
+    so the unfiltered form hash-matches vacuously on empty sets)."""
     t = tables(spark, sf_dir)
     a = t.nation.select(F.col("n_nationkey").alias("nationkey"))
-    b = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    b = t.customer.where(F.col("c_acctbal") > 9950).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
     return a.exceptAll(b.distinct())
 
 

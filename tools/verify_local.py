@@ -109,6 +109,12 @@ def main() -> int:
 
         sc, sr = normalize(scols, srows)
         oc, orr = normalize(ocols, orows)
+        if not sr and not orr:
+            # Matching-but-empty is a VACUOUS pass — flag it loudly so a
+            # query shape that selects nothing at this SF gets redesigned
+            # (this caught the original all-nations-have-customers
+            # q_except).
+            print(f"WARN {key}: both sides EMPTY — hash match is vacuous")
         status, detail = "PASS", ""
         if sc != oc:
             status, detail = "FAIL", f"columns spark={sc} duck={oc}"
