@@ -259,3 +259,60 @@ def test_checkpoint_restart_resumes_without_loss_or_dup(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 150  # batch1 NOT reprocessed, batch2 not missed
     assert final.select("id").distinct().count() == 150
+
+
+def test_continuous_aggregate_tiers_streamed_then_rolled(spark, tmp_path):
+    """Capstone for the continuous-aggregate pattern (q_rollup_multires'
+    production shape): STREAM the events into a materialized 10-minute
+    rollup tier (foreachBatch + epoch-partitioned idempotent sink), then
+    compute the 1-hour tier FROM THE STORED TIER, and require exact
+    agreement with the 1-hour aggregate computed directly from raw batch
+    data. Exercises file-source streaming, watermarking, exactly-once
+    materialization, and algebraic re-aggregation in one path."""
+    from flink_quickstart_spark.streaming.harness import (
+        events_stream,
+        idempotent_foreach_batch,
+    )
+
+    tier_dir = str(tmp_path / "tier_10min")
+    stream = events_stream(spark, SF_DIR)
+    ten_min = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"), "event_type", "n", "sum_v"
+        )
+    )
+    # update mode, not append: append withholds windows the final
+    # watermark has not passed (the stream's last 10 minutes), which
+    # would leave the newest tier rows unmaterialized forever on a
+    # bounded replay. Update emits every changed window per epoch and
+    # the epoch-partitioned idempotent sink makes re-delivery safe.
+    q = (
+        ten_min.writeStream.outputMode("update")
+        .foreachBatch(idempotent_foreach_batch(tier_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = spark.read.parquet(tier_dir)
+    hour_from_tier = (
+        stored.withColumn(
+            "hour_us", (F.col("ws_us") - F.col("ws_us") % (3600 * 1_000_000))
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_v"), 2).alias("sum_v"))
+    )
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    direct = (
+        load_tables(spark, SF_DIR)
+        .events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(F.unix_micros("w.start").alias("hour_us"), "event_type", "n", "sum_v")
+    )
+    got = sorted(tuple(r) for r in hour_from_tier.collect())
+    exp = sorted(tuple(r) for r in direct.collect())
+    assert got == exp
