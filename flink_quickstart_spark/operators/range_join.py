@@ -6,13 +6,29 @@ at 100 TB (docs/SCALE_DESIGN.md flags it). The standard fix (used by
 every range-join implementation, e.g. the interval-join literature and
 Spark's own range-join hints on Databricks) is binning:
 
-1. assign each row the bucket ``floor(v / eps)``;
-2. a pair within ``eps`` can only differ by at most one bucket, so
-   replicate ONE side into its bucket and both neighbors (3 rows);
+1. assign each left row the bucket ``floor(v / eps)``;
+2. replicate each RIGHT row into every bucket its eps-window can touch:
+   ``floor((rv - eps) / eps) .. floor((rv + eps) / eps)``, widened by one
+   bucket on each side (see below) — at most 6 rows;
 3. equi-join on the bucket id (hash shuffle, not nested loop);
-4. re-check the exact predicate to discard the few false candidates.
+4. re-check the exact float64 predicate to discard false candidates.
 
-Cost: 3× replication of one side + one hash shuffle — linear, skew
+Why the span + widening instead of the obvious ``bucket ± 1``: the
+re-check ``abs(lv - rv) <= eps`` is float64, and rounding can make it
+true for pairs whose *exact* difference exceeds eps (e.g. lv=0.5,
+rv=-1.18e-38, eps=0.5: the float difference rounds to exactly 0.5).
+``bucket(rv) ± 1`` derives candidates from exact-arithmetic reasoning
+and misses such pairs. Computing the span endpoints with the same
+float64 ops Spark uses for the re-check closes most of the gap, but the
+two expressions (``lv/eps`` vs ``(rv ± eps)/eps``) can still round to
+opposite sides of an integer, shifting a floor by one — hence the ±1
+widening. A remaining miss would need a ≥2-unit floor discrepancy,
+which requires ``|v|/eps >= 2^52`` — a regime where float64 bucket ids
+(and the long cast) are degenerate regardless; callers there should
+rescale. Property-tested against the all-pairs join in
+tests/test_property_rangejoin.py.
+
+Cost: ≤6× replication of one side + one hash shuffle — linear, skew
 handled by AQE. The same pattern generalizes to time-interval joins
 (bucket = time window) and spatial joins (bucket = grid cell).
 """
@@ -35,19 +51,22 @@ def range_join(
     as a binned equi-join. Column names of both inputs must be disjoint
     (alias beforehand). ``extra_cond`` adds equi/filter predicates that
     are AND-ed into the join (evaluated after the bucket match)."""
-    bucket = lambda c: F.floor(F.col(c) / F.lit(float(eps))).cast("long")  # noqa: E731
+    eps = float(eps)
+    if not eps > 0.0:
+        raise ValueError(f"range_join eps must be > 0, got {eps!r}")
 
-    l_binned = left.withColumn("_rj_bucket", bucket(left_val))
-    # replicate the right side into bucket-1, bucket, bucket+1
+    l_binned = left.withColumn(
+        "_rj_bucket", F.floor(F.col(left_val) / F.lit(eps)).cast("long")
+    )
+    # Replicate the right side into every bucket its eps-window can touch,
+    # with the span endpoints computed in the SAME float64 arithmetic as
+    # the re-check, widened ±1 for floor-rounding disagreement (see module
+    # docstring). sequence() keeps this ≤6 rows per input row.
+    rv = F.col(right_val)
+    span_lo = F.floor((rv - F.lit(eps)) / F.lit(eps)).cast("long") - F.lit(1)
+    span_hi = F.floor((rv + F.lit(eps)) / F.lit(eps)).cast("long") + F.lit(1)
     r_binned = right.withColumn(
-        "_rj_bucket",
-        F.explode(
-            F.array(
-                bucket(right_val) - F.lit(1),
-                bucket(right_val),
-                bucket(right_val) + F.lit(1),
-            )
-        ),
+        "_rj_bucket", F.explode(F.sequence(span_lo, span_hi))
     )
     cond = (F.col("_rj_bucket") == F.col("_rj_bucket2")) & (
         F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(float(eps))

@@ -1,0 +1,166 @@
+"""Scale-safe global ranking — two-phase distributed row_number.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is the classic Spark
+scale-killer: the physical plan is a single-partition ``WindowExec``
+("WARN WindowExec: No Partition Defined for Window operation"), i.e.
+every row moves to ONE reducer. Fine for a 25-row dimension, fatal at
+100 TB.
+
+The standard distributed alternative (the ``zipWithIndex`` idiom,
+re-expressed DataFrame-first) is two-phase:
+
+1. **Bucket** every row by a value-deterministic range of the primary
+   sort key. Boundaries come from one ``approxQuantile`` pass
+   (Greenwald-Khanna, driver gets ≤ ``buckets`` doubles). Assignment is
+   a pure expression on the value, so tied values can never straddle a
+   bucket — global order restricted to a bucket is contiguous.
+2. **Count** rows per bucket (one tiny agg, ≤ ``buckets`` rows to the
+   driver), prefix-sum the counts into per-bucket global offsets, and
+   broadcast-join them back. Within each bucket a *partitioned* window
+   computes ``row_number``; global position = bucket offset + local
+   row_number.
+
+Cost: two extra passes over the input (quantile probe + count) and one
+hash shuffle on the bucket id — every stage is parallel across
+``buckets`` tasks. Skewed keys degrade gracefully: a heavy-hitter value
+lands in one bucket (ties must stay together), which AQE can split for
+the sort but not for the window — callers with a dominant single value
+should rank on a higher-cardinality composite.
+
+From the global position, the order-statistics family follows with no
+further shuffle (total ordering must be UNIQUE so rank == row_number):
+
+- ``percent_rank = (pos - 1) / (n - 1)``
+- ``cume_dist   = pos / n``
+- ``ntile(k)``: first ``n % k`` tiles hold ``ceil(n/k)`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_GB = "_rank_bucket"
+_RN = "_rank_local"
+_OFF = "_rank_offset"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    out_col: str = "pos",
+    buckets: int = 64,
+    _with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Append ``out_col`` = 1-based global row_number over ``order_by``.
+
+    ``order_by`` must be a UNIQUE total ordering (include a tiebreak
+    key). ``bucket_col`` names the numeric primary sort column used for
+    range bucketing; its sense (asc/desc) is inferred from the first
+    ``order_by`` expression by the caller passing boundaries-compatible
+    ordering — bucketing only groups rows, the window inside each bucket
+    enforces the exact ``order_by``, so any value-deterministic
+    assignment that keeps bucket ranges aligned with the primary sort
+    direction is correct.
+
+    ``buckets`` bounds driver-side state (≤ buckets doubles + counts)
+    and the parallelism of the window stage; raise it at larger scale.
+    """
+    asc = _is_ascending(order_by[0])
+
+    probs = [i / buckets for i in range(1, buckets)]
+    # approxQuantile ignores nulls; rank ordering with nulls is
+    # ambiguous across engines anyway — callers filter them.
+    raw = df.stat.approxQuantile(bucket_col, probs, 0.001)
+    boundaries = sorted(set(float(b) for b in raw))
+
+    v = F.col(bucket_col)
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        if asc:
+            bucket = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+            )
+        else:
+            bucket = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(v < b, 1).otherwise(0),
+            )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn(_GB, bucket)
+
+    counts = {
+        r[_GB]: r["cnt"]
+        for r in bucketed.groupBy(_GB).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total, offsets = 0, []
+    for bid in sorted(counts):
+        offsets.append((bid, total))
+        total += counts[bid]
+
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, f"{_GB} int, {_OFF} long")
+
+    w = Window.partitionBy(_GB).orderBy(*order_by)
+    out = (
+        bucketed.join(F.broadcast(off_df), _GB)
+        .withColumn(_RN, F.row_number().over(w))
+        .withColumn(out_col, (F.col(_OFF) + F.col(_RN)).cast("long"))
+        .drop(_GB, _RN, _OFF)
+    )
+    return (out, total) if _with_total else out
+
+
+def global_order_stats(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket_col: str,
+    ntile: int = 4,
+    pos_col: str = "_pos",
+    buckets: int = 64,
+) -> DataFrame:
+    """Append ``ntile``/``percent_rank``/``cume_dist`` columns (named
+    ``ntile``, ``pct_rank``, ``cdist``) computed from the two-phase
+    global position — no single-partition window anywhere.
+
+    Requires a unique total ordering (so rank == row_number); matches
+    ANSI window-function semantics under that condition.
+    """
+    ranked, n = global_row_number(
+        df, order_by, bucket_col, out_col=pos_col, buckets=buckets, _with_total=True
+    )
+    pos = F.col(pos_col)
+    q, r = divmod(n, ntile) if n else (0, 0)
+    # First r tiles hold q+1 rows each, the rest hold q.
+    big_span = r * (q + 1)
+    if q == 0:
+        # Fewer rows than tiles: tile == pos.
+        tile = pos
+    else:
+        tile = F.when(
+            pos <= F.lit(big_span), ((pos - 1) / F.lit(q + 1)).cast("long") + 1
+        ).otherwise(
+            F.lit(r) + ((pos - 1 - F.lit(big_span)) / F.lit(q)).cast("long") + 1
+        )
+    pct = (
+        F.lit(0.0)
+        if n <= 1
+        else (pos - F.lit(1)).cast("double") / F.lit(float(n - 1))
+    )
+    return (
+        ranked.withColumn("ntile", tile.cast("long"))
+        .withColumn("pct_rank", pct)
+        .withColumn("cdist", pos.cast("double") / F.lit(float(max(n, 1))))
+    )
+
+
+def _is_ascending(col: Column) -> bool:
+    """Infer sort direction from a Column's expression string ("... DESC
+    NULLS LAST" etc.); plain columns default to ascending."""
+    s = str(col)
+    return " DESC" not in s.upper()

@@ -95,7 +95,8 @@ def q_llm_neardup_minhash(spark, sf_dir):
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     tags=("batch", "llm", "dedup"),
@@ -598,8 +599,13 @@ def q_text_langid_ngram(spark, sf_dir):
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir)
+    # Guard len<3: sequence(1, 0) would default to step -1 and yield
+    # [1, 0] (bogus sub-3-char "trigrams"); emit an empty array instead,
+    # matching the oracle's empty range(1, strlen-1).
     tri_expr = F.expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
+        "CASE WHEN length(text) >= 3 THEN"
+        " transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+        " ELSE array() END"
     )
     train = t.documents.where(
         ~F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")

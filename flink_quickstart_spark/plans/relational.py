@@ -132,15 +132,21 @@ def q_cast_types(spark, sf_dir):
     tags=("batch", "sort"),
 )
 def q_sort(spark, sf_dir):
-    """F1: global total sort (range-partitioned in Spark). The ``pos``
-    column makes ordering observable under the driver's order-insensitive
-    hash."""
+    """F1: global total sort. The ``pos`` column makes ordering observable
+    under the driver's order-insensitive hash — computed with the
+    two-phase distributed rank (operators/rank.py), NOT a global-window
+    row_number, so no single-partition WindowExec exists in the plan."""
+    from flink_quickstart_spark.operators.rank import global_row_number
+
     t = tables(spark, sf_dir)
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return t.orders.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("total"),
-        F.row_number().over(w).cast("long").alias("pos"),
+    ranked = global_row_number(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        bucket_col="o_totalprice",
+        out_col="pos",
+    )
+    return ranked.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total"), "pos"
     )
 
 

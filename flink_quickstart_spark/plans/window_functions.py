@@ -137,15 +137,25 @@ def q_wf_rangeframe(spark, sf_dir):
     tags=("batch", "window"),
 )
 def q_wf_distribution(spark, sf_dir):
-    """E5: ntile / percent_rank / cume_dist over account balance (global
-    window — fine for a dimension-sized table, never for a fact table)."""
+    """E5: ntile / percent_rank / cume_dist over account balance — derived
+    from the two-phase distributed global rank (operators/rank.py), so
+    the plan has NO single-partition WindowExec; values match the ANSI
+    window functions because (c_acctbal, c_custkey) is a unique total
+    ordering (rank == row_number)."""
+    from flink_quickstart_spark.operators.rank import global_order_stats
+
     t = tables(spark, sf_dir)
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return t.customer.select(
+    stats = global_order_stats(
+        t.customer.select("c_custkey", "c_acctbal"),
+        order_by=[F.col("c_acctbal"), F.col("c_custkey")],
+        bucket_col="c_acctbal",
+        ntile=4,
+    )
+    return stats.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.col("ntile").alias("quartile"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("cdist", 6).alias("cdist"),
     )
 
 

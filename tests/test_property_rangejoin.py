@@ -52,3 +52,10 @@ def test_binned_range_join_equals_all_pairs(_spark, a, b, eps):
         if abs(float(av) - float(bv)) <= eps
     }
     assert got == expected
+
+
+def test_range_join_rejects_nonpositive_eps(_spark):
+    df = _spark.createDataFrame([(1, 1.0)], "lid long, lv double")
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="eps must be > 0"):
+            range_join(df, df.withColumnRenamed("lv", "rv"), "lv", "rv", eps=bad)
