@@ -216,8 +216,16 @@ class KeyedStream:
     def window(self, assigner: WindowAssigner, time_col: str = "ts") -> "WindowedStream":
         return WindowedStream(self, assigner, time_col)
 
-    def count_window(self, size: int, order_col: str = "ts") -> "CountWindowedStream":
-        return CountWindowedStream(self, size, order_col)
+    def count_window(
+        self,
+        size: int,
+        order_col: str = "ts",
+        tiebreak_cols: tuple[str, ...] | None = None,
+    ) -> "CountWindowedStream":
+        """``tiebreak_cols`` must extend ``order_col`` to a unique total
+        order per key — block membership is nondeterministic otherwise.
+        Defaults to ``("event_id",)`` when that column exists."""
+        return CountWindowedStream(self, size, order_col, tiebreak_cols)
 
     # -- process functions -------------------------------------------------
 
@@ -255,19 +263,41 @@ class WindowedStream:
 
 class CountWindowedStream:
     """Flink ``countWindow(n)`` — no Spark native; the batch-exact
-    formulation groups each key's rows (ordered by ``order_col``) into
-    blocks of ``size`` via ``(row_number()-1) div size`` (SURVEY.md
-    §2.I10; the streaming form lives in streaming/stateful.py)."""
+    formulation groups each key's rows (ordered by ``order_col``, with
+    ``tiebreak_cols`` extending it to a UNIQUE total order so block
+    membership is deterministic) into blocks of ``size`` via
+    ``(row_number()-1) div size`` (SURVEY.md §2.I10; the streaming form
+    lives in streaming/stateful.py)."""
 
-    def __init__(self, keyed: KeyedStream, size: int, order_col: str) -> None:
+    def __init__(
+        self,
+        keyed: KeyedStream,
+        size: int,
+        order_col: str,
+        tiebreak_cols: tuple[str, ...] | None = None,
+    ) -> None:
         self._keyed = keyed
         self._size = size
         self._order_col = order_col
+        cols = set(keyed._df.columns)
+        if tiebreak_cols is None:
+            # Documented default: event_id when present (the events-table
+            # unique key); order_col-only otherwise (caller's risk).
+            self._tiebreaks = ["event_id"] if "event_id" in cols else []
+        else:
+            missing = [c for c in tiebreak_cols if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"count_window tiebreak columns not in frame: {missing}"
+                )
+            self._tiebreaks = [c for c in tiebreak_cols if c != order_col]
 
     def aggregate(self, **aggs: Column) -> DataStream:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*self._keyed._keys).orderBy(F.col(self._order_col))
+        w = Window.partitionBy(*self._keyed._keys).orderBy(
+            F.col(self._order_col), *[F.col(c) for c in self._tiebreaks]
+        )
         blocked = self._keyed._df.withColumn(
             "_win_id", ((F.row_number().over(w) - F.lit(1)) / self._size).cast("bigint")
         )

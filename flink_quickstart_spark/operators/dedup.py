@@ -60,17 +60,36 @@ def jaccard_neardup_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """K2 (exact flavor): document pairs with shingle-set Jaccard ≥
     threshold, via an inverted-index self-join on shingles.
 
     Plan: shingles shuffle once on the shingle key (the inverted index);
     pair counts shuffle once on (d1, d2). Exact — no randomization — so
-    it is SQL-oracle-checkable. At 100 TB, cap hot shingles first (drop
-    shingles with document-frequency above a bound: they generate
-    quadratic candidates but never distinguish near-dups).
+    it is SQL-oracle-checkable.
+
+    ``max_shingle_df`` is the 100 TB knob: drop shingles whose document
+    frequency exceeds the bound BEFORE the self-join. A shingle shared by
+    d documents emits d·(d-1)/2 candidate rows — boilerplate shingles
+    (headers, license text) are quadratic cost while carrying no
+    near-dup signal. When the cap binds, sizes and Jaccard are computed
+    consistently over the *capped* shingle universe (the similarity is
+    exact on the distinguishing shingles, not an estimate of the uncapped
+    value). The DF filter is a count over a window partitioned by
+    shingle — the SAME hash partitioning the inverted-index join needs,
+    so Catalyst reuses one shuffle rather than adding one. ``None``
+    (default) disables the cap; results are then bit-identical to the
+    uncapped operator.
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        w_sh = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w_sh))
+            .where(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")

@@ -24,6 +24,45 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Default ceiling for the broadcast-corpus tiers (bytes). Spark's own
+#: broadcast implementation tops out at 8 GB per block and executors must
+#: hold the matrix besides their shuffle/UDF memory; 2 GiB leaves
+#: headroom on a 4-8 GB-per-executor cluster.
+DEFAULT_BROADCAST_BUDGET_BYTES = 2 << 30
+
+
+def _collect_corpus(
+    df: DataFrame, id_col: str, vec_col: str, max_broadcast_bytes: int, op: str
+):
+    """Collect (ids, matrix, norms) for the broadcast tiers, failing fast
+    when the estimated matrix size exceeds the budget.
+
+    The estimate (one cheap count + first-row dim probe) runs BEFORE
+    ``toPandas()``, so an over-budget corpus raises a clear error instead
+    of OOMing the driver mid-collect. Over-budget corpora belong on the
+    bucketed tiers: :func:`ivf_topk` (corpus partitioned by centroid) or
+    :func:`lsh_ann_buckets` (bucket-collision equi-join).
+    """
+    probe = df.select(vec_col).first()
+    dim = len(probe[0]) if probe and probe[0] is not None else 0
+    n = df.select(id_col).count()
+    est = n * (dim * 8 + 16)  # float64 matrix + id/norm overhead
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"{op}: corpus of {n} vectors x dim {dim} (~{est / 2**20:.0f} MiB "
+            f"as float64) exceeds the broadcast budget of "
+            f"{max_broadcast_bytes / 2**20:.0f} MiB. The broadcast-matrix tier "
+            "is exact but requires the corpus to fit in executor memory; use "
+            "ivf_topk (IVF: centroid-bucketed, file-prunable) or "
+            "lsh_ann_buckets (LSH: bucket equi-join) for corpora beyond it, "
+            "or raise max_broadcast_bytes explicitly."
+        )
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    matrix = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(matrix, axis=1)
+    return ids, matrix, norms
+
 
 def brute_knn(
     df: DataFrame,
@@ -31,17 +70,18 @@ def brute_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 6,
+    max_broadcast_bytes: int = DEFAULT_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self excluded).
 
     Ties broken by (similarity desc, neighbor id asc) — deterministic and
-    oracle-matchable. Math in float64.
+    oracle-matchable. Math in float64. Raises ValueError (pointing at the
+    IVF/LSH tiers) when the corpus exceeds ``max_broadcast_bytes``.
     """
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    matrix = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(matrix, axis=1)
+    ids, matrix, norms = _collect_corpus(
+        df, id_col, vec_col, max_broadcast_bytes, "brute_knn"
+    )
     bc = spark.sparkContext.broadcast((ids, matrix, norms))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,6 +119,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 6,
+    max_broadcast_bytes: int = DEFAULT_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (d1, d2, sim) for all pairs
     with cosine ≥ threshold and d1 < d2 — the semantic-dedup tier.
@@ -86,13 +127,13 @@ def cosine_neardup_pairs(
     Same broadcast-matrix mapInPandas pattern as brute_knn: each Arrow
     batch of query rows does one BLAS matmul against the corpus and emits
     only above-threshold pairs, so output (not the N² matrix) hits the
-    shuffle. At corpus sizes beyond broadcast, run it per LSH/IVF bucket.
+    shuffle. Raises ValueError beyond ``max_broadcast_bytes`` — at that
+    scale run it per LSH/IVF bucket instead.
     """
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    matrix = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(matrix, axis=1)
+    ids, matrix, norms = _collect_corpus(
+        df, id_col, vec_col, max_broadcast_bytes, "cosine_neardup_pairs"
+    )
     bc = spark.sparkContext.broadcast((ids, matrix, norms))
 
     def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

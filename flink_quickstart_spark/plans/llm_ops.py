@@ -66,9 +66,14 @@ def q_llm_dedup_exact(spark, sf_dir):
 )
 def q_llm_neardup(spark, sf_dir):
     """K2: exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
-    shingle inverted-index self-join — deterministic, hence sql-oracle."""
+    shingle inverted-index self-join — deterministic, hence sql-oracle.
+    The hot-shingle DF cap (the quadratic-candidate guard at 100 TB) is
+    enabled but non-binding here: measured max shingle DF is 7 at sf0.01
+    / 25 at sf0.1, far below 1000, so results equal the uncapped op."""
     t = tables(spark, sf_dir)
-    return jaccard_neardup_pairs(t.documents, "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_neardup_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000
+    )
 
 
 @register("q_llm_neardup_minhash", oracle=None, tags=("batch", "llm", "dedup", "approx"))

@@ -156,3 +156,30 @@ def test_streaming_job_through_fluent_api(spark, tmp_path):
     env.stop()
     assert seen, "streaming sink never received a batch"
     assert all(r.doubled % 4 == 0 for r in seen)
+
+
+def test_count_window_tiebreak_determinism(spark):
+    """Tied order_col values must land in deterministic blocks: with the
+    event_id default tiebreak, repeated runs agree; explicit missing
+    tiebreak columns raise."""
+    import pytest
+
+    env = env_of(spark)
+    base = env.read_table("events", SF_DIR).key_by("user_id")
+    # All events share ONE order value → ordering is pure tiebreak.
+    tied = base._df.withColumn("const_ts", F.lit(0))
+    from flink_quickstart_spark.api import KeyedStream
+
+    keyed = KeyedStream(tied, [F.col("user_id")], base._env)
+    win = keyed.count_window(7, order_col="const_ts")
+    assert win._tiebreaks == ["event_id"]
+    a = win.aggregate(mn=F.min("event_id"), mx=F.max("event_id")).to_df()
+    b = keyed.count_window(7, order_col="const_ts").aggregate(
+        mn=F.min("event_id"), mx=F.max("event_id")
+    ).to_df()
+    ra = {(r.user_id, r._win_id): (r.mn, r.mx) for r in a.collect()}
+    rb = {(r.user_id, r._win_id): (r.mn, r.mx) for r in b.collect()}
+    assert ra == rb and ra
+
+    with pytest.raises(ValueError, match="tiebreak columns not in frame"):
+        keyed.count_window(7, order_col="const_ts", tiebreak_cols=("nope",))

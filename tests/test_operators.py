@@ -192,3 +192,82 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"MinHash recall {recall:.2f} below floor"
+
+
+def test_jaccard_hot_shingle_df_cap(spark):
+    """The hot-shingle DF cap must (a) leave results bit-identical when it
+    does not bind, and (b) prune the quadratic candidate explosion that a
+    corpus-wide boilerplate shingle causes, while keeping genuinely
+    near-duplicate pairs whose overlap is in distinguishing shingles."""
+    from flink_quickstart_spark.operators.dedup import (
+        jaccard_neardup_pairs,
+        word_shingles,
+    )
+
+    # 8 docs sharing one boilerplate phrase; docs 6/7 are true near-dups.
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique{i} text{i} body{i} tail{i}") for i in range(6)]
+    rows += [
+        (6, f"{boiler} same same same content here today"),
+        (7, f"{boiler} same same same content here tomorrow"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def candidates(sh):
+        a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+        b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+        return a.join(b, "shingle").where(F.col("d1") < F.col("d2")).count()
+
+    sh_all = word_shingles(docs, "doc_id", "text", 3)
+    hot = sh_all.groupBy("shingle").count().where(F.col("count") > 4)
+    sh_capped = sh_all.join(hot.select("shingle"), "shingle", "left_anti")
+    # The boilerplate shingles alone contribute 8*7/2 = 28 pairs each.
+    assert candidates(sh_capped) < candidates(sh_all) - 20
+
+    uncapped = {
+        (r.d1, r.d2, r.jaccard)
+        for r in jaccard_neardup_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    nonbinding = {
+        (r.d1, r.d2, r.jaccard)
+        for r in jaccard_neardup_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_shingle_df=1000
+        ).collect()
+    }
+    assert nonbinding == uncapped  # cap above max DF → bit-identical
+
+    capped = {
+        (r.d1, r.d2)
+        for r in jaccard_neardup_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_shingle_df=4
+        ).collect()
+    }
+    assert (6, 7) in capped  # true near-dup survives the cap
+    # Boilerplate-only pairs are gone once the hot shingles are dropped.
+    assert all(p == (6, 7) for p in capped)
+
+
+def test_broadcast_budget_guard(spark):
+    """brute_knn / cosine_neardup_pairs must fail fast with a message
+    pointing at the IVF/LSH tiers when the corpus exceeds the broadcast
+    budget — never OOM the driver mid-toPandas."""
+    import pytest
+
+    from flink_quickstart_spark.operators.similarity import (
+        brute_knn,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    # 100 vectors x dim 4 ≈ 4.8 KB estimate; a 1 KB budget must trip.
+    with pytest.raises(ValueError, match="ivf_topk"):
+        brute_knn(emb, k=2, max_broadcast_bytes=1024)
+    with pytest.raises(ValueError, match="lsh_ann_buckets"):
+        cosine_neardup_pairs(emb, threshold=0.9, max_broadcast_bytes=1024)
+    # Within budget the operators still run.
+    assert brute_knn(emb, k=2, max_broadcast_bytes=1 << 20).count() > 0

@@ -105,3 +105,90 @@ def test_late_side_output_routes_rows(spark):
     )
     assert got_main + got_late == total
     assert got_late == want_late and want_late > 0
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v, self._set = None, False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self._set = v, True
+
+    def clear(self):
+        self._v, self._set = None, False
+
+
+class _FakeHandle:
+    """Driver for the StatefulProcessor contract without the protobuf
+    state-server transport: value state + timer registry in-process."""
+
+    def __init__(self):
+        self.states, self.timers = {}, set()
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return sorted(self.timers)
+
+    def registerTimer(self, expiry_ms):
+        self.timers.add(expiry_ms)
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.discard(expiry_ms)
+
+
+def test_sessionizer_logic_without_transport():
+    """I9 logic check that runs in ANY environment: drive the
+    InactivitySessionizer through the StatefulProcessor contract with a
+    fake handle — input batches re-arm a single timer at last_event+gap,
+    expiry emits exactly one summary row and clears state. Only the
+    protobuf wire transport remains environment-gated (the skipped e2e
+    above)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    from flink_quickstart_spark.streaming.timers import InactivitySessionizer
+
+    proc = InactivitySessionizer(gap_ms=300_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    tv = TimerValues(currentProcessingTimeInMs=0, currentWatermarkInMs=0)
+
+    key = (7,)
+    batch1 = pd.DataFrame({"ts_us": [1_000_000, 61_000_000], "value": [1.5, 2.0]})
+    assert list(proc.handleInputRows(key, iter([batch1]), tv)) == []
+    # one timer, armed at last event + gap (in ms)
+    assert handle.timers == {61_000 + 300_000}
+
+    # a later batch re-arms (old timer deleted, new one registered)
+    batch2 = pd.DataFrame({"ts_us": [200_000_000], "value": [0.5]})
+    list(proc.handleInputRows(key, iter([batch2]), tv))
+    assert handle.timers == {200_000 + 300_000}
+
+    out = list(
+        proc.handleExpiredTimer(
+            key, tv, ExpiredTimerInfo(expiryTimeInMs=500_000)
+        )
+    )
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["user_id"] == 7
+    assert row["session_start_us"] == 1_000_000
+    assert row["session_end_us"] == 200_000_000 + 300_000_000
+    assert row["n_events"] == 3
+    assert row["sum_value"] == 4.0
+    # state cleared: a second expiry emits nothing
+    assert not handle.states["sess"].exists()
+    assert list(
+        proc.handleExpiredTimer(key, tv, ExpiredTimerInfo(expiryTimeInMs=500_000))
+    ) == []
