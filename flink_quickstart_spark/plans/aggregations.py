@@ -333,3 +333,67 @@ def q_agg_histogram(spark, sf_dir):
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "q_agg_stats_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)               AS sd_qty,
+           round(var_samp(l_quantity), 4)                  AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)     AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_stats_family(spark, sf_dir):
+    """D-family extension: statistical aggregates (stddev/variance/
+    correlation/covariance/regression slope) — single-pass co-moment
+    aggregates, partial+final planned like any hash agg (map-side
+    combine), so the family scales exactly as count/sum does. Rounded on
+    both sides: parallel summation order differs between engines."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_pq"),
+    )
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "agg", "skew"),
+)
+def q_agg_salted(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): partial agg
+    on (key, salt16) then final merge on key — the manual fallback for
+    algebraic aggregates when one hot key would pin a stage on a single
+    task and AQE cannot split it (e.g. a pre-AQE cluster or a
+    non-splittable agg). Result is bit-equal to the direct groupBy,
+    which the shared oracle certifies; the plan has two paired
+    HashAggregate stages instead of one, trading one extra (tiny,
+    16×keys-row) shuffle for 16-way spread of every hot key."""
+    from flink_quickstart_spark.operators.skew import salted_agg
+
+    t = tables(spark, sf_dir)
+    merged = salted_agg(
+        t.events.select("event_type", "value"),
+        key_cols=["event_type"],
+        aggs={"n": F.count(F.lit(1)), "sum_value_raw": F.sum("value")},
+        n_salts=16,
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value_raw", 2).alias("sum_value"),
+    )

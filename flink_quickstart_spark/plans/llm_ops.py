@@ -679,3 +679,258 @@ def q_sample_stratified(spark, sf_dir):
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_groups",
+    # The same shingle-Jaccard pairs CTE as q_llm_neardup, closed into
+    # clusters by a recursive min-label transitive closure (tiny pair set
+    # at gate scale; the Spark side iterates instead — the scale path).
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2 FROM common
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canon_id,
+           CAST(coalesce(s.cluster_size, 1) AS BIGINT)     AS cluster_size,
+           CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS INT)                  AS is_canonical
+    FROM documents d
+    LEFT JOIN comp c  ON d.doc_id = c.node
+    LEFT JOIN csize s ON c.component = s.component
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_groups(spark, sf_dir):
+    """K2 completion: near-dup PAIRS → dedup GROUPS. Connected components
+    (min-label propagation, operators/iterative.py) over the Jaccard
+    pair graph assigns every document a canonical id (the smallest doc id
+    in its near-dup cluster) — the row a 100 TB dedup pass would keep.
+    Pair generation is the bucketed inverted-index join; CC shuffles on
+    node id only; singleton docs never enter the iteration (they join
+    back with cluster_size 1)."""
+    from flink_quickstart_spark.operators.iterative import connected_components
+
+    t = tables(spark, sf_dir)
+    pairs = jaccard_neardup_pairs(
+        t.documents, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000
+    )
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    canon = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        t.documents.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            canon.cast("long").alias("canon_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.when(canon == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+# Gopher/C4-style quality rules [PK: Rae et al. 2021 "Scaling Language
+# Models" app. A (Gopher rules); Raffel et al. 2020 (C4 filters)] —
+# thresholds here are the public heuristics adapted to the synthetic
+# corpus vocabulary.
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "q_text_gopher_filters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+      FROM documents),
+    counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)  AS n_words,
+             CAST(max(c) AS BIGINT)  AS top_word_freq,
+             CAST(sum(length(tok) * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS mean_wl,
+             CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN c ELSE 0 END)
+                  AS BIGINT) AS n_stop
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, n_words, round(mean_wl, 4) AS mean_word_len,
+           top_word_freq, n_stop,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS INT) AS ok_nwords,
+           CAST(CASE WHEN mean_wl BETWEEN 2 AND 10 THEN 1 ELSE 0 END AS INT)      AS ok_meanlen,
+           CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT)                   AS ok_stopwords,
+           CAST(CASE WHEN CAST(top_word_freq AS DOUBLE) / n_words <= 0.2
+                THEN 1 ELSE 0 END AS INT)                                         AS ok_repetition,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+                      AND mean_wl BETWEEN 2 AND 10
+                      AND n_stop >= 2
+                      AND CAST(top_word_freq AS DOUBLE) / n_words <= 0.2
+                THEN 1 ELSE 0 END AS INT)                                         AS keep
+    FROM per
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_gopher_filters(spark, sf_dir):
+    """Gopher/C4-style document quality rules: word-count bounds, mean
+    word length bounds, stopword presence, top-word repetition cap —
+    the public pre-training filter battery. One explode + two hash aggs
+    (per-(doc,word) then per-doc) — linear, shuffle on doc_id, no
+    Python. Rule flags emitted as INT (portable hashing) plus the
+    combined keep flag; every comparison is on exact integer-derived
+    doubles, so the booleans are engine-stable."""
+    t = tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_freq"),
+        (
+            F.sum(F.length("tok") * F.col("c")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("mean_wl"),
+        F.sum(
+            F.when(F.col("tok").isin(*_GOPHER_STOPWORDS), F.col("c")).otherwise(0)
+        ).alias("n_stop"),
+    )
+    ok_nwords = F.col("n_words").between(20, 100000)
+    ok_meanlen = F.col("mean_wl").between(2, 10)
+    ok_stop = F.col("n_stop") >= 2
+    ok_rep = F.col("top_word_freq").cast("double") / F.col("n_words") <= 0.2
+    as_int = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    return per.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wl", 4).alias("mean_word_len"),
+        "top_word_freq",
+        "n_stop",
+        as_int(ok_nwords).alias("ok_nwords"),
+        as_int(ok_meanlen).alias("ok_meanlen"),
+        as_int(ok_stop).alias("ok_stopwords"),
+        as_int(ok_rep).alias("ok_repetition"),
+        as_int(ok_nwords & ok_meanlen & ok_stop & ok_rep).alias("keep"),
+    )
+
+
+# Phone/email patterns kept to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+_PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+
+
+@register(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH txt AS (
+      SELECT c_custkey,
+             c_name || ' call ' ||
+             printf('%02d-%03d-%03d-%04d',
+                    c_custkey % 90 + 10, c_custkey % 900 + 100,
+                    (c_custkey * 7) % 900 + 100, c_custkey % 9000 + 1000) ||
+             ' or mail ' || lower(replace(c_name, '#', '')) || '@example.com'
+             AS text
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(text, '{_PII_PHONE}', '[PHONE]', 'g'),
+                          '{_PII_EMAIL}', '[EMAIL]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_pii
+    FROM txt
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): redact phone/email patterns
+    and count redactions — pure JVM regexp expressions (regexp_replace +
+    regexp_count), linear, pushdown-friendly. The corpus has no organic
+    PII, so deterministic phone/email strings are synthesized from the
+    customer key FIRST and the scrubber is value-checked against them —
+    the regex machinery (the part that matters) is fully exercised.
+    Patterns restricted to the Java-regex ∩ RE2 common subset."""
+    t = tables(spark, sf_dir)
+    key = F.col("c_custkey")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" call "),
+        F.format_string(
+            "%02d-%03d-%03d-%04d",
+            key % 90 + 10,
+            key % 900 + 100,
+            (key * 7) % 900 + 100,
+            key % 9000 + 1000,
+        ),
+        F.lit(" or mail "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, _PII_PHONE, "[PHONE]"), _PII_EMAIL, "[EMAIL]"
+    )
+    n_pii = (
+        F.regexp_count(text, F.lit(_PII_PHONE))
+        + F.regexp_count(text, F.lit(_PII_EMAIL))
+    ).cast("long")
+    return t.customer.select(
+        "c_custkey", scrubbed.alias("scrubbed"), n_pii.alias("n_pii")
+    )
+
+
+@register(
+    "q_text_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching: near-identical name pairs by Levenshtein
+    distance within a BLOCKING KEY (nation) — the standard record-linkage
+    shape. The blocking join bounds candidate pairs (per-block quadratic,
+    never corpus-quadratic); at 100 TB narrow the block (sorted
+    neighborhood / LSH over name q-grams) — the join shape is unchanged.
+    Both engines implement classic unweighted edit distance."""
+    t = tables(spark, sf_dir)
+    a = t.customer.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("name1"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = t.customer.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("name2"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    lev = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, ["nk"])
+        .where(F.col("id1") < F.col("id2"))
+        .where(lev <= 1)
+        .select("id1", "id2", lev.cast("long").alias("lev"))
+    )

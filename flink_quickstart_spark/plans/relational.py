@@ -270,3 +270,38 @@ def q_scan_csv_roundtrip(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+@register(
+    "q_scan_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value,
+           CAST(min(event_id) AS BIGINT) AS min_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_orc_roundtrip(spark, sf_dir):
+    """A-family widening: ORC write → read → aggregate; the oracle runs
+    the same aggregate on the original parquet, proving the columnar
+    round-trip is lossless. ORC is Spark-native (no extra jar) and, like
+    parquet, supports predicate pushdown + column pruning — the second
+    columnar lake format a migrating user would bring."""
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "orc_roundtrip", os.path.basename(sf_dir)
+    )
+    t.events.select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    ).write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+        )
+    )

@@ -166,3 +166,59 @@ def q_sql_corr_subquery(spark, sf_dir):
     rewrite that makes this shape viable at 100 TB."""
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_sql_exists",
+    oracle=_EXISTS_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst rewrites it to a
+    LEFT SEMI join (RewritePredicateSubquery), so the probe side never
+    duplicates and the plan is one equi-join shuffle — the rewrite that
+    keeps EXISTS viable on a fact table at 100 TB. Byte-identical SQL on
+    both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_CTE_TOPK_SQL = """
+WITH nation_orders AS (
+  SELECT c_nationkey, o_orderkey, o_totalprice
+  FROM customer JOIN orders ON c_custkey = o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, o_orderkey, round(o_totalprice, 2) AS total,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM nation_orders
+)
+SELECT c_nationkey, o_orderkey, total, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register(
+    "q_sql_cte_topk",
+    oracle=_CTE_TOPK_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_cte_topk(spark, sf_dir):
+    """Chained CTEs + partitioned window in pure SQL (top-3 orders per
+    nation): the WindowExec is PARTITIONED (25 nation groups), and
+    Catalyst pushes the rn <= 3 rank limit into a per-partition top-k
+    (WindowGroupLimit) before the final filter — the at-scale shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_TOPK_SQL)

@@ -573,3 +573,74 @@ def q_retention_cohorts(spark, sf_dir):
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "q_sessionize_gaps_islands",
+    # Same independent oracle as q_window_session — two different Spark
+    # formulations must agree with one external definition of a session.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 300000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_sessionize_gaps_islands(spark, sf_dir):
+    """I3 alternative formulation: gaps-and-islands sessionization with
+    lag + running sum of session-break flags — the portable SQL idiom
+    (works on any engine; no session_window builtin needed) and the
+    fallback when the gap rule is data-dependent (session_window only
+    takes static/column gaps). Same 5-min strict-``> gap`` rule as
+    q_window_session, so both formulations must hash-match the same
+    oracle. All windows are PARTITIONED by user_id — parallel at any
+    scale."""
+    t = tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 300_000_000
+    flagged = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord) > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) + F.lit(gap_us)).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .drop("session_id")
+        .select(
+            "user_id", "session_start_us", "session_end_us", "n_events", "sum_value"
+        )
+    )

@@ -22,6 +22,7 @@ tests/test_timeseries.py standing in for the value check.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.operators.timeseries import sliding_znorm_distance
@@ -138,4 +139,42 @@ def q_ts_znorm_match(spark, sf_dir):
         F.col("key").alias("user_id"),
         "win_pos",
         F.round("dist", 6).alias("dist"),
+    )
+
+
+@register(
+    "q_ts_ffill",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS last_purchase_value
+    FROM events
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_ffill(spark, sf_dir):
+    """Forward-fill (the time-series gap-fill staple): carry each user's
+    most recent purchase value forward across their event timeline —
+    ``last(col, ignorenulls=True)`` over a running per-key frame. The
+    window is PARTITIONED by user_id (thousands of groups), so the sort
+    is per-key and parallel — the scale-safe sessionized-state shape, and
+    the batch analog of keyed ValueState lookup in a Flink process
+    function."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2).alias(
+            "last_purchase_value"
+        ),
     )

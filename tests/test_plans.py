@@ -184,3 +184,37 @@ def test_correlated_subquery_is_decorrelated(spark):
     plan = plan_of(spark, "q_sql_corr_subquery", mode="simple")
     assert "Join" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_sql_exists_plans_semi_join(spark):
+    """q_sql_exists: the correlated EXISTS must be rewritten to a LEFT
+    SEMI join (RewritePredicateSubquery) — the probe side never
+    duplicates, one equi-join shuffle."""
+    plan = plan_of(spark, "q_sql_exists")
+    assert "LeftSemi" in plan, plan
+
+
+def test_sql_cte_topk_plans_window_group_limit(spark):
+    """q_sql_cte_topk: rn <= 3 must push into WindowGroupLimit (per-
+    partition top-k before the full window sort) and the window must be
+    partitioned (by nation) — never a single-partition WindowExec."""
+    plan = plan_of(spark, "q_sql_cte_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_gopher_filters_stay_jvm_side(spark):
+    """q_text_gopher_filters: the whole rule battery is expressions +
+    two hash aggregates — no Python evaluation anywhere in the plan."""
+    plan = plan_of(spark, "q_text_gopher_filters")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_pii_scrub_prunes_scan(spark):
+    """q_text_pii_scrub reads only the two columns it needs."""
+    schemas = read_schemas(plan_of(spark, "q_text_pii_scrub"))
+    assert schemas and all(
+        "c_custkey" in s and "c_name" in s and "c_acctbal" not in s
+        for s in schemas
+    ), schemas
