@@ -18,6 +18,7 @@ from flink_quickstart_spark.operators.dedup import (
     jaccard_neardup_pairs,
     minhash_lsh_pairs,
     simhash64,
+    word_shingles,
 )
 from flink_quickstart_spark.operators.similarity import (
     brute_knn,
@@ -933,4 +934,73 @@ def q_text_fuzzy_match(spark, sf_dir):
         .where(F.col("id1") < F.col("id2"))
         .where(lev <= 1)
         .select("id1", "id2", lev.cast("long").alias("lev"))
+    )
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    bench AS (SELECT doc_id FROM documents
+              WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f')),
+    bench_sh AS (SELECT DISTINCT shingle FROM sh
+                 JOIN bench USING (doc_id)),
+    train_sh AS (SELECT sh.doc_id, sh.shingle FROM sh
+                 WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM train_sh GROUP BY doc_id),
+    overlap AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM train_sh t JOIN bench_sh b ON t.shingle = b.shingle
+                GROUP BY t.doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles, 4)
+             AS overlap_frac,
+           CAST(CASE WHEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / s.n_shingles
+                          >= 0.2 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM sizes s LEFT JOIN overlap o ON s.doc_id = o.doc_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination [PK: the n-gram overlap procedure of
+    GPT-3 app. C / PaLM app. — public methodology]: flag training
+    documents sharing too many shingles with a held-out benchmark set.
+    The benchmark here is the deterministic md5-rule subset (~12.5% of
+    docs) so the check is oracle-reproducible; in production it is the
+    actual eval suite. Plan: one shingle inverted-index semi-overlap
+    join + two hash aggs. At 100 TB the benchmark shingle set is tiny
+    relative to the corpus — broadcast it and the scan stays
+    one-pass, shuffling only (doc_id, overlap-count) partials."""
+    t = tables(spark, sf_dir)
+    sh = word_shingles(t.documents, "doc_id", "text", 3)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "e", "f"
+    )
+    bench_ids = t.documents.where(is_bench).select("doc_id")
+    bench_sh = (
+        sh.join(bench_ids, "doc_id").select("shingle").distinct()
+    )
+    train_sh = sh.join(bench_ids, "doc_id", "left_anti")
+    sizes = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlap = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.coalesce("n_overlap", F.lit(0)).cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(frac, 4).alias("overlap_frac"),
+            F.when(frac >= 0.2, 1).otherwise(0).cast("int").alias("contaminated"),
+        )
     )
