@@ -1004,3 +1004,42 @@ def q_llm_decontaminate(spark, sf_dir):
             F.when(frac >= 0.2, 1).otherwise(0).cast("int").alias("contaminated"),
         )
     )
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(floor(n_chars * 100.0 / 1000) AS INT) + 1))
+                * 1000 AS BIGINT) AS frame_ts_ms
+    FROM documents
+    WHERE n_chars > 0
+    """,
+    tags=("batch", "llm", "multimodal"),
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """K8: video frame-sampling PLAN (operators/multimodal.py) — explode
+    metadata into per-frame timestamp rows BEFORE any decode, so the
+    expensive decode stage (a mapInPandas over payload bytes, stubbed in
+    this container) runs only on the pruned frame set. Fake video
+    durations derive deterministically from n_chars (100 ms per char),
+    making the explode arithmetic — the part Spark owns — exactly
+    oracle-checkable. The payload column is never read: column pruning
+    keeps this metadata-only at any corpus size."""
+    from flink_quickstart_spark.operators.multimodal import frame_sample_plan
+
+    t = tables(spark, sf_dir)
+    media = t.documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/fake").alias("media_type"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+            F.lit("fake0").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )

@@ -85,3 +85,46 @@ def test_pagerank_dangling_mass_conserved(spark):
     ranks = {r.node: r.rank for r in pagerank(df, iterations=20).collect()}
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
     assert ranks[2] > ranks[1]  # 2 receives 1's mass
+
+
+def test_dedup_groups_cluster_properties(spark):
+    """q_llm_dedup_groups invariants on real data: canonical assignment
+    equals union-find over the operator's own pair graph; canon_id is
+    the cluster minimum; cluster_size counts members; every document
+    appears exactly once."""
+    from flink_quickstart_spark.operators.dedup import jaccard_neardup_pairs
+    from flink_quickstart_spark.plans import load_all
+    from flink_quickstart_spark.plans.registry import REGISTRY
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    load_all()
+
+    docs = load_tables(spark, SF_DIR).documents
+    pairs = [
+        (r.d1, r.d2)
+        for r in jaccard_neardup_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    ]
+    got = {
+        r.doc_id: (r.canon_id, r.cluster_size, r.is_canonical)
+        for r in REGISTRY["q_llm_dedup_groups"].builder(spark, SF_DIR).collect()
+    }
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    # min-reachable reference from the operator's own pair set
+    uf = union_find(pairs)
+    roots: dict[int, int] = {}
+    for node, root in uf.items():
+        roots.setdefault(root, node)
+        roots[root] = min(roots[root], node)
+    from collections import Counter
+
+    canon_of = {n: roots[r] for n, r in uf.items()}
+    size_of = Counter(canon_of.values())
+    assert pairs, "fixture has no near-dup pairs"
+    for doc, (canon, size, is_canon) in got.items():
+        want_canon = canon_of.get(doc, doc)
+        assert canon == want_canon, (doc, canon, want_canon)
+        assert size == size_of.get(want_canon, 1)
+        assert is_canon == (1 if canon == doc else 0)

@@ -271,3 +271,44 @@ def test_broadcast_budget_guard(spark):
         cosine_neardup_pairs(emb, threshold=0.9, max_broadcast_bytes=1024)
     # Within budget the operators still run.
     assert brute_knn(emb, k=2, max_broadcast_bytes=1 << 20).count() > 0
+
+
+def test_native_python_udtf_lateral(spark):
+    """J2 widened: Spark 4's native Python UDTF (@udtf class, registered
+    + LATERAL-joined in SQL) must agree with the explode-based tokenizer
+    — the API surface a Flink user maps flatMap/TableFunction onto when
+    the expansion logic genuinely needs Python. (The explode route stays
+    the production default: it is JVM-side.)"""
+    from pyspark.sql.functions import udtf
+
+    from flink_quickstart_spark.sources.tables import register_views
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                if w:
+                    yield (w, i)
+
+    spark.udtf.register("split_words_t", SplitWords)
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM documents d, LATERAL split_words_t(d.text) s
+        WHERE d.doc_id < 20
+        """
+    )
+    ref = spark.sql(
+        """
+        SELECT doc_id, col.word AS word, col.pos AS pos
+        FROM (SELECT doc_id,
+                     explode(filter(
+                       transform(split(text, ' '),
+                                 (w, i) -> struct(w AS word, i AS pos)),
+                       x -> x.word <> '')) AS col
+              FROM documents WHERE doc_id < 20)
+        """
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert got.count() > 0

@@ -108,6 +108,30 @@ def main() -> None:
     n_bc = plan.count("BroadcastHashJoin")
     print(f"star {n}x plan: BroadcastHashJoin={n_bc} (dims still broadcast at scale)")
 
+    # two-phase global rank at N×: every window stays partitioned (the
+    # bucket column), so the sort/rank spreads over `buckets` tasks
+    # instead of one — the claim operators/rank.py makes for 100 TB.
+    from flink_quickstart_spark.operators.rank import global_row_number
+
+    def ranked(o, buckets):
+        return global_row_number(
+            o.select("o_orderkey", "o_totalprice"),
+            order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            bucket_col="o_totalprice",
+            buckets=buckets,
+        )
+
+    ranked(t.orders, 64).collect()  # warm-up
+    base_r = timed("rank 1x", ranked(t.orders, 64))
+    big_r = timed(f"rank {n}x", ranked(orders, 64 * n))
+    print(f"rank scaling factor: {big_r / base_r:.1f}x for {n}x data")
+    rplan = (
+        ranked(orders, 64 * n)._jdf.queryExecution().executedPlan().toString()
+    )
+    windows = [ln for ln in rplan.splitlines() if "Window" in ln]
+    assert all("_rank_bucket" in ln for ln in windows if "Window" in ln), windows
+    print(f"rank {n}x plan: {len(windows)} Window node(s), all bucket-partitioned")
+
 
 if __name__ == "__main__":
     main()
