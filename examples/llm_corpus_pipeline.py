@@ -1,8 +1,9 @@
 """End-to-end LLM training-corpus pipeline on this engine.
 
 documents → quality filter → exact dedup → MinHash near-dup prune →
-deterministic train/test split → partitioned parquet. Every stage is a
-declarative DataFrame op from the engine's operator library, so the
+dedup-group canonical selection → benchmark decontamination → PII scrub
+→ deterministic train/test split → partitioned parquet. Every stage is
+a declarative DataFrame op from the engine's operator library, so the
 whole pipeline is ONE Catalyst plan per output and scales by
 partitioning (see docs/SCALE_DESIGN.md).
 
@@ -20,7 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark import get_spark
-from flink_quickstart_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from flink_quickstart_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_neardup_pairs,
+    minhash_lsh_pairs,
+    word_shingles,
+)
+from flink_quickstart_spark.operators.iterative import connected_components
 from flink_quickstart_spark.sources.tables import load_tables
 
 
@@ -48,19 +55,74 @@ def main() -> None:
     losers = pairs.select(F.greatest("d1", "d2").alias("doc_id")).distinct()
     pruned = deduped.join(losers, "doc_id", "left_anti")
 
-    # 4. deterministic hash split (no RNG state, reproducible anywhere)
+    # 4. exact-Jaccard dedup groups: cluster remaining near-dups (with
+    # the hot-shingle DF cap bounding candidate cost) and keep one
+    # canonical doc per cluster — the lowest id, deterministically.
+    jpairs = jaccard_neardup_pairs(
+        pruned, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000
+    )
+    comp = connected_components(
+        jpairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    non_canonical = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canonical = pruned.join(non_canonical, "doc_id", "left_anti")
+
+    # 5. benchmark decontamination: drop docs overlapping the held-out
+    # set (here the md5-rule subset; in production, the eval suite).
+    sh = word_shingles(canonical, "doc_id", "text", 3)
+    bench_flag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "e", "f"
+    )
+    bench_ids = canonical.where(bench_flag).select("doc_id")
+    bench_sh = sh.join(bench_ids, "doc_id").select("shingle").distinct()
+    overlap = (
+        sh.join(bench_ids, "doc_id", "left_anti")
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = (
+        sh.join(bench_ids, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    contaminated = (
+        sizes.join(overlap, "doc_id")
+        .where(F.col("n_overlap") / F.col("n_sh") >= 0.2)
+        .select("doc_id")
+    )
+    clean = canonical.join(bench_ids, "doc_id", "left_anti").join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 6. PII scrub (regex redaction — JVM-side, linear)
+    clean = clean.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                "text", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"
+            ),
+            "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}",
+            "[EMAIL]",
+        ),
+    )
+
+    # 7. deterministic hash split (no RNG state, reproducible anywhere)
     h = F.md5(F.col("doc_id").cast("string"))
-    final = pruned.withColumn(
+    final = clean.withColumn(
         "split",
         F.when(F.substring(h, 1, 1).isin("0", "1"), "test").otherwise("train"),
     )
 
-    # 5. partitioned landing: split/lang directories prune downstream scans
+    # 8. partitioned landing: split/lang directories prune downstream scans
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
 
     kept = spark.read.parquet(out_dir)
     print(f"input={docs.count()} after_quality={quality.count()} "
-          f"after_exact={deduped.count()} after_neardup={pruned.count()}")
+          f"after_exact={deduped.count()} after_neardup={pruned.count()} "
+          f"after_groups={canonical.count()} after_decontam+scrub={clean.count()}")
     kept.groupBy("split").count().orderBy("split").show()
     print("wrote", out_dir)
 

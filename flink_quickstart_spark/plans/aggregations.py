@@ -397,3 +397,37 @@ def q_agg_salted(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round("sum_value_raw", 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS qty,
+             round(sum(l_extendedprice), 2) AS price,
+             round(sum(l_discount), 2)      AS discount
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, val
+    FROM per UNPIVOT (val FOR metric IN (qty, price, discount))
+    """,
+    tags=("batch", "agg"),
+)
+def q_unpivot(spark, sf_dir):
+    """D7 complement: unpivot/melt — wide per-key metrics to long
+    (key, metric, value) rows via DataFrame.unpivot (Spark's native
+    melt; planned as an Expand node: one pass, rows×metrics output, no
+    shuffle beyond the feeding aggregate). The long layout is what
+    metric stores and plotting layers ingest."""
+    t = tables(spark, sf_dir)
+    per = t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return per.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
