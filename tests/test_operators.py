@@ -312,3 +312,48 @@ def test_native_python_udtf_lateral(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
     assert got.count() > 0
+
+
+def test_observe_quality_metrics(spark):
+    """Flink-metrics analog: in-plan observation counts rows and nulls
+    with zero extra passes, and agrees with explicit recomputation."""
+    from flink_quickstart_spark.observability import observe_quality
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR).events.withColumn(
+        "maybe", F.when(F.col("value") > 100, F.col("value"))
+    )
+    inst, get_metrics = observe_quality(
+        ev,
+        "quality",
+        null_cols=["maybe"],
+        extra={"sum_value": F.round(F.sum("value"), 2)},
+    )
+    n_out = inst.where(F.col("event_type") != "__none__").count()  # one action
+    m = get_metrics()
+    assert m["n_rows"] == ev.count() == n_out
+    assert m["n_null_maybe"] == ev.where(F.col("maybe").isNull()).count()
+    assert m["sum_value"] == round(
+        ev.agg(F.sum("value")).first()[0], 2
+    )
+
+
+def test_join_strategy_hints(spark):
+    """Join-strategy hints are honored: the same equi-join plans as
+    shuffle-hash vs sort-merge under explicit hints (the manual override
+    when AQE's choice is wrong for a known workload)."""
+    from flink_quickstart_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    o = t.orders.hint("shuffle_hash")
+    plan_shj = (
+        t.customer.join(o, t.customer.c_custkey == o.o_custkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan_shj, plan_shj
+    o2 = t.orders.hint("merge")
+    plan_smj = (
+        t.customer.join(o2, t.customer.c_custkey == o2.o_custkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan_smj, plan_smj
