@@ -377,3 +377,59 @@ def q_join_range_binned(spark, sf_dir):
         F.round(F.min("c_acctbal"), 2).alias("closest_lo"),
         F.round(F.max("c_acctbal"), 2).alias("closest_hi"),
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("batch", "join", "scale"),
+)
+def q_join_bucketed(spark, sf_dir):
+    """C1 at the storage layer: the same equi-join routed through
+    BUCKETED tables (sources/bucketing.py) — both sides pre-hashed into
+    8 co-located buckets at write time, so the join plans with NO
+    Exchange on either side (asserted in tests/test_plans.py). This is
+    the pay-once-per-dataset answer to the fact⋈fact shuffle at 100 TB;
+    the oracle certifies the layout change never changes results. The
+    bucketed write happens inside the key (idempotent overwrite) so the
+    query is self-contained at gate scale."""
+    import os
+    import tempfile
+
+    from flink_quickstart_spark.sources.bucketing import (
+        read_table,
+        write_bucketed,
+    )
+
+    t = tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "fqs_scratch", "bucketed", tag)
+    write_bucketed(
+        t.customer.select("c_custkey", "c_name"),
+        f"fqs_b_customer_{tag}",
+        os.path.join(base, "customer"),
+        "c_custkey",
+        8,
+    )
+    write_bucketed(
+        t.orders.select("o_custkey", "o_totalprice"),
+        f"fqs_b_orders_{tag}",
+        os.path.join(base, "orders"),
+        "o_custkey",
+        8,
+    )
+    c = read_table(spark, f"fqs_b_customer_{tag}")
+    o = read_table(spark, f"fqs_b_orders_{tag}")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )

@@ -218,3 +218,14 @@ def test_pii_scrub_prunes_scan(spark):
         "c_custkey" in s and "c_name" in s and "c_acctbal" not in s
         for s in schemas
     ), schemas
+
+
+def test_bucketed_join_key_has_no_shuffle_exchange(spark):
+    """q_join_bucketed: co-located bucket reads — ZERO shuffle exchanges
+    anywhere in the plan. Even the post-join aggregate reuses the bucket
+    partitioning on the key (a BroadcastExchange may appear at gate
+    scale when one side fits under the threshold — broadcast is not a
+    shuffle)."""
+    plan = plan_of(spark, "q_join_bucketed", mode="simple")
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
