@@ -431,3 +431,51 @@ def q_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT user_id,
+           CAST(bool_and(value > 10) AS INT)           AS all_gt10,
+           CAST(bool_or(event_type = 'error') AS INT)  AS any_error,
+           CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big
+    FROM events GROUP BY user_id
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_bool(spark, sf_dir):
+    """D-ext: boolean aggregates (every/any) + FILTERed count — the
+    assertion-style aggregate family (Flink users express these as
+    reduce over booleans). Emitted as INT for portable hashing; planned
+    partial+final like any hash agg."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 10).cast("int").alias("all_gt10"),
+        F.bool_or(F.col("event_type") == "error").cast("int").alias("any_error"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(array_agg(DISTINCT event_type)), ',')
+             AS types_sorted,
+           CAST(len(array_agg(DISTINCT event_type)) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_collect(spark, sf_dir):
+    """D-ext: collection aggregate (collect_set) with a CANONICAL sorted
+    rendering — collect order is engine- and partition-dependent, so the
+    only oracle-safe emission is sort + join (same trick as q_fn_map).
+    The Flink analog is a ListState-accumulating window function."""
+    t = tables(spark, sf_dir)
+    types = F.collect_set("event_type")
+    return t.events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(types), ",").alias("types_sorted"),
+        F.size(types).cast("long").alias("n_types"),
+    )

@@ -239,3 +239,33 @@ def q_wf_trailing_7d(spark, sf_dir):
         F.round(F.sum("o_totalprice").over(w), 2).alias("trail_sum"),
         F.count(F.lit(1)).over(w).alias("trail_n"),
     )
+
+
+@register(
+    "q_wf_nth",
+    oracle="""
+    SELECT c_custkey,
+           nth_value(c_name, 2) OVER w AS second_poorest,
+           first_value(c_name)  OVER w AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("batch", "window"),
+)
+def q_wf_nth(spark, sf_dir):
+    """E6 extension: nth_value / first_value over a full-partition frame
+    (per-nation 2nd-lowest-balance customer) — PARTITIONED window, frame
+    spans the whole partition so every row sees the same answer. The
+    unique (acctbal, custkey) ordering makes it deterministic."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.customer.select(
+        "c_custkey",
+        F.nth_value("c_name", 2).over(w).alias("second_poorest"),
+        F.first("c_name").over(w).alias("poorest"),
+    )
