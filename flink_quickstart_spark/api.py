@@ -151,6 +151,69 @@ class DataStream:
     def key_by(self, *keys: ColumnLike) -> "KeyedStream":
         return KeyedStream(self._df, [_col(k) for k in keys], self._env)
 
+    # -- joins (Flink: join / intervalJoin / coGroup) ----------------------
+
+    def join(
+        self, other: "DataStream", on, how: str = "inner", broadcast: bool = False
+    ) -> "DataStream":
+        """Equi join (Flink ``DataStream.join ... where().equalTo()``).
+        ``broadcast=True`` hints the other side (Flink broadcast-join
+        analog) — use for dimension-sized sides."""
+        right = F.broadcast(other._df) if broadcast else other._df
+        return DataStream(self._df.join(right, on, how), self._env)
+
+    def interval_join(
+        self,
+        other: "DataStream",
+        key: str,
+        lower: str,
+        upper: str,
+        left_time: str = "ts",
+        right_time: str = "ts",
+    ) -> "DataStream":
+        """Flink ``keyedA.intervalJoin(keyedB).between(lower, upper)``:
+        pairs where ``l.left_time + lower <= r.right_time <= l.left_time
+        + upper`` on equal keys. Bounds are interval strings ("0 seconds",
+        "10 minutes"); negative bounds look backward ("-10 minutes").
+        Catalyst plans the equi-key part as the join key (hash shuffle)
+        with the time bounds as post-join predicates — the same shape the
+        streaming stream-stream join uses with watermarks."""
+        l, r = self._df.alias("l"), other._df.alias("r")
+        lt = F.col(f"l.{left_time}")
+        rt = F.col(f"r.{right_time}")
+        cond = (
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (rt >= lt + F.expr(f"INTERVAL {lower}"))
+            & (rt <= lt + F.expr(f"INTERVAL {upper}"))
+        )
+        return DataStream(l.join(r, cond), self._env)
+
+    def as_of_join(
+        self,
+        other: "DataStream",
+        key: str,
+        left_time: str,
+        right_time: str,
+        value_cols: list[str],
+    ) -> "DataStream":
+        """Flink temporal-table join analog: each left row picks the
+        latest right row at-or-before its time (operators/joins.py)."""
+        from flink_quickstart_spark.operators.joins import asof_join
+
+        return DataStream(
+            asof_join(self._df, other._df, key, left_time, right_time, value_cols),
+            self._env,
+        )
+
+    def co_group(
+        self, other: "DataStream", key, fn: Callable, schema
+    ) -> "DataStream":
+        """Flink ``coGroup``: both inputs grouped on ``key``; ``fn(key,
+        left_pdf, right_pdf) -> pdf`` sees each key's full groups side by
+        side (Arrow-batched cogroup.applyInPandas)."""
+        grouped = self._df.groupBy(key).cogroup(other._df.groupBy(key))
+        return DataStream(grouped.applyInPandas(fn, schema), self._env)
+
     # -- sinks -------------------------------------------------------------
 
     def to_df(self) -> DataFrame:

@@ -183,3 +183,69 @@ def test_count_window_tiebreak_determinism(spark):
 
     with pytest.raises(ValueError, match="tiebreak columns not in frame"):
         keyed.count_window(7, order_col="const_ts", tiebreak_cols=("nope",))
+
+
+def test_datastream_join_surface(spark):
+    """Flink join-surface parity on the fluent API: equi join (+broadcast
+    hint), interval join (incl. negative lower bound), as-of join, and
+    coGroup all delegate to the engine's operators and agree with direct
+    DataFrame formulations."""
+    import pandas as pd
+
+    env = env_of(spark)
+    ev = env.read_table("events", SF_DIR)
+    cust = env.read_table("customer", SF_DIR)
+    ords = env.read_table("orders", SF_DIR)
+
+    # equi + broadcast hint
+    j = ords.join(cust, on=ords._df.o_custkey == cust._df.c_custkey,
+                  broadcast=True)
+    assert j.to_df().count() == ords._df.join(
+        cust._df, ords._df.o_custkey == cust._df.c_custkey
+    ).count()
+    assert "BroadcastHashJoin" in (
+        j.to_df()._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # interval join: purchases followed by clicks within 10 minutes
+    purchases = ev.filter(F.col("event_type") == "purchase").map(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").map(
+        "user_id", "ts", "event_id"
+    )
+    got = purchases.interval_join(
+        clicks, key="user_id", lower="0 seconds", upper="10 minutes"
+    ).to_df()
+    l, r = purchases.to_df().alias("l"), clicks.to_df().alias("r")
+    ref = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    assert got.count() == ref.count() > 0
+    # negative lower bound widens backward
+    wide = purchases.interval_join(
+        clicks, key="user_id", lower="-10 minutes", upper="10 minutes"
+    ).to_df()
+    assert wide.count() >= got.count()
+
+    # as-of join matches the operator directly
+    asof = purchases.as_of_join(
+        clicks, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["event_id"],
+    ).to_df()
+    assert asof.count() == purchases.to_df().count()
+
+    # coGroup: per-user counts from both sides
+    def counts(key, lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_l": [len(lp)], "n_r": [len(rp)]}
+        )
+
+    cg = purchases.co_group(
+        clicks, "user_id", counts, "user_id bigint, n_l bigint, n_r bigint"
+    ).to_df()
+    row = cg.where(F.col("n_l") > 0).first()
+    assert row is not None and row.n_l > 0
