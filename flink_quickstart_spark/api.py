@@ -151,6 +151,38 @@ class DataStream:
     def key_by(self, *keys: ColumnLike) -> "KeyedStream":
         return KeyedStream(self._df, [_col(k) for k in keys], self._env)
 
+    # -- physical redistribution (Flink: rebalance / rescale / shuffle) ----
+
+    def rebalance(self, num_partitions: int | None = None) -> "DataStream":
+        """Flink ``rebalance()``: round-robin redistribution to break
+        skew from an uneven source — a full shuffle; use only when a
+        downstream stage genuinely needs even partitions."""
+        df = (
+            self._df.repartition(num_partitions)
+            if num_partitions
+            else self._df.repartition(self._df.sparkSession.sparkContext.defaultParallelism)
+        )
+        return DataStream(df, self._env)
+
+    def rescale(self, num_partitions: int) -> "DataStream":
+        """Flink ``rescale()`` analog: local merge to fewer partitions
+        WITHOUT a shuffle (coalesce) — the cheap way down in parallelism
+        (e.g. before writing few large files)."""
+        return DataStream(self._df.coalesce(num_partitions), self._env)
+
+    def split(self, cond: ColumnLike) -> tuple["DataStream", "DataStream"]:
+        """Side-output analog (Flink split/OutputTag, batch form): rows
+        matching ``cond`` and the rest, as two streams off ONE lineage —
+        Spark scans the source twice unless cached, but each branch gets
+        the full pushdown of its own predicate. For the streaming
+        late-data side output use streaming/harness.py's
+        foreach_batch_with_late_side_output (single-pass per batch)."""
+        c = _col(cond)
+        return (
+            DataStream(self._df.where(c), self._env),
+            DataStream(self._df.where(~c | c.isNull()), self._env),
+        )
+
     # -- joins (Flink: join / intervalJoin / coGroup) ----------------------
 
     def join(

@@ -249,3 +249,27 @@ def test_datastream_join_surface(spark):
     ).to_df()
     row = cg.where(F.col("n_l") > 0).first()
     assert row is not None and row.n_l > 0
+
+
+def test_redistribution_and_split(spark):
+    """rebalance shuffles to N even partitions; rescale coalesces without
+    a shuffle; split routes every row to exactly one branch (nulls to
+    the else-branch)."""
+    env = env_of(spark)
+    ev = env.read_table("events", SF_DIR)
+
+    reb = ev.rebalance(8).to_df()
+    assert reb.rdd.getNumPartitions() == 8
+    assert "Exchange RoundRobinPartitioning" in (
+        reb._jdf.queryExecution().executedPlan().toString()
+    )
+
+    resc = ev.rebalance(8).rescale(2).to_df()
+    assert resc.rdd.getNumPartitions() == 2
+    plan = resc._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan, plan
+
+    hot, rest = ev.split(F.col("value") > 100)
+    n_hot, n_rest = hot.to_df().count(), rest.to_df().count()
+    assert n_hot + n_rest == ev.to_df().count()
+    assert n_hot == ev.to_df().where(F.col("value") > 100).count()
