@@ -90,12 +90,36 @@ _DRIVER_COVERED_R1: frozenset[str] = frozenset(
 )
 
 
+# Keys first registered in round 2 — no driver evidence yet, but younger
+# than the round-1 backlog, so they queue BEHIND it: if the driver's
+# per-round cap bites, the keys that have waited a full round get their
+# CORRECTNESS row first (VERDICT r1 item 3).
+_REGISTERED_R2: frozenset[str] = frozenset(
+    {
+        "q_llm_dedup_groups", "q_llm_decontaminate", "q_text_gopher_filters",
+        "q_text_pii_scrub", "q_text_fuzzy_match", "q_agg_stats_family",
+        "q_agg_salted", "q_agg_bool", "q_agg_collect", "q_unpivot",
+        "q_sql_exists", "q_sql_cte_topk", "q_scan_orc_roundtrip",
+        "q_ts_ffill", "q_sessionize_gaps_islands", "q_multimodal_framesample",
+        "q_join_bucketed", "q_wf_nth",
+    }
+)
+
+
 def _driver_order(names) -> list[str]:
-    """Uncovered-first, registration order preserved within each group."""
+    """Three tiers — r1 backlog (uncovered since round 1, incl. the fixed
+    simhash re-run), then round-2 newcomers, then r1-covered keys —
+    registration order preserved within each tier."""
     names = list(names)
-    return [n for n in names if n not in _DRIVER_COVERED_R1] + [
-        n for n in names if n in _DRIVER_COVERED_R1
-    ]
+
+    def tier(n: str) -> int:
+        if n in _DRIVER_COVERED_R1:
+            return 2
+        if n in _REGISTERED_R2:
+            return 1
+        return 0
+
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def queries() -> dict[str, Builder]:
