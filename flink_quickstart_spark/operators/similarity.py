@@ -37,27 +37,39 @@ def _collect_corpus(
     """Collect (ids, matrix, norms) for the broadcast tiers, failing fast
     when the estimated matrix size exceeds the budget.
 
-    The estimate (one cheap count + first-row dim probe) runs BEFORE
-    ``toPandas()``, so an over-budget corpus raises a clear error instead
-    of OOMing the driver mid-collect. Over-budget corpora belong on the
+    The estimate comes from Catalyst plan statistics (``sizeInBytes`` of
+    the optimized two-column projection — parquet footer based, NO Spark
+    job) scaled 4× for compressed-parquet → float64-in-memory expansion,
+    so an over-budget corpus raises a clear error instead of OOMing the
+    driver mid-collect — at zero cost to within-budget callers. Sources
+    without stats (e.g. local relations) report Long.MaxValue; those fall
+    back to an exact count + dim probe (two tiny jobs — such frames are
+    test-sized by construction). Over-budget corpora belong on the
     bucketed tiers: :func:`ivf_topk` (corpus partitioned by centroid) or
     :func:`lsh_ann_buckets` (bucket-collision equi-join).
     """
-    probe = df.select(vec_col).first()
-    dim = len(probe[0]) if probe and probe[0] is not None else 0
-    n = df.select(id_col).count()
-    est = n * (dim * 8 + 16)  # float64 matrix + id/norm overhead
+    _STATS_UNKNOWN = (1 << 62)
+    projected = df.select(id_col, vec_col)
+    stat = int(
+        projected._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if stat < _STATS_UNKNOWN:
+        est = 4 * stat
+    else:
+        probe = projected.select(vec_col).first()
+        dim = len(probe[0]) if probe and probe[0] is not None else 0
+        est = projected.count() * (dim * 8 + 16)
     if est > max_broadcast_bytes:
         raise ValueError(
-            f"{op}: corpus of {n} vectors x dim {dim} (~{est / 2**20:.0f} MiB "
-            f"as float64) exceeds the broadcast budget of "
+            f"{op}: corpus projection estimated at ~{est / 2**20:.0f} MiB "
+            f"in memory exceeds the broadcast budget of "
             f"{max_broadcast_bytes / 2**20:.0f} MiB. The broadcast-matrix tier "
             "is exact but requires the corpus to fit in executor memory; use "
             "ivf_topk (IVF: centroid-bucketed, file-prunable) or "
             "lsh_ann_buckets (LSH: bucket equi-join) for corpora beyond it, "
             "or raise max_broadcast_bytes explicitly."
         )
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = projected.toPandas()
     ids = pdf[id_col].to_numpy()
     matrix = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(matrix, axis=1)
