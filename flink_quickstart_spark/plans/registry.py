@@ -101,7 +101,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "q_agg_salted", "q_agg_bool", "q_agg_collect", "q_unpivot",
         "q_sql_exists", "q_sql_cte_topk", "q_scan_orc_roundtrip",
         "q_ts_ffill", "q_sessionize_gaps_islands", "q_multimodal_framesample",
-        "q_join_bucketed", "q_wf_nth",
+        "q_join_bucketed", "q_wf_nth", "q_scan_json_corrupt",
     }
 )
 

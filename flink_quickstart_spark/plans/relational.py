@@ -305,3 +305,46 @@ def q_scan_orc_roundtrip(spark, sf_dir):
             F.min("event_id").alias("min_id"),
         )
     )
+
+
+@register(
+    "q_scan_json_corrupt",
+    # Corruption is injected by a deterministic rule (event_id % 50 == 0),
+    # so the oracle derives expected good/corrupt counts from the clean
+    # parquet without parsing any JSON.
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE event_id % 50 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE event_id % 50 = 0)  AS BIGINT) AS n_corrupt,
+           round(sum(value) FILTER (WHERE event_id % 50 <> 0), 2)     AS sum_good
+    FROM events
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_json_corrupt(spark, sf_dir):
+    """A-family robustness: JSON-lines ingest with malformed rows under
+    PERMISSIVE mode — bad records land whole in ``_corrupt_record``
+    instead of killing the job or silently vanishing, and the pipeline
+    counts/quarantines them (the dirty-data contract every production
+    ingest needs). Every 50th event is written as truncated JSON; the
+    reader must recover exactly the other 49/50."""
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "json_corrupt", os.path.basename(sf_dir)
+    )
+    good = F.to_json(F.struct("event_id", "value"))
+    line = F.when(
+        F.col("event_id") % 50 == 0, F.concat(F.lit('{"event_id": '), F.lit("oops"))
+    ).otherwise(good)
+    t.events.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("event_id long, value double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.round(F.sum(F.when(~bad, F.col("value"))), 2).alias("sum_good"),
+    )
