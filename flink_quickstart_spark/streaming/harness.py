@@ -35,32 +35,43 @@ def _scratch(*parts: str) -> str:
     return d
 
 
-def events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+def table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """The ``events`` table as a file-source stream with the same schema
-    and ts normalization as the batch loader (A6: directory-monitoring
-    source, Flink ``readFile(..., PROCESS_CONTINUOUSLY)`` analog)."""
-    batch = load_table(spark, sf_dir, "events")
+    """Any testdata table as a file-source stream with the same schema
+    (and, for events, ts normalization) as the batch loader (A6:
+    directory-monitoring source, Flink ``readFile(...,
+    PROCESS_CONTINUOUSLY)`` analog)."""
+    batch = load_table(spark, sf_dir, table)
     # The file source monitors a DIRECTORY; testdata is one file per table
-    # in a shared dir, so stage a scratch dir containing only the events
+    # in a shared dir, so stage a scratch dir containing only this table's
     # file (symlink — no copy). In production this is the landing dir.
-    src_dir = _scratch("stream_src", os.path.basename(sf_dir.rstrip("/")), "events")
-    link = os.path.join(src_dir, "events.parquet")
+    src_dir = _scratch("stream_src", os.path.basename(sf_dir.rstrip("/")), table)
+    link = os.path.join(src_dir, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     reader = spark.readStream.schema(
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(src_dir)
-    # Re-apply the ns→µs conversion on the raw stream (schema carries ts
-    # as bigint nanos under nanosAsLong).
-    if dict(raw.dtypes)["ts"] == "bigint":
+    # Re-apply the ns→µs conversion on raw streams carrying bigint-nanos
+    # ts (schema carries ts as bigint under nanosAsLong).
+    if "ts" in dict(raw.dtypes) and dict(raw.dtypes)["ts"] == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     assert raw.schema == batch.schema, "stream/batch schema drift"
     return raw
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The ``events`` table as a file-source stream (see table_stream)."""
+    return table_stream(spark, sf_dir, "events", max_files_per_trigger)
 
 
 def run_to_memory(

@@ -316,3 +316,25 @@ def test_continuous_aggregate_tiers_streamed_then_rolled(spark, tmp_path):
     got = sorted(tuple(r) for r in hour_from_tier.collect())
     exp = sorted(tuple(r) for r in direct.collect())
     assert got == exp
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """LLM-pipeline op on a STREAM: exact dedup (sha-grouped) over a
+    documents file stream in complete mode equals the batch operator —
+    the incremental-corpus ingest path (new files land, dedup state
+    updates, no recompute)."""
+    from flink_quickstart_spark.operators.dedup import exact_dedup
+    from flink_quickstart_spark.sources.tables import load_table
+    from flink_quickstart_spark.streaming.harness import (
+        run_to_memory,
+        table_stream,
+    )
+
+    stream = table_stream(spark, SF_DIR, "documents")
+    got = run_to_memory(
+        exact_dedup(stream, "text", "doc_id"), output_mode="complete"
+    )
+    batch = exact_dedup(load_table(spark, SF_DIR, "documents"), "text", "doc_id")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch.collect()
+    } and got.count() > 0
