@@ -102,6 +102,8 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "q_sql_exists", "q_sql_cte_topk", "q_scan_orc_roundtrip",
         "q_ts_ffill", "q_sessionize_gaps_islands", "q_multimodal_framesample",
         "q_join_bucketed", "q_wf_nth", "q_scan_json_corrupt",
+        "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q13", "q_sql_q15",
+        "q_sql_q17", "q_sql_q18", "q_sql_q19",
     }
 )
 

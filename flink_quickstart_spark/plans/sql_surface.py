@@ -194,6 +194,260 @@ def q_sql_exists(spark, sf_dir):
     return spark.sql(_EXISTS_SQL)
 
 
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "q_sql_q5",
+    oracle=_Q5_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): six-way join where the
+    c_nationkey = s_nationkey condition rides on the supplier join —
+    Catalyst broadcasts supplier/nation/region and shuffles only
+    customer⋈orders⋈lineitem; join reordering picks the dim-first order.
+    Byte-identical SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q_sql_q7",
+    oracle=_Q7_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation dim joins TWICE under
+    different aliases (supplier side and customer side) with a disjunctive
+    cross-filter — self-aliased dim joins both broadcast, and the
+    disjunction stays a post-join filter rather than exploding the plan.
+    Byte-identical SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "q_sql_q8",
+    oracle=_Q8_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): eight-way join with nation
+    aliased on both the customer and supplier paths, then a conditional
+    share ratio per year. Every dim broadcasts; the only shuffles are the
+    fact-side equi-joins and the final year agg. Byte-identical SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q_sql_q13",
+    oracle=_Q13_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with a non-key predicate in the ON clause (kept on the join, not
+    pushed to WHERE — semantics differ), then a two-level aggregate.
+    count(o_orderkey) counts only matched rows, so no-order customers
+    land in the c_count=0 bucket. Byte-identical SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q_sql_q15",
+    oracle=_Q15_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): a CTE referenced twice — once as
+    the join input and once inside a scalar MAX subquery. Spark plans the
+    scalar subquery as a broadcast ReusedExchange over the same aggregate,
+    so the fact table is scanned once, not twice. Byte-identical SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "q_sql_q17",
+    oracle=_Q17_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG subquery against the same fact table — Catalyst decorrelates it
+    into a per-partkey aggregate joined back (one extra shuffle, not a
+    per-row re-scan), which is what keeps this shape viable at 100 TB.
+    Byte-identical SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 1) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "q_sql_q18",
+    oracle=_Q18_SQL.replace("AS STRING", "AS VARCHAR"),
+    tags=("batch", "sql"),
+)
+def q_sql_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    subquery on the fact table — rewritten to a LEFT SEMI join against
+    the aggregated orderkeys, so the fact table joins a pre-shrunk key
+    set instead of re-scanning per row. Identical text modulo
+    STRING/VARCHAR."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "q_sql_q19",
+    oracle=_Q19_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs mixing columns from both join sides. Catalyst extracts the
+    common p_partkey equi-key so this stays a hash join (not a nested
+    loop), and pushes the per-side conjunct unions (p_brand IN …,
+    l_quantity ranges) below the join as scan filters. Byte-identical
+    SQL on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
 _CTE_TOPK_SQL = """
 WITH nation_orders AS (
   SELECT c_nationkey, o_orderkey, o_totalprice
