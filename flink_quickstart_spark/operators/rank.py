@@ -68,31 +68,7 @@ def global_row_number(
     and the parallelism of the window stage; raise it at larger scale.
     """
     asc = _is_ascending(order_by[0])
-
-    probs = [i / buckets for i in range(1, buckets)]
-    # approxQuantile ignores nulls; rank ordering with nulls is
-    # ambiguous across engines anyway — callers filter them.
-    raw = df.stat.approxQuantile(bucket_col, probs, 0.001)
-    boundaries = sorted(set(float(b) for b in raw))
-
-    v = F.col(bucket_col)
-    if boundaries:
-        barr = F.array(*[F.lit(b) for b in boundaries])
-        if asc:
-            bucket = F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
-            )
-        else:
-            bucket = F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc + F.when(v < b, 1).otherwise(0),
-            )
-    else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn(_GB, bucket)
+    bucketed = df.withColumn(_GB, _bucket_expr(df, bucket_col, asc, buckets))
 
     counts = {
         r[_GB]: r["cnt"]
@@ -156,6 +132,74 @@ def global_order_stats(
         ranked.withColumn("ntile", tile.cast("long"))
         .withColumn("pct_rank", pct)
         .withColumn("cdist", pos.cast("double") / F.lit(float(max(n, 1))))
+    )
+
+
+def _bucket_expr(df: DataFrame, bucket_col: str, asc: bool, buckets: int) -> Column:
+    """Value-deterministic range-bucket id for ``bucket_col``: boundaries
+    from one approxQuantile pass, assignment as a pure expression (tied
+    values can never straddle a bucket). approxQuantile ignores nulls;
+    rank ordering with nulls is ambiguous across engines anyway —
+    callers filter them."""
+    probs = [i / buckets for i in range(1, buckets)]
+    raw = df.stat.approxQuantile(bucket_col, probs, 0.001)
+    boundaries = sorted(set(float(b) for b in raw))
+    if not boundaries:
+        return F.lit(0)
+    v = F.col(bucket_col)
+    barr = F.array(*[F.lit(b) for b in boundaries])
+    if asc:
+        return F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + F.when(v > b, 1).otherwise(0)
+        )
+    return F.aggregate(
+        barr, F.lit(0), lambda acc, b: acc + F.when(v < b, 1).otherwise(0)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[Column],
+    bucket_col: str,
+    out_col: str = "running",
+    buckets: int = 64,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running SUM of ``value_col`` over the
+    global ``order_by`` — the distributed prefix-sum, same two-phase shape
+    as :func:`global_row_number`: range-bucket on ``bucket_col``, one tiny
+    per-bucket SUM aggregate to the driver, prefix-sum those into bucket
+    offsets, broadcast them back, and finish with a *partitioned* running
+    window inside each bucket. No single-partition WindowExec anywhere;
+    every stage is parallel across ``buckets`` tasks.
+
+    ``order_by`` must be a unique total ordering (include a tiebreak key)
+    so the prefix sum is well-defined row-by-row.
+    """
+    asc = _is_ascending(order_by[0])
+    bucketed = df.withColumn(_GB, _bucket_expr(df, bucket_col, asc, buckets))
+
+    sums = {
+        r[_GB]: r["s"]
+        for r in bucketed.groupBy(_GB).agg(F.sum(value_col).alias("s")).collect()
+    }
+    total, offsets = 0, []
+    for bid in sorted(sums):
+        offsets.append((bid, total))
+        total += sums[bid] or 0
+
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, f"{_GB} int, {_OFF} long")
+
+    w = (
+        Window.partitionBy(_GB)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), _GB)
+        .withColumn(out_col, (F.col(_OFF) + F.sum(value_col).over(w)).cast("long"))
+        .drop(_GB, _OFF)
     )
 
 

@@ -1043,3 +1043,143 @@ def q_multimodal_framesample(spark, sf_dir):
     return frames.select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+@register(
+    "q_llm_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 40 AS BIGINT) AS chunk_id,
+           CAST(len(array_slice(t, start + 1, start + 50)) AS BIGINT) AS n_tokens,
+           array_to_string(array_slice(t, start + 1, start + 50), ' ') AS chunk_text
+    FROM st
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_chunk(spark, sf_dir):
+    """Context-window chunking — the tokenize→window step every training
+    pipeline runs before packing: overlapping 50-token windows with
+    stride 40 (10-token overlap so no boundary n-gram is lost). All
+    JVM-side array expressions (split → sequence of starts → explode →
+    slice → array_join): per-row fanout is ceil(n_tokens/stride) with no
+    shuffle at all — the operator is embarrassingly parallel and scales
+    linearly with corpus bytes at 100 TB."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    docs = t.documents.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(40)
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, 50)
+    return (
+        docs.select("doc_id", "t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 40).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "q_llm_dedup_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(w) - 3),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM toks WHERE len(w) >= 5),
+    df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+    FROM sh JOIN df USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_spans(spark, sf_dir):
+    """Span-level duplication signal (the exact-substring-dedup
+    diagnostic): per document, the fraction of its distinct 5-token
+    shingles that also occur in at least one OTHER copy in the corpus —
+    the filter signal behind 'remove documents that are mostly
+    boilerplate'. Two shuffles total (shingle DF agg + join back on
+    shingle), both on the shingle key; the DISTINCT per (doc, shingle)
+    bounds inverted-index fanout exactly as the Jaccard tier does."""
+    t = tables(spark, sf_dir)
+    sh = word_shingles(t.documents, "doc_id", "text", n=5)
+    # d counts DOCUMENTS per shingle (sh is distinct per doc), so d >= 2
+    # means the span recurs outside this document.
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    dup = F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            dup.cast("long").alias("n_dup_spans"),
+            F.round(dup / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), run AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS ending
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(ending - n_tokens AS BIGINT) AS start_offset,
+           CAST((ending - n_tokens) // 2048 AS BIGINT) AS seq_id
+    FROM run
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing — GPT-style pretraining's 'lay
+    all documents end to end in a deterministic order, then cut every
+    2048 tokens': each doc gets its global token start_offset and the id
+    of the context window its first token lands in. The prefix sum is
+    the distributed two-phase ``global_running_sum``
+    (operators/rank.py): range-bucket on doc_id, per-bucket sums to the
+    driver, broadcast offsets, per-bucket running window — NO
+    single-partition WindowExec, unlike the naive
+    ``sum().over(Window.orderBy(...))``, so the packing plan survives a
+    100 TB corpus."""
+    from flink_quickstart_spark.operators.rank import global_running_sum
+
+    t = tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", X.n_tokens("text").alias("n_tokens"))
+    packed = global_running_sum(
+        docs, "n_tokens", [F.col("doc_id")], "doc_id", out_col="ending"
+    )
+    start = F.col("ending") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        start.cast("long").alias("start_offset"),
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+    )

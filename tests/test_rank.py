@@ -94,3 +94,33 @@ def test_no_partitionless_window_in_plan(_spark):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "_rank_bucket" in line, line
+
+
+@given(a=vals)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_running_sum_matches_window(_spark, a):
+    from flink_quickstart_spark.operators.rank import global_running_sum
+
+    df = _spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(a)], "id long, n long"
+    ).repartition(4)
+    order = [F.col("n"), F.col("id")]
+    got = {
+        (r["id"], r["running"])
+        for r in global_running_sum(
+            df, "n", order, bucket_col="n", buckets=5
+        ).collect()
+    }
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        (r["id"], r["running"])
+        for r in df.withColumn("running", F.sum("n").over(w).cast("long")).collect()
+    }
+    assert got == ref
