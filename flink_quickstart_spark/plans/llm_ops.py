@@ -1183,3 +1183,37 @@ def q_llm_pack_sequences(spark, sf_dir):
         start.cast("long").alias("start_offset"),
         F.floor(start / 2048).cast("long").alias("seq_id"),
     )
+
+
+@register(
+    "q_llm_sample_balanced",
+    oracle="""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents
+    ) WHERE rn <= 60
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_llm_sample_balanced(spark, sf_dir):
+    """Language-balanced subcorpus — the data-mixture op: cap every
+    language at K=60 docs, choosing the K with the smallest
+    md5(doc_id), so the selection is a deterministic uniform draw that
+    re-derives identically on any engine/run (no RNG state). Unlike the
+    rate-based q_sample_stratified, this is a cap-K mixture: the window
+    is PARTITIONED by language and Catalyst inserts WindowGroupLimit,
+    so each map task pre-prunes to its local top-K before the shuffle —
+    the same plan shape as q_topk_pergroup, safe for a dominant
+    language at 100 TB."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        t.documents.select(
+            "lang", "doc_id", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 60)
+    )

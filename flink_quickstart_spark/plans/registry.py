@@ -104,7 +104,7 @@ _REGISTERED_R2: frozenset[str] = frozenset(
         "q_join_bucketed", "q_wf_nth", "q_scan_json_corrupt",
         "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q13", "q_sql_q15",
         "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_llm_chunk",
-        "q_llm_dedup_spans", "q_llm_pack_sequences",
+        "q_llm_dedup_spans", "q_llm_pack_sequences", "q_llm_sample_balanced",
     }
 )
 
