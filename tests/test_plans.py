@@ -229,3 +229,35 @@ def test_bucketed_join_key_has_no_shuffle_exchange(spark):
     plan = plan_of(spark, "q_join_bucketed", mode="simple")
     assert plan.count("Bucketed: true") == 2, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_sql_q17_decorrelates_to_agg_join(spark):
+    """q_sql_q17: the correlated scalar AVG must decorrelate into a
+    per-partkey aggregate joined back on the equi-key — never a
+    nested-loop re-scan per row."""
+    plan = plan_of(spark, "q_sql_q17")
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_sql_q19_disjunction_stays_hash_join(spark):
+    """q_sql_q19: the OR-of-ANDs mixes columns from both sides, but the
+    common p_partkey = l_partkey conjunct must keep this a hash-family
+    equi-join (broadcast or sort-merge), not a nested loop."""
+    plan = plan_of(spark, "q_sql_q19")
+    assert "NestedLoop" not in plan, plan
+
+
+def test_pack_sequences_windows_partitioned(spark):
+    """q_llm_pack_sequences: the distributed prefix sum must plan every
+    Window node WITH a partition spec (the rank bucket) — the naive
+    Window.orderBy() cumulative sum would be a single-partition
+    WindowExec, the scale-killer this operator exists to avoid."""
+    df = registry.REGISTRY["q_llm_pack_sequences"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    saw_window = False
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            saw_window = True
+            assert "_rank_bucket" in line, line
+    assert saw_window, plan
