@@ -27,10 +27,10 @@ from flink_quickstart_spark.plans.registry import register, tables
     "q_project_arith",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(18,4)) AS disc_price,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS charge
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS disc_price,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS DOUBLE) AS charge
     FROM lineitem
     """,
     tags=("batch", "transform"),
@@ -43,7 +43,10 @@ def q_project_arith(spark, sf_dir):
     where Spark (HALF_UP on shortest repr) and DuckDB (binary value)
     disagree. Decimal math at full natural scale (4 for the 2dp×2dp
     product, 6 for the three-factor product) is exact — no rounding at
-    all, hence engine-portable.
+    all, hence engine-portable. The FINAL columns are cast to DOUBLE on
+    both sides: values ≤6 fractional digits are exactly representable, and
+    the driver's value-hash stringifies Decimal('65002.2870') and float
+    65002.287 differently even when numerically identical.
     """
     t = tables(spark, sf_dir)
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -53,9 +56,10 @@ def q_project_arith(spark, sf_dir):
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
-        disc_price.cast("decimal(18,4)").alias("disc_price"),
+        disc_price.cast("decimal(18,4)").cast("double").alias("disc_price"),
         (disc_price * (F.lit(1).cast("decimal(18,2)") + tax))
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("charge"),
     )
 

@@ -4,11 +4,19 @@ The canonical input catalog: TPC-H-ish star schema + an ``events`` stream
 table + LLM-pipeline tables (``documents``, ``embeddings``), one parquet
 file per table per scale factor (TESTDATA.md).
 
-``events.ts`` is parquet TIMESTAMP(NANOS). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` it loads as bigint nanos; we
-convert with exact integer division ``ts DIV 1000`` → ``timestamp_micros``.
-Double division (``ts/1000``) would be WRONG: 1.7e18 does not fit a double
-mantissa, so the rounded result drifts ±1µs from DuckDB's truncation.
+``events.ts`` is parquet TIMESTAMP(NANOS). Spark's ingestion of that type
+varies by build, so ``load_table`` dispatches on the dtype it actually
+observes:
+
+- ``LongType`` (``spark.sql.legacy.parquet.nanosAsLong=true`` honored):
+  exact integer division ``ts DIV 1000`` → ``timestamp_micros``. Double
+  division (``ts/1000``) would be WRONG: 1.7e18 does not fit a double
+  mantissa, so the rounded result drifts ±1µs from DuckDB's truncation.
+- ``TimestampNTZType`` (current builds read NANOS as NTZ, already
+  floor-truncated to µs by the reader): cast to ``TimestampType``. Under
+  the pinned UTC session timezone this is wall-clock preserving, so values
+  still match DuckDB's ns→µs truncation bit-for-bit.
+- ``TimestampType``: already normalized, pass through.
 
 At scale these loaders are the single choke point for scan hygiene:
 everything downstream composes on the returned DataFrames, so filter/
@@ -44,9 +52,15 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes ``events.ts`` to TimestampType."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Exact ns→µs truncation, matching DuckDB's TIMESTAMP_NS→µs read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        dtype = df.schema["ts"].dataType
+        if isinstance(dtype, T.LongType):
+            # Exact ns→µs truncation, matching DuckDB's TIMESTAMP_NS→µs read.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):
+            # Reader already floor-truncated ns→µs; wall-clock-preserving
+            # cast under the pinned UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -59,10 +59,13 @@ def table_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(src_dir)
-    # Re-apply the ns→µs conversion on raw streams carrying bigint-nanos
-    # ts (schema carries ts as bigint under nanosAsLong).
-    if "ts" in dict(raw.dtypes) and dict(raw.dtypes)["ts"] == "bigint":
+    # Mirror load_table's ts normalization so stream and batch schemas are
+    # identical and withWatermark sees TimestampType (it rejects NTZ).
+    ts_dtype = dict(raw.dtypes).get("ts")
+    if ts_dtype == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     assert raw.schema == batch.schema, "stream/batch schema drift"
     return raw
 
