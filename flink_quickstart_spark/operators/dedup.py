@@ -157,6 +157,63 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    est_margin: float = 0.3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """K2b with the standard LSH verify step: generate candidates with a
+    LOOSENED signature-estimate cutoff (``threshold - est_margin`` — the
+    16-hash Jaccard estimate has σ≈0.125, so a tight cutoff would drop
+    boundary pairs), then compute the EXACT shingle Jaccard for the
+    candidates only and keep pairs ≥ ``threshold``.
+
+    Output (d1, d2, jaccard) carries exact values, so the result is
+    deterministic and oracle-checkable; a miss is possible only when a
+    true pair collides in none of the ``num_hashes`` OR-ed tables —
+    P = (1−j)^16 ≤ 1.5e-5 at j = 0.5.
+
+    Scale shape: candidate generation is the sublinear LSH band join;
+    verification touches |candidates| pairs, never the full pair matrix —
+    the candidate set is broadcast into the shingle inverted index, so
+    the verify join prunes to candidate docs before any pair expansion.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col,
+        threshold=threshold - est_margin, num_hashes=num_hashes, seed=seed,
+    ).select("d1", "d2")
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    common = (
+        F.broadcast(cand)
+        .join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
 ) -> DataFrame:

@@ -16,7 +16,7 @@ from flink_quickstart_spark.functions import text as X
 from flink_quickstart_spark.operators.dedup import (
     exact_dedup,
     jaccard_neardup_pairs,
-    minhash_lsh_pairs,
+    minhash_lsh_verified_pairs,
     simhash64,
     word_shingles,
 )
@@ -77,12 +77,37 @@ def q_llm_neardup(spark, sf_dir):
     )
 
 
-@register("q_llm_neardup_minhash", oracle=None, tags=("batch", "llm", "dedup", "approx"))
+@register(
+    "q_llm_neardup_minhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT d1, d2,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    tags=("batch", "llm", "dedup", "approx"),
+)
 def q_llm_neardup_minhash(spark, sf_dir):
-    """K2b: MinHash LSH near-dup candidates (seed=42) — the sublinear
-    100 TB path. Randomized sketch → rows-only check."""
+    """K2b: MinHash LSH near-dup (seed=42) with the standard verify step
+    — the sublinear 100 TB path. LSH generates candidates with a loosened
+    signature cutoff; the exact shingle Jaccard is then computed for the
+    candidates only (never the full pair matrix) and pairs ≥ 0.5 kept.
+    Output values are exact, so the oracle is the exact all-pairs Jaccard
+    SQL — a pair the bands miss entirely (P ≤ (1−j)^16 ≈ 1.5e-5 at the
+    threshold) would surface as a row-count mismatch. Verified recall
+    25/25 at sf0.01."""
     t = tables(spark, sf_dir)
-    return minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.5)
+    return minhash_lsh_verified_pairs(t.documents, "doc_id", "text", threshold=0.5)
 
 
 @register(
@@ -159,22 +184,65 @@ def q_llm_neardup_cosine(spark, sf_dir):
     return cosine_neardup_pairs(t.embeddings, threshold=0.4)
 
 
-@register("q_llm_ann_ivf", oracle=None, tags=("batch", "llm", "similarity", "approx"))
+@register(
+    "q_llm_ann_ivf",
+    oracle="""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "approx"),
+)
 def q_llm_ann_ivf(spark, sf_dir):
     """K4b: IVF approximate top-3 — centroid-bucketed search (probe 4 of
-    16 clusters). The partition-pruning scale path; recall vs brute force
-    asserted in tests. Rows-only (approximate by design)."""
+    16 clusters), the partition-pruning scale path. Approximate by
+    design, so the oracle checks the ACCURACY CONTRACT: global recall@3
+    vs the exact brute-force top-3 must be ≥ 0.5 (measured 0.61 on this
+    unclustered random data; real corpora with cluster structure recall
+    far higher). The oracle asserts the query count and
+    ``recall_ok = TRUE`` — a recall collapse flips the boolean."""
     t = tables(spark, sf_dir)
-    return ivf_topk(t.embeddings, k=3, n_clusters=16, n_probe=4)
+    brute = brute_knn(t.embeddings, k=3).select("query_id", "nbr_id")
+    ivf = ivf_topk(t.embeddings, k=3, n_clusters=16, n_probe=4).select(
+        "query_id", "nbr_id", F.lit(1).alias("hit")
+    )
+    return brute.join(ivf, ["query_id", "nbr_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.5
+        ).alias("recall_ok"),
+    )
 
 
-@register("q_llm_ann_lsh", oracle=None, tags=("batch", "llm", "similarity", "approx"))
+@register(
+    "q_llm_ann_lsh",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS recall_ok
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+    tags=("batch", "llm", "similarity", "approx"),
+)
 def q_llm_ann_lsh(spark, sf_dir):
-    """K4: ANN candidate pairs via random-projection LSH (seed=42) — the
-    scale path where the corpus no longer broadcasts. Threshold 1.2 keeps
-    the closest ~1%% of pairs on these unit-norm vectors. Rows-only."""
+    """K4: ANN candidates via random-projection LSH (seed=42) — the scale
+    path where the corpus no longer broadcasts. Bucket-join candidates
+    within euclidean 1.2 (≈ cosine 0.28 on unit-norm vectors). The oracle
+    checks the ACCURACY CONTRACT: of the exact cosine ≥ 0.4 pairs, LSH
+    must recover ≥ 85% (measured 58/59 at sf0.01, 64/66 at sf0.001); the
+    oracle asserts the exact pair count and ``recall_ok = TRUE``."""
     t = tables(spark, sf_dir)
-    return lsh_ann_buckets(t.embeddings, threshold=1.2)
+    truth = cosine_neardup_pairs(t.embeddings, threshold=0.4).select("d1", "d2")
+    cand = lsh_ann_buckets(t.embeddings, threshold=1.2).select(
+        "d1", "d2", F.lit(1).alias("hit")
+    )
+    return truth.join(cand, ["d1", "d2"], "left").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.85
+        ).alias("recall_ok"),
+    )
 
 
 @register(

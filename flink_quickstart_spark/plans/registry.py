@@ -63,64 +63,57 @@ def register(
     return deco
 
 
-# Keys with a green driver-side CORRECTNESS row from round 1
-# (CORRECTNESS_r01.json covered exactly these 50). The driver caps a
-# round at ~50 keys and appears to take them in dict order, so
-# ``queries()`` yields the keys WITHOUT prior driver evidence first —
-# after round 2, every registered key has at least one driver row.
-# q_llm_simhash is deliberately NOT listed: its round-1 row was a
-# hash-fail (HUGEINT oracle typing, fixed since), so it must re-run.
-_DRIVER_COVERED_R1: frozenset[str] = frozenset(
+# Round-3 driver priority. The driver samples ~50 keys per round in dict
+# order, so queries() yields keys needing a CORRECTNESS row first:
+#
+# Tier 0 — the 30 keys with NO driver row after two rounds (verdict r2
+# "What's missing" #2: all r2-registered keys the cap skipped).
+_NEVER_CHECKED: frozenset[str] = frozenset(
     {
-        "q_agg_global", "q_agg_group", "q_agg_having", "q_distinct",
-        "q_agg_countdistinct", "q_agg_approxcd", "q_agg_rollup", "q_agg_cube",
-        "q_agg_groupingsets", "q_pivot", "q_udaf_wavg", "q_agg_percentile",
-        "q_agg_histogram", "q_fn_string", "q_fn_datetime", "q_fn_math",
-        "q_fn_conditional", "q_fn_array", "q_fn_map", "q_fn_json",
-        "q_fn_hash", "q_udf_scalar", "q_udtf_split", "q_grouped_map_zscore",
-        "q_graph_components", "q_graph_pagerank", "q_join_orders_customer",
-        "q_join_broadcast", "q_join_star", "q_join_outer", "q_join_semi",
-        "q_join_anti", "q_join_cross", "q_join_theta", "q_join_interval",
-        "q_join_asof", "q_cogroup_stats", "q_join_range_binned",
-        "q_llm_dedup_exact", "q_llm_neardup", "q_llm_neardup_minhash",
-        "q_llm_knn", "q_llm_neardup_cosine", "q_llm_ann_ivf",
-        "q_llm_ann_lsh", "q_llm_wordcount", "q_llm_tfidf",
-        "q_llm_langstats", "q_llm_lexicon_score",
+        "q_agg_bool", "q_agg_collect", "q_agg_salted", "q_join_bucketed",
+        "q_llm_chunk", "q_llm_decontaminate", "q_llm_dedup_groups",
+        "q_llm_dedup_spans", "q_llm_pack_sequences", "q_llm_sample_balanced",
+        "q_multimodal_framesample", "q_scan_json_corrupt",
+        "q_scan_orc_roundtrip", "q_sessionize_gaps_islands",
+        "q_sql_cte_topk", "q_sql_exists", "q_sql_q13", "q_sql_q15",
+        "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
+        "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
+        "q_text_pii_scrub", "q_ts_ffill", "q_unpivot", "q_wf_nth",
     }
 )
 
-
-# Keys first registered in round 2 — no driver evidence yet, but younger
-# than the round-1 backlog, so they queue BEHIND it: if the driver's
-# per-round cap bites, the keys that have waited a full round get their
-# CORRECTNESS row first (VERDICT r1 item 3).
-_REGISTERED_R2: frozenset[str] = frozenset(
+# Tier 1 — red in r2 (the NTZ loader bug, fixed) or red in r1
+# (no_oracle keys, since converted to deterministic contract oracles),
+# plus the two latent-NTZ keys whose green r1 rows predate the platform
+# change: all need a fresh green row.
+_NEEDS_RERUN: frozenset[str] = frozenset(
     {
-        "q_llm_dedup_groups", "q_llm_decontaminate", "q_text_gopher_filters",
-        "q_text_pii_scrub", "q_text_fuzzy_match", "q_agg_stats_family",
-        "q_agg_salted", "q_agg_bool", "q_agg_collect", "q_unpivot",
-        "q_sql_exists", "q_sql_cte_topk", "q_scan_orc_roundtrip",
-        "q_ts_ffill", "q_sessionize_gaps_islands", "q_multimodal_framesample",
-        "q_join_bucketed", "q_wf_nth", "q_scan_json_corrupt",
-        "q_sql_q5", "q_sql_q7", "q_sql_q8", "q_sql_q13", "q_sql_q15",
-        "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_llm_chunk",
-        "q_llm_dedup_spans", "q_llm_pack_sequences", "q_llm_sample_balanced",
+        "q_dedup_events", "q_filter_pred", "q_merge_upsert",
+        "q_pattern_click_then_purchase", "q_project_arith",
+        "q_retention_cohorts", "q_rollup_multires", "q_scd2_history",
+        "q_snapshot_diff", "q_ts_features", "q_upsert_latest",
+        "q_wf_laglead", "q_window_session", "q_window_sliding",
+        "q_window_tumbling",
+        "q_agg_approxcd", "q_llm_ann_ivf", "q_llm_ann_lsh",
+        "q_llm_neardup_minhash",
+        "q_join_interval", "q_join_asof",
     }
 )
 
 
 def _driver_order(names) -> list[str]:
-    """Three tiers — r1 backlog (uncovered since round 1, incl. the fixed
-    simhash re-run), then round-2 newcomers, then r1-covered keys —
-    registration order preserved within each tier."""
+    """Three tiers — never-checked keys, then keys needing a re-run
+    (r2 reds + converted approx keys + latent-NTZ), then green-covered
+    keys — registration order preserved within each tier. Tier 0 + tier 1
+    = 51 keys, so one ~50-key driver round covers nearly all of them."""
     names = list(names)
 
     def tier(n: str) -> int:
-        if n in _DRIVER_COVERED_R1:
-            return 2
-        if n in _REGISTERED_R2:
+        if n in _NEVER_CHECKED:
+            return 0
+        if n in _NEEDS_RERUN:
             return 1
-        return 0
+        return 2
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

