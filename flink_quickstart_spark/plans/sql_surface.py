@@ -476,3 +476,259 @@ def q_sql_cte_topk(spark, sf_dir):
     (WindowGroupLimit) before the final filter — the at-scale shape."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the remaining TPC-H query shapes, adapted to this schema (no
+# partsupp table, no l_commitdate/l_receiptdate/l_shipmode — lateness is
+# l_shipdate vs o_orderdate; supply cost proxied by p_retailprice). Every
+# query is byte-identical ANSI SQL on Spark and DuckDB.
+
+_Q2_SQL = """
+SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM part, supplier, lineitem, nation, region
+WHERE p_partkey = l_partkey
+  AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND p_size = 10
+  AND p_type = 'SMALL'
+  AND s_acctbal = (SELECT min(s2.s_acctbal)
+                   FROM supplier s2, lineitem l2, nation n2, region r2
+                   WHERE l2.l_partkey = p_partkey
+                     AND s2.s_suppkey = l2.l_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+GROUP BY p_partkey, p_name, s_name, s_acctbal
+ORDER BY s_acctbal, p_partkey, s_name
+"""
+
+
+@register(
+    "q_sql_q2",
+    oracle=_Q2_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier; partsupp-less adaptation: the
+    part↔supplier link is DISTINCT shipping history from lineitem, the
+    minimized measure is s_acctbal). Exercises a correlated scalar MIN
+    subquery that Catalyst decorrelates into an aggregate + join — the
+    only shape that scales, since a per-row subquery over a 100 TB fact
+    link is quadratic. GROUP BY dedups the multi-shipment fanout."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "q_sql_q9",
+    oracle=_Q9_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year; supply
+    cost proxied as 0.5·p_retailprice·l_quantity — no partsupp table).
+    A 5-way star join where only `part` carries the selective predicate:
+    the LIKE filter prunes before the join, dims broadcast, and the fact
+    shuffles once — the Q9 plan that survives 100 TB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = """
+SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       (SELECT 0.0007 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@register(
+    "q_sql_q11",
+    oracle=_Q11_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important-stock scan; partsupp-less: per-part
+    revenue share from lineitem). The uncorrelated scalar subquery in
+    HAVING becomes one extra global-agg stage whose single row broadcasts
+    into the filter — two scans of the fact, zero joins, both with
+    map-side partial aggregation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register(
+    "q_sql_q12",
+    oracle=_Q12_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q12(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by priority class; no l_shipmode /
+    l_receiptdate — lateness is shipdate > orderdate + 60 days). The
+    date-range filter pushes to the lineitem scan; the non-equi lateness
+    predicate evaluates as a post-join filter on the single equi-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "q_sql_q16",
+    oracle=_Q16_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes; the
+    part↔supplier relation comes from lineitem shipping history). COUNT
+    DISTINCT expands to a two-phase agg — dedup on (group, suppkey) then
+    count — so the fact shuffles on the group key once, never collecting
+    per-group sets."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey
+                    FROM lineitem
+                    JOIN part ON p_partkey = l_partkey
+                    WHERE p_name LIKE '%red%'
+                      AND l_shipdate >= TIMESTAMP '1997-01-01'
+                    GROUP BY l_suppkey
+                    HAVING sum(l_quantity) > 1400)
+ORDER BY s_name
+"""
+
+
+@register(
+    "q_sql_q20",
+    oracle=_Q20_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with significant shipped volume of a
+    part class; partsupp-less: availqty proxied by shipped quantity).
+    The IN subquery rewrites to LEFT SEMI on the aggregated subquery
+    result — the tiny dim side probes it after its own agg, so the fact
+    is touched exactly once."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+JOIN nation     ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register(
+    "q_sql_q21",
+    oracle=_Q21_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone delayed multi-supplier
+    orders; lateness is shipdate > orderdate + 60d). The EXISTS and NOT
+    EXISTS both correlate on l_orderkey — Catalyst rewrites them to LEFT
+    SEMI and LEFT ANTI joins on that key, three co-partitioned shuffles
+    of the same fact instead of per-row probes. The NOT EXISTS also
+    references the outer o_orderdate: decorrelation carries it into the
+    anti-join condition."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (SELECT c_nationkey AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')) inactive
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register(
+    "q_sql_q22",
+    oracle=_Q22_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q22(spark, sf_dir):
+    """TPC-H Q22 shape (wealthy inactive customers; cntrycode is
+    c_nationkey, inactivity is no orders since 2000 — every customer has
+    SOME order in this data). Combines an uncorrelated scalar AVG
+    subquery (one broadcast row) with a date-filtered NOT EXISTS (LEFT
+    ANTI join after pushing the date filter into the orders scan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
