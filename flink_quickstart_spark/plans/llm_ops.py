@@ -1285,3 +1285,94 @@ def q_llm_sample_balanced(spark, sf_dir):
         )
         .where(F.col("rn") <= 60)
     )
+
+
+@register(
+    "q_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "embedding"),
+)
+def q_embed_norm(spark, sf_dir):
+    """K-ext: per-vector L2 norm + dimensionality — the sanity gate every
+    embedding pipeline runs before cosine math (catches zero vectors and
+    ragged dims). Pure JVM higher-order functions (AGGREGATE over the
+    array), no Python: a narrow map that whole-stage-codegens, so at
+    100 TB it rides the scan with zero shuffle."""
+    t = tables(spark, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return t.embeddings.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+@register(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_sum(list_transform(e, x -> floor(x / scale + 0.5)))
+                AS BIGINT) AS q_checksum,
+           round(list_max(list_transform(e,
+                 x -> abs(floor(x / scale + 0.5) * scale - x))), 9) AS max_abs_err
+    FROM s
+    """,
+    tags=("batch", "llm", "embedding"),
+)
+def q_embed_quantize_int8(spark, sf_dir):
+    """K-ext: symmetric per-vector int8 quantization — the storage tier
+    for 100 TB embedding corpora (4× smaller than float32, exact dequant
+    bound scale/2). Emits the per-vector scale, the quantized-value
+    checksum, and the max dequantization error. Rounding is implemented
+    as ``floor(x/scale + 0.5)`` explicitly on BOTH engines so tie
+    behavior is pinned independent of each engine's ROUND mode. All JVM
+    higher-order functions — narrow, shuffle-free, codegen'd."""
+    t = tables(spark, sf_dir)
+    amax = F.aggregate(
+        F.transform(F.col("e"), F.abs), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    quant = lambda x, s: F.floor(x / s + F.lit(0.5))  # noqa: E731
+    # NOTE: the output alias must NOT reuse the internal column name —
+    # Spark's lateral column alias resolution would make later
+    # expressions in the same select see the ROUNDED value.
+    s = F.col("s_raw")
+    return (
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .withColumn("s_raw", amax / F.lit(127.0))
+        .select(
+            "vec_id",
+            F.round("s_raw", 9).alias("scale"),
+            F.aggregate(
+                F.transform(F.col("e"), lambda x: quant(x, s)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            .cast("bigint")
+            .alias("q_checksum"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.col("e"), lambda x: F.abs(quant(x, s) * s - x)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: F.greatest(a, x),
+                ),
+                9,
+            ).alias("max_abs_err"),
+        )
+    )

@@ -100,6 +100,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_text_pii_scrub", "q_ts_ffill", "q_unpivot", "q_wf_nth",
         "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12",
         "q_sql_q16", "q_sql_q20", "q_sql_q21", "q_sql_q22",
+        "q_embed_norm", "q_embed_quantize_int8",
     }
 )
 
