@@ -500,3 +500,39 @@ def q_agg_collect(spark, sf_dir):
         F.array_join(F.array_sort(types), ",").alias("types_sorted"),
         F.size(types).cast("long").alias("n_types"),
     )
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS exact_p50,
+           round(quantile_cont(value, 0.95), 4) AS exact_p95,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "agg", "approx"),
+)
+def q_agg_approx_percentile(spark, sf_dir):
+    """D-family: approx_percentile (Greenwald-Khanna sketch) — the
+    mergeable bounded-memory quantile path that replaces exact percentile
+    at 100 TB (exact sorts every group's values; GK keeps an ε-summary).
+
+    Contract oracle (same pattern as q_agg_approxcd): the sketch's p50
+    and p95 must land inside the exact [p45,p55] / [p93,p97] quantile
+    bands; the oracle asserts the exact interpolated quantiles and
+    ``approx_ok = TRUE``. At accuracy=10000 the sketch's rank error is
+    1/10000 — far inside the band on any group size."""
+    t = tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
+        (
+            F.expr("approx_percentile(value, 0.50, 10000)").between(
+                F.expr("percentile(value, 0.45)"), F.expr("percentile(value, 0.55)")
+            )
+            & F.expr("approx_percentile(value, 0.95, 10000)").between(
+                F.expr("percentile(value, 0.93)"), F.expr("percentile(value, 0.97)")
+            )
+        ).alias("approx_ok"),
+    )

@@ -1376,3 +1376,74 @@ def q_embed_quantize_int8(spark, sf_dir):
             ).alias("max_abs_err"),
         )
     )
+
+
+@register(
+    "q_llm_bm25",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE tok IN ('data', 'model', 'system')
+           GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY tok)
+    SELECT tf.doc_id AS doc_id, round(sum(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf, stats
+    JOIN df ON tf.tok = df.tok
+    JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_bm25(spark, sf_dir):
+    """K-ext: BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query
+    over the corpus — the lexical-retrieval half of every RAG / data-
+    curation stack. Whole pipeline is exact JVM SQL: tokenize → explode →
+    tf per (doc, term), df per term, doc length — three hash aggregates
+    over ONE tokenization pass; the tiny df/avgdl sides broadcast. At
+    100 TB this is the same shape as TF-IDF: no all-pairs work, shuffle
+    keyed on doc_id / term only."""
+    t = tables(spark, sf_dir)
+    terms = ("data", "model", "system")
+    k1, b = 1.2, 0.75
+    toks = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    n_docs = t.documents.select(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    avgdl = dl.select(F.avg("dl").alias("avgdl"))
+    df_ = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

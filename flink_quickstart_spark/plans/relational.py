@@ -352,3 +352,45 @@ def q_scan_json_corrupt(spark, sf_dir):
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.round(F.sum(F.when(~bad, F.col("value"))), 2).alias("sum_good"),
     )
+
+
+@register(
+    "q_scan_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_partitioned_roundtrip(spark, sf_dir):
+    """A-family: hive-style partitioned parquet layout — write events
+    ``partitionBy(event_type)``, read the directory back, filter to two
+    partition values, aggregate. The filter resolves at PLANNING time
+    from directory names (partition pruning: the scan's
+    ``PartitionFilters`` carries it and unselected directories are never
+    opened) — THE mechanism that turns a 100 TB table scan into a
+    per-partition read. The oracle runs the same aggregate+filter on the
+    original un-partitioned parquet, proving the layout is lossless."""
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "fqs_scratch",
+        "part_roundtrip",
+        os.path.basename(sf_dir),
+    )
+    t.events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -261,3 +261,17 @@ def test_pack_sequences_windows_partitioned(spark):
             saw_window = True
             assert "_rank_bucket" in line, line
     assert saw_window, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """A-family: the event_type filter over a hive-partitioned layout must
+    resolve as PartitionFilters on the scan (directory pruning at planning
+    time) — NOT as a data filter evaluated per row. At 100 TB this is what
+    turns a full-table scan into reading 2 of N directories."""
+    plan = plan_of(spark, "q_scan_partitioned_roundtrip")
+    part_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert part_lines, "expected non-empty PartitionFilters on the scan"
+    assert "event_type" in "\n".join(part_lines)
