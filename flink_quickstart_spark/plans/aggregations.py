@@ -536,3 +536,71 @@ def q_agg_approx_percentile(spark, sf_dir):
             )
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "q_agg_argminmax",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY user_id, event_type),
+    m AS (SELECT user_id, event_type AS modal_type, cnt AS modal_cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY cnt DESC, event_type) AS rn
+          FROM c),
+    h AS (SELECT user_id, event_type AS hi_type, round(value, 2) AS hi_value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id DESC) AS rn
+          FROM events)
+    SELECT m.user_id, m.modal_type, m.modal_cnt, h.hi_type, h.hi_value
+    FROM m JOIN h USING (user_id)
+    WHERE m.rn = 1 AND h.rn = 1
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_argminmax(spark, sf_dir):
+    """D-family: argmax/argmin + deterministic MODE — 'which value attains
+    the group extreme', the lookup every last-event / top-product query
+    needs. Implemented as struct-ordered min/max aggregates (one shuffle,
+    partial+final, NO window sort): mode = min over (-cnt, type) structs
+    after a (user, type) pre-count; argmax(value) = max over
+    (value, event_id, type) structs with event_id as the deterministic
+    tie-break. At 100 TB this beats the row_number() formulation — a pure
+    hash aggregate instead of a partitioned sort."""
+    t = tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = (
+        counts.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.et").alias("modal_type"),
+            (-F.col("m.neg_cnt")).alias("modal_cnt"),
+        )
+    )
+    hi = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("value").alias("v"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("h")
+        )
+        .select(
+            "user_id",
+            F.col("h.et").alias("hi_type"),
+            F.round(F.col("h.v"), 2).alias("hi_value"),
+        )
+    )
+    return mode.join(hi, "user_id")

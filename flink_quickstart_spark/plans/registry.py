@@ -102,7 +102,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_sql_q16", "q_sql_q20", "q_sql_q21", "q_sql_q22",
         "q_embed_norm", "q_embed_quantize_int8",
         "q_agg_approx_percentile", "q_scan_partitioned_roundtrip",
-        "q_llm_bm25",
+        "q_llm_bm25", "q_agg_argminmax",
     }
 )
 
