@@ -1447,3 +1447,45 @@ def q_llm_bm25(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q_llm_xent_unigram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    good AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM good GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM good)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(ln(cnt.c / tot.n)) / count(*), 6) AS cross_entropy
+    FROM good JOIN cnt USING (tok), tot
+    GROUP BY doc_id
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_xent_unigram(spark, sf_dir):
+    """K-ext: per-document cross-entropy under the corpus unigram LM —
+    the classic perplexity-flavored quality signal (high = off-
+    distribution document). Two hash aggregates over one tokenization
+    pass; the unigram table joins back BROADCAST (vocabulary ≪ corpus at
+    any scale); the scalar total crosses as a one-row broadcast. No
+    Python, no sort — the shape survives 100 TB."""
+    t = tables(spark, sf_dir)
+    toks = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = toks.select(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        toks.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("cross_entropy"),
+        )
+    )

@@ -178,3 +178,88 @@ def q_ts_ffill(spark, sf_dir):
             "last_purchase_value"
         ),
     )
+
+
+@register(
+    "q_ts_resample_interp",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value,
+                      lead(ts)    OVER w AS t1,
+                      lead(value) OVER w AS v1
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    seg AS (SELECT user_id, ts AS t0, value AS v0, t1, v1 FROM e
+            WHERE t1 IS NOT NULL AND t1 > ts
+              AND date_trunc('day', ts) + INTERVAL 1 DAY <= date_trunc('day', t1)),
+    ticks AS (SELECT user_id, t0, v0, t1, v1,
+                     unnest(generate_series(date_trunc('day', t0) + INTERVAL 1 DAY,
+                                            date_trunc('day', t1),
+                                            INTERVAL 1 DAY)) AS tick
+              FROM seg)
+    SELECT user_id, epoch_us(tick) AS tick_us,
+           round(v0 + (v1 - v0)
+                 * (CAST(epoch_us(tick) - epoch_us(t0) AS DOUBLE)
+                    / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)), 6) AS value
+    FROM ticks
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_resample_interp(spark, sf_dir):
+    """TS-ext: resample each user's irregular event series onto a daily
+    grid with LINEAR INTERPOLATION between neighboring observations (the
+    companion to q_ts_ffill's step-function fill; what monitoring /
+    feature stores call gap-filling with interp).
+
+    Shape: one partitioned lead() window builds consecutive-observation
+    segments; ``sequence()`` explodes each segment into its covered
+    day-aligned ticks; the interpolation itself is arithmetic on epoch
+    microseconds. Work is proportional to segments × covered ticks, all
+    partition-local after one shuffle on user_id — no global sort, no
+    Python. Zero-length segments (duplicate timestamps) drop out before
+    the explode, so the division is always well-defined."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("t1"),
+        F.lead("value").over(w).alias("v1"),
+    )
+    day = "INTERVAL 1 DAY"
+    seg = (
+        e.where(F.col("t1").isNotNull() & (F.col("t1") > F.col("ts")))
+        .select(
+            "user_id",
+            F.col("ts").alias("t0"),
+            F.col("value").alias("v0"),
+            "t1",
+            "v1",
+        )
+        .where(
+            F.expr(f"date_trunc('DAY', t0) + {day}")
+            <= F.expr("date_trunc('DAY', t1)")
+        )
+    )
+    ticks = seg.select(
+        "user_id",
+        "t0",
+        "v0",
+        "t1",
+        "v1",
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('DAY', t0) + {day}, "
+                f"date_trunc('DAY', t1), {day})"
+            )
+        ).alias("tick"),
+    )
+    frac = (
+        (F.unix_micros("tick") - F.unix_micros("t0")).cast("double")
+        / (F.unix_micros("t1") - F.unix_micros("t0")).cast("double")
+    )
+    return ticks.select(
+        "user_id",
+        F.unix_micros("tick").alias("tick_us"),
+        F.round(F.col("v0") + (F.col("v1") - F.col("v0")) * frac, 6).alias("value"),
+    )
