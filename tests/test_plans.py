@@ -275,3 +275,44 @@ def test_partitioned_scan_prunes_partitions(spark):
     ]
     assert part_lines, "expected non-empty PartitionFilters on the scan"
     assert "event_type" in "\n".join(part_lines)
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """K-ext BM25: the df/avgdl/N sides must broadcast (they are
+    vocabulary-sized or scalar); the doc-length join may shuffle on
+    doc_id but nothing may plan a cartesian product of facts."""
+    plan = plan_of(spark, "q_llm_bm25")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_xent_unigram_broadcasts_vocab(spark):
+    """K-ext cross-entropy: the unigram count table joins back to the
+    token stream as a broadcast — a shuffle join on `tok` would re-key
+    the whole corpus by word for no reason."""
+    plan = plan_of(spark, "q_llm_xent_unigram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_argminmax_is_pure_hash_aggregate(spark):
+    """D-family argmax/mode: struct-ordered min/max must plan as hash
+    aggregates only — the whole point of the formulation is avoiding a
+    partitioned window sort."""
+    plan = plan_of(spark, "q_agg_argminmax")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_resample_interp_no_global_sort(spark):
+    """TS-ext resample: the lead() window partitions by user_id — there
+    must be no empty-partition (global) window and no global Sort outside
+    the per-partition window sort."""
+    plan = plan_of(spark, "q_ts_resample_interp")
+    assert "Window" in plan
+    # the formatted plan spells the partition spec inside
+    # windowspecdefinition(...); a global window would have no partition
+    # column there.
+    assert "windowspecdefinition(user_id" in plan, (
+        "window must be partitioned by user_id"
+    )
