@@ -396,3 +396,43 @@ def q_grouped_map_zscore(spark, sf_dir):
         .groupBy("user_id")
         .applyInPandas(zscore, "event_id bigint, user_id bigint, zscore double")
     )
+
+
+@register(
+    "q_udf_sql_registered",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+    tags=("batch", "udf"),
+)
+def q_udf_sql_registered(spark, sf_dir):
+    """J-ext: UDF registered into the SQL catalog and invoked from SQL
+    TEXT — Flink's ``CREATE TEMPORARY FUNCTION`` / Table API
+    ``createTemporarySystemFunction`` surface. The function is a pandas
+    UDF (Arrow-vectorized, not row-at-a-time), registered under a name
+    and called from a plain SQL string, proving parser → catalog lookup
+    → vectorized Python execution end to end."""
+    from flink_quickstart_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    @F.pandas_udf("string")
+    def _acct_tier(bal: pd.Series) -> pd.Series:
+        out = pd.Series("standard", index=bal.index)
+        out[bal < 0] = "debtor"
+        out[bal >= 5000] = "premium"
+        return out
+
+    spark.udf.register("acct_tier", _acct_tier)
+    return spark.sql(
+        """
+        SELECT c_custkey, acct_tier(c_acctbal) AS tier,
+               round(c_acctbal, 2) AS acctbal
+        FROM customer
+        """
+    )
