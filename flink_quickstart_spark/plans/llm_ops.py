@@ -1489,3 +1489,94 @@ def q_llm_xent_unigram(spark, sf_dir):
             ).alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "q_dq_constraints",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS constraint_name,
+             CAST((SELECT count(*) FROM
+                   (SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+               AS n_violations
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey NOT IN
+                         (SELECT o_orderkey FROM orders)) AS BIGINT)
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_custkey NOT IN
+                         (SELECT c_custkey FROM customer)) AS BIGINT)
+      UNION ALL
+      SELECT 'events_value_nonnull',
+             CAST((SELECT count(*) FROM events
+                   WHERE value IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      UNION ALL
+      SELECT 'documents_text_nonempty',
+             CAST((SELECT count(*) FROM documents
+                   WHERE text IS NULL OR text = '') AS BIGINT)
+    ) ORDER BY constraint_name
+    """,
+    tags=("batch", "llm", "quality"),
+)
+def q_dq_constraints(spark, sf_dir):
+    """K-ext: data-quality constraint battery (Deequ/Great-Expectations
+    shape) — the validation gate a training-data pipeline runs before
+    accepting a drop: primary-key uniqueness, referential integrity
+    across the star schema, null checks, range checks, non-empty text.
+
+    Each constraint is one aggregate/anti-join returning a violation
+    COUNT (never the violating rows — at 100 TB you page through
+    violations separately). Uniqueness is a groupBy-HAVING; FKs are
+    LEFT ANTI joins (never NOT IN's null-trap semantics on the Spark
+    side; the testdata keys are non-null so the oracle's NOT IN is
+    equivalent); everything shuffles at most once per constraint."""
+    t = tables(spark, sf_dir)
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    pk_dupes = (
+        t.orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    li_fk = t.lineitem.join(
+        t.orders.select("o_orderkey"),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    ord_fk = t.orders.join(
+        t.customer.select("c_custkey"),
+        t.orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    ev_null = t.events.where(F.col("value").isNull())
+    qty_range = t.lineitem.where(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    )
+    doc_empty = t.documents.where(
+        F.col("text").isNull() | (F.col("text") == "")
+    )
+    checks = [
+        ("orders_pk_unique", pk_dupes),
+        ("lineitem_orderkey_fk", li_fk),
+        ("orders_custkey_fk", ord_fk),
+        ("events_value_nonnull", ev_null),
+        ("lineitem_qty_range", qty_range),
+        ("documents_text_nonempty", doc_empty),
+    ]
+    out = one(*checks[0])
+    for name, df in checks[1:]:
+        out = out.unionByName(one(name, df))
+    return out.orderBy("constraint_name")

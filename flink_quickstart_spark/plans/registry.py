@@ -104,7 +104,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_agg_approx_percentile", "q_scan_partitioned_roundtrip",
         "q_llm_bm25", "q_agg_argminmax",
         "q_llm_xent_unigram", "q_ts_resample_interp",
-        "q_udf_sql_registered",
+        "q_udf_sql_registered", "q_dq_constraints",
     }
 )
 
