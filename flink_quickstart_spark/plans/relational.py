@@ -394,3 +394,51 @@ def q_scan_partitioned_roundtrip(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_maintenance_compact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           round(sum(value), 2)          AS sum_value,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "source", "maintenance"),
+)
+def q_maintenance_compact(spark, sf_dir):
+    """A-ext: small-files compaction — the table-maintenance job every
+    100 TB lake runs. Stage 1 simulates a streaming sink's fragmentation
+    (repartition(64) → 64 small files); stage 2 compacts with
+    ``coalesce(4)`` — a NARROW dependency: partitions concatenate with
+    NO shuffle, so compaction cost is one read+write pass. The oracle
+    aggregates the ORIGINAL table, proving the compacted copy is
+    row-identical. At scale the same job targets ~1 GB files via
+    input_bytes/target_size partitions."""
+    t = tables(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "compact", os.path.basename(sf_dir)
+    )
+    frag_dir, compact_dir = base + "/frag", base + "/compacted"
+    src = t.events.select("event_id", "event_type", "value")
+    src.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    spark.read.parquet(frag_dir).coalesce(4).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    n_frag = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    n_compact = len(
+        [f for f in os.listdir(compact_dir) if f.endswith(".parquet")]
+    )
+    assert n_compact < n_frag, f"compaction failed: {n_frag} -> {n_compact}"
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
