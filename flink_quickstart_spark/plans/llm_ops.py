@@ -1580,3 +1580,69 @@ def q_dq_constraints(spark, sf_dir):
     for name, df in checks[1:]:
         out = out.unionByName(one(name, df))
     return out.orderBy("constraint_name")
+
+
+@register(
+    "q_llm_minhash_signatures",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3)
+    SELECT doc_id, CAST(i AS BIGINT) AS hash_idx,
+           min(CAST(('0x' || substr(md5(shingle || '#' || i), 1, 15))
+                    AS BIGINT)) AS sig
+    FROM sh, unnest(range(16)) t(i)
+    GROUP BY doc_id, i
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_minhash_signatures(spark, sf_dir):
+    """K2b (signature layer): 16-hash MinHash signatures computed with
+    the PORTABLE md5-60bit hash family h_i(s) = md5(s || '#' || i) — the
+    signatures themselves are bit-identical across engines (md5 is
+    universal), so the sketch layer is value-checked directly, not just
+    through downstream pair recall. Sketch property: P[sig_i(A) =
+    sig_i(B)] = Jaccard(A, B).
+
+    Plan: one shingle explode × 16-hash posexplode, then a single hash
+    aggregate keyed (doc, i) — fanout is bounded (16×), everything JVM.
+    At 100 TB this replaces the per-doc shingle SET with 16 longs: the
+    compression step that makes band-bucket dedup storage-feasible; the
+    production default swaps md5 for xxhash64 (same shape, cheaper)."""
+    t = tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    sh = (
+        t.documents.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("hash_idx"),
+        "shingle",
+    ).select(
+        "doc_id",
+        F.col("hash_idx").cast("bigint").alias("hash_idx"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("sig"))

@@ -105,7 +105,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_llm_bm25", "q_agg_argminmax",
         "q_llm_xent_unigram", "q_ts_resample_interp",
         "q_udf_sql_registered", "q_dq_constraints",
-        "q_maintenance_compact",
+        "q_maintenance_compact", "q_llm_minhash_signatures",
     }
 )
 
