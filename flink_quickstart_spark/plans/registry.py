@@ -106,6 +106,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_llm_xent_unigram", "q_ts_resample_interp",
         "q_udf_sql_registered", "q_dq_constraints",
         "q_maintenance_compact", "q_llm_minhash_signatures",
+        "q_window_distinct_users",
     }
 )
 

@@ -644,3 +644,44 @@ def q_sessionize_gaps_islands(spark, sf_dir):
             "user_id", "session_start_us", "session_end_us", "n_events", "sum_value"
         )
     )
+
+
+@register(
+    "q_window_distinct_users",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS day_us,
+           CAST(count(DISTINCT user_id) AS BIGINT)     AS dau,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+             AS purchasing_dau,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_window_distinct_users(spark, sf_dir):
+    """DAU — distinct users per tumbling day window (+ the conditional
+    distinct: purchasers only), the single most common streaming metric.
+    Exact COUNT(DISTINCT) expands to Catalyst's two-phase expand+agg;
+    the streaming twin replaces it with approx_count_distinct so state
+    stays a fixed-size HLL per open window (see q_agg_approxcd's
+    contract). Conditional distinct uses the CASE-inside-distinct form
+    so both engines dedup the same (window, user) pairs."""
+    t = tables(spark, sf_dir)
+    day = F.window("ts", "1 day").alias("w")
+    return (
+        t.events.groupBy(day)
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("purchasing_dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("day_us"),
+            "dau",
+            "purchasing_dau",
+            "n_events",
+        )
+    )
