@@ -2,6 +2,7 @@
 
 documents → quality filter → exact dedup → MinHash near-dup prune →
 dedup-group canonical selection → benchmark decontamination → PII scrub
+→ unigram cross-entropy quality cut (worst 5% dropped)
 → deterministic train/test split → partitioned parquet. Every stage is
 a declarative DataFrame op from the engine's operator library, so the
 whole pipeline is ONE Catalyst plan per output and scales by
@@ -109,14 +110,36 @@ def main() -> None:
         ),
     )
 
-    # 7. deterministic hash split (no RNG state, reproducible anywhere)
+    # 7. model-based quality scoring: per-doc cross-entropy under the
+    # corpus unigram LM (high = off-distribution); drop the worst 5%.
+    # The upstream DAG (dedup + CC + decontamination) is deep and feeds
+    # three more actions — materialize it once (at 100 TB: a staged
+    # parquet table between pipeline phases).
+    clean = clean.localCheckpoint()
+    toks = clean.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = toks.select(F.count(F.lit(1)).cast("double").alias("n"))
+    xent = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log(F.col("c") / F.col("n")))).alias("xent"))
+    )
+    cutoff = xent.approxQuantile("xent", [0.95], 0.01)[0]
+    clean = clean.join(
+        xent.where(F.col("xent") <= cutoff).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 8. deterministic hash split (no RNG state, reproducible anywhere)
     h = F.md5(F.col("doc_id").cast("string"))
     final = clean.withColumn(
         "split",
         F.when(F.substring(h, 1, 1).isin("0", "1"), "test").otherwise("train"),
     )
 
-    # 8. partitioned landing: split/lang directories prune downstream scans
+    # 9. partitioned landing: split/lang directories prune downstream scans
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
 
     kept = spark.read.parquet(out_dir)
