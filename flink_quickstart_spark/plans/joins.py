@@ -433,3 +433,39 @@ def q_join_bucketed(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (SELECT event_id, nullif(user_id % 7, 0) AS k, value
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT nullif(user_id % 7, 0) AS k,
+                 CAST(count(*) AS BIGINT) AS n_purch
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT a.event_id, a.k AS bucket, b.n_purch
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("batch", "join"),
+)
+def q_join_nullsafe(spark, sf_dir):
+    """C-ext: NULL-safe equi join (``<=>`` / IS NOT DISTINCT FROM) —
+    NULL keys MATCH each other instead of silently dropping, the
+    semantic needed when joining on nullable business keys. Crucially
+    Spark still plans this as a HASH join (null-safe equality is an
+    equi-condition, not a theta join), so the shape survives scale; a
+    naive ``a.k = b.k OR (a.k IS NULL AND b.k IS NULL)`` predicate
+    would fall to nested-loop."""
+    t = tables(spark, sf_dir)
+    a = t.events.where(F.col("event_type") == "click").select(
+        "event_id", F.nullif(F.col("user_id") % 7, F.lit(0)).alias("k"), "value"
+    )
+    b = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select(F.nullif(F.col("user_id") % 7, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(
+        "event_id", a.k.alias("bucket"), "n_purch"
+    )

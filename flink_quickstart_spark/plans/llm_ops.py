@@ -1646,3 +1646,46 @@ def q_llm_minhash_signatures(spark, sf_dir):
         .alias("h"),
     )
     return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("sig"))
+
+
+@register(
+    "q_embed_centroid",
+    oracle="""
+    WITH ex AS (SELECT d.lang,
+                       generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) - 1
+                         AS dim,
+                       unnest(CAST(e.embedding AS DOUBLE[])) AS x
+                FROM documents d
+                JOIN embeddings e ON e.vec_id = d.doc_id)
+    SELECT lang, CAST(dim AS BIGINT) AS dim,
+           round(avg(x), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY lang, dim
+    """,
+    tags=("batch", "llm", "embedding"),
+)
+def q_embed_centroid(spark, sf_dir):
+    """K-ext: per-group embedding centroid (class prototype / cluster
+    mean) — the reduction behind k-means updates, label prototypes, and
+    drift monitoring. posexplode flattens (group, dim, value); one hash
+    aggregate averages per (group, dim). The explode is a 64× narrow
+    fanout but rows are 3 columns wide, and the aggregate combines
+    map-side — at 100 TB this beats any driver-side vector math and
+    never materializes per-group vector lists."""
+    t = tables(spark, sf_dir)
+    joined = t.documents.select("doc_id", "lang").join(
+        t.embeddings.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        ),
+        "doc_id",
+    )
+    flat = joined.select(
+        "lang", F.posexplode("e").alias("dim", "x")
+    )
+    return flat.groupBy("lang", "dim").agg(
+        F.round(F.avg("x"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    ).select(
+        "lang", F.col("dim").cast("bigint").alias("dim"), "centroid_val", "n_vectors"
+    )

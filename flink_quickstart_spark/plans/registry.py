@@ -107,6 +107,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_udf_sql_registered", "q_dq_constraints",
         "q_maintenance_compact", "q_llm_minhash_signatures",
         "q_window_distinct_users",
+        "q_scan_merge_schema", "q_join_nullsafe", "q_embed_centroid",
     }
 )
 

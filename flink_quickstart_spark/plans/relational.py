@@ -442,3 +442,48 @@ def q_maintenance_compact(spark, sf_dir):
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           CAST(count(value) AS BIGINT) AS n_with_value,
+           CAST(count(user_id) AS BIGINT) AS n_with_user,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT event_type, value, NULL AS user_id FROM events
+          WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_type, NULL AS value, user_id FROM events
+          WHERE event_id % 2 = 1)
+    GROUP BY event_type
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_merge_schema(spark, sf_dir):
+    """A-ext: schema evolution across file generations — generation 1
+    wrote (event_type, value), generation 2 added user_id and dropped
+    value. ``mergeSchema`` unions the physical schemas at read time and
+    NULL-fills missing columns per file — the lake behavior that lets a
+    100 TB table evolve without rewriting history. The oracle builds the
+    same union logically from the original table."""
+    t = tables(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "evolve", os.path.basename(sf_dir)
+    )
+    t.events.where(F.expr("event_id % 2 = 0")).select(
+        "event_type", "value"
+    ).write.mode("overwrite").parquet(base + "/gen=1")
+    t.events.where(F.expr("event_id % 2 = 1")).select(
+        "event_type", "user_id"
+    ).write.mode("overwrite").parquet(base + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.count("user_id").alias("n_with_user"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

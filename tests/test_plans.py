@@ -316,3 +316,12 @@ def test_resample_interp_no_global_sort(spark):
     assert "windowspecdefinition(user_id" in plan, (
         "window must be partitioned by user_id"
     )
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    """C-ext: null-safe equality must plan as a HASH join (broadcast or
+    shuffled) — the OR-expanded formulation would fall to
+    BroadcastNestedLoopJoin and die at scale."""
+    plan = plan_of(spark, "q_join_nullsafe")
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
