@@ -436,3 +436,40 @@ def q_udf_sql_registered(spark, sf_dir):
         FROM customer
         """
     )
+
+
+@register(
+    "q_fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                          % CAST(floor(l_quantity) AS BIGINT)
+                     AS BIGINT) END AS price_mod_qty,
+           try_cast(l_returnflag AS INTEGER) AS flag_as_int
+    FROM lineitem
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_try_safe(spark, sf_dir):
+    """H-ext: error-safe arithmetic under ANSI mode — Spark 4 ships
+    ANSI ON, so bare division/modulo by zero and invalid casts THROW and
+    kill the job; ``try_divide`` / ``try_mod`` / ``try_cast`` return
+    NULL instead, the behavior a 100 TB pipeline needs when one dirty
+    row must not abort a 6-hour job. The oracle encodes the same
+    semantics with explicit CASE guards (DuckDB division semantics
+    differ, so the guard IS the portable contract)."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_discount")), 4
+        ).alias("price_per_disc"),
+        F.try_mod(
+            F.floor("l_extendedprice"), F.floor("l_quantity")
+        ).alias("price_mod_qty"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+    )

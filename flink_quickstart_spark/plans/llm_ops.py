@@ -10,6 +10,7 @@ exact op carries a full DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.functions import text as X
@@ -1688,4 +1689,60 @@ def q_embed_centroid(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
     ).select(
         "lang", F.col("dim").cast("bigint").alias("dim"), "centroid_val", "n_vectors"
+    )
+
+
+@register(
+    "q_llm_ingest_dedup",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, sha256(text) AS sha FROM documents
+                    WHERE doc_id % 10 <> 0),
+    batch AS (SELECT doc_id, sha256(text) AS sha FROM documents
+              WHERE doc_id % 10 = 0)
+    SELECT b.doc_id,
+           CASE WHEN c.sha IS NULL AND b.rn = 1 THEN 'accept'
+                WHEN c.sha IS NULL THEN 'dup_in_batch'
+                ELSE 'dup_of_corpus' END AS decision
+    FROM (SELECT doc_id, sha,
+                 row_number() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+          FROM batch) b
+    LEFT JOIN (SELECT DISTINCT sha FROM corpus) c ON b.sha = c.sha
+    ORDER BY b.doc_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_ingest_dedup(spark, sf_dir):
+    """K-ext: INCREMENTAL ingest dedup — the continuous-pipeline shape:
+    a new batch (doc_id % 10 = 0 here; in production, today's crawl) is
+    deduped against the standing corpus AND against itself, emitting an
+    accept/duplicate decision per document. Cost is proportional to the
+    BATCH, never the corpus: the batch's hash set joins the corpus hash
+    index (at 100 TB a bucketed-by-sha table, making this join
+    shuffle-free on the corpus side); within-batch dedup is one window
+    over the batch only. Contrast with q_llm_dedup_exact, which re-scans
+    the full corpus."""
+    t = tables(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id", F.sha2("text", 256).alias("sha")
+    )
+    corpus_sha = (
+        hashed.where(F.expr("doc_id % 10 <> 0")).select("sha").distinct()
+    )
+    batch = hashed.where(F.expr("doc_id % 10 = 0"))
+    w = Window.partitionBy("sha").orderBy("doc_id")
+    ranked = batch.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            corpus_sha.withColumn("in_corpus", F.lit(1)), "sha", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("in_corpus").isNull() & (F.col("rn") == 1), "accept"
+            )
+            .when(F.col("in_corpus").isNull(), "dup_in_batch")
+            .otherwise("dup_of_corpus")
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
     )

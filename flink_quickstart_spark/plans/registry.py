@@ -108,6 +108,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_maintenance_compact", "q_llm_minhash_signatures",
         "q_window_distinct_users",
         "q_scan_merge_schema", "q_join_nullsafe", "q_embed_centroid",
+        "q_fn_try_safe", "q_llm_ingest_dedup",
     }
 )
 
