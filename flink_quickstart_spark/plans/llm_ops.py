@@ -1438,6 +1438,11 @@ def q_llm_bm25(spark, sf_dir):
     )
     denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     score = idf * F.col("tf") * (k1 + 1.0) / denom
+    # Scalars (corpus size, mean doc length) attach as 1-row broadcasts.
+    # This plans as BroadcastNestedLoopJoin, which is LINEAR for a 1-row
+    # side (per-partition column concat, not a quadratic probe) — waived
+    # by name in tools/plan_audit.py; an equi-join on a constant key
+    # would be folded back to the same plan by Catalyst.
     return (
         tf.join(F.broadcast(df_), "tok")
         .join(dl, "doc_id")
@@ -1479,9 +1484,15 @@ def q_llm_xent_unigram(spark, sf_dir):
     )
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
     tot = toks.select(F.count(F.lit(1)).cast("double").alias("n"))
+    # Fold the corpus-total scalar INTO the vocabulary table first (a
+    # 1-row × vocab-sized cross — bounded work), then hit the token
+    # stream with ONE BroadcastHashJoin carrying the ready-made
+    # probability: the FACT side never crosses a nested-loop join; the
+    # residual 1-row BNLJ on the vocab side is linear and waived by name
+    # in tools/plan_audit.py.
+    vocab_p = cnt.crossJoin(F.broadcast(tot))
     return (
-        toks.join(F.broadcast(cnt), "tok")
-        .crossJoin(F.broadcast(tot))
+        toks.join(F.broadcast(vocab_p), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -1,0 +1,110 @@
+"""Repo-wide physical-plan audit — scan EVERY registry key for the three
+scale anti-patterns that silently survive row-level correctness tests:
+
+1. ``CartesianProduct`` — quadratic row explosion;
+2. ``BroadcastNestedLoopJoin`` — per-row probe of a broadcast side
+   (acceptable ONLY for documented dim×dim theta joins);
+3. a partition-less window (``windowspecdefinition`` whose first
+   argument is an ORDER BY expression, i.e. no PARTITION BY columns) —
+   a single-reducer sort at scale.
+
+Keys may declare a documented waiver in ``ALLOWED`` (with the reason
+printed); anything else is a finding. Exit code 1 if undocumented
+findings exist.
+
+Run: ``python tools/plan_audit.py [--sf /root/testdata/sf0.001]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# key -> (pattern, reason) waivers for DOCUMENTED trade-offs.
+ALLOWED = {
+    "q_join_theta": (
+        "BroadcastNestedLoopJoin",
+        "dim-side-only theta join; scale path is q_join_range_binned "
+        "(plans/joins.py docstring)",
+    ),
+    "q_join_cross": (
+        "CartesianProduct|BroadcastNestedLoopJoin",
+        "explicit dim×dim cross join (C7) — bounded by dim sizes",
+    ),
+    "q_join_range_binned": (
+        "CartesianProduct|BroadcastNestedLoopJoin",
+        "bin-replication side is a tiny literal range crossed with a dim",
+    ),
+    "q_llm_bm25": (
+        "BroadcastNestedLoopJoin",
+        "1-row scalar broadcasts (corpus size, avgdl) — a single-row BNLJ "
+        "is a linear per-partition column concat, not a quadratic probe",
+    ),
+    "q_llm_xent_unigram": (
+        "BroadcastNestedLoopJoin",
+        "corpus-total scalar folded into the vocab side (1-row × vocab); "
+        "the token stream passes only through a BroadcastHashJoin",
+    ),
+}
+
+
+def audit_plan(plan: str) -> list[str]:
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append("BroadcastNestedLoopJoin")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        first = args.split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            findings.append(f"global-window[{first[:40]}]")
+            break
+    return findings
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from flink_quickstart_spark import get_spark
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    spark = get_spark(app_name="plan-audit")
+    n_bad = n_waived = 0
+    for key in sorted(registry.REGISTRY):
+        try:
+            df = registry.REGISTRY[key].builder(spark, args.sf)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            findings = audit_plan(buf.getvalue())
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {key}: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if not findings:
+            continue
+        if key in ALLOWED and all(
+            re.search(ALLOWED[key][0], f) for f in findings
+        ):
+            n_waived += 1
+            print(f"WAIVED {key}: {findings} — {ALLOWED[key][1]}")
+        else:
+            n_bad += 1
+            print(f"FINDING {key}: {findings}")
+    print(f"== plan audit: {len(registry.REGISTRY)} keys, "
+          f"{n_bad} findings, {n_waived} waived ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
