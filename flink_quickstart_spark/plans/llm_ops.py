@@ -1757,3 +1757,98 @@ def q_llm_ingest_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_sample_importance",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             least(1.0, CAST(n_chars AS DOUBLE) / 300.0) AS keep_p,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, lang, round(keep_p, 6) AS keep_p
+    FROM scored WHERE u < keep_p
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_sample_importance(spark, sf_dir):
+    """Training-pipeline staple: IMPORTANCE sampling — keep each document
+    with probability proportional to a quality/weight signal (here:
+    length-proportional, capped at 1). The uniform draw is md5-derived
+    from the stable id — identical on every engine and run, NO RNG
+    state, so the sample is re-derivable anywhere (the property
+    up/down-weighting pretraining sources requires for reproducibility).
+    Pure map: no shuffle, no coordination, embarrassingly parallel at
+    any scale."""
+    t = tables(spark, sf_dir)
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 300.0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", keep_p.alias("keep_p"), u.alias("u")
+        )
+        .where(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )
+
+
+@register(
+    "q_llm_mix_datasets",
+    oracle="""
+    WITH sizes AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY lang),
+    targets(lang, w) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.2),
+                                ('es', 0.05), ('it', 0.05)),
+    -- scale so the most-oversubscribed language is fully used
+    ratios AS (SELECT s.lang, t.w / s.n AS r FROM sizes s
+               JOIN targets t ON s.lang = t.lang),
+    accept AS (SELECT lang, r / (SELECT max(r) FROM ratios) AS p FROM ratios)
+    SELECT d.doc_id, d.lang, round(a.p, 6) AS accept_p
+    FROM documents d
+    JOIN accept a ON d.lang = a.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < a.p
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_llm_mix_datasets(spark, sf_dir):
+    """Training-pipeline staple: DATASET MIXING — subsample each source
+    (here: language) so the surviving corpus matches target mixture
+    weights, keeping the binding source intact (per-source acceptance
+    p_s = (w_s/n_s) / max_s'(w_s'/n_s'), so the most-oversubscribed
+    source passes whole and every other source downsamples to
+    proportion). Acceptance draws are md5-deterministic per doc — the
+    mixture is exactly reproducible. Plan: per-source counts (one agg),
+    a 5-row ratio table broadcast back, then a pure filter map over the
+    corpus — one shuffle total at any scale."""
+    t = tables(spark, sf_dir)
+    sizes = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    targets = t.documents.sparkSession.createDataFrame(
+        [("en", 0.5), ("de", 0.2), ("fr", 0.2), ("es", 0.05), ("it", 0.05)],
+        "lang string, w double",
+    )
+    ratios = sizes.join(targets, "lang").select(
+        "lang", (F.col("w") / F.col("n")).alias("r")
+    )
+    max_r = ratios.agg(F.max("r").alias("max_r"))
+    accept = ratios.crossJoin(F.broadcast(max_r)).select(
+        "lang", (F.col("r") / F.col("max_r")).alias("p")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        t.documents.join(F.broadcast(accept), "lang")
+        .where(u < F.col("p"))
+        .select("doc_id", "lang", F.round("p", 6).alias("accept_p"))
+    )

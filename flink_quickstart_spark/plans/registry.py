@@ -109,6 +109,7 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_window_distinct_users",
         "q_scan_merge_schema", "q_join_nullsafe", "q_embed_centroid",
         "q_fn_try_safe", "q_llm_ingest_dedup",
+        "q_sample_importance", "q_llm_mix_datasets",
     }
 )
 
