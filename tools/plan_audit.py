@@ -51,6 +51,11 @@ ALLOWED = {
         "corpus-total scalar folded into the vocab side (1-row × vocab); "
         "the token stream passes only through a BroadcastHashJoin",
     ),
+    "q_llm_mix_datasets": (
+        "BroadcastNestedLoopJoin",
+        "max-rate scalar crossed with the 5-row ratio table only; the "
+        "corpus meets a BroadcastHashJoin on lang",
+    ),
 }
 
 
