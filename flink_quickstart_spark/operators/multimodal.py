@@ -115,3 +115,36 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_frames), lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, out_width int, out_height int"
+)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize stage (aspect-ratio-preserving fit into
+    ``max_side``²) via Arrow-batched ``mapInPandas`` — the geometry is
+    computed per batch in Python exactly where a real PIL/opencv resize
+    would run; only the pixel transform itself is stubbed (no codecs in
+    this environment). Payload bytes stay untouched and unread: at
+    100 TB the planner prunes the payload column for any consumer that
+    needs only the output geometry."""
+    import pandas as pd  # noqa: F811
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int64")
+            scale = (max_side / np.maximum(w, h)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": np.maximum(1, np.floor(w * scale)).astype("int32"),
+                    "out_height": np.maximum(1, np.floor(h * scale)).astype("int32"),
+                }
+            )
+
+    return media.select("media_id", "meta").mapInPandas(_resize, RESIZED_SCHEMA)

@@ -1852,3 +1852,39 @@ def q_llm_mix_datasets(spark, sf_dir):
         .where(u < F.col("p"))
         .select("doc_id", "lang", F.round("p", 6).alias("accept_p"))
     )
+
+
+@register(
+    "q_multimodal_resize",
+    # attach_fake_media derives width = strlen%1024+1, height =
+    # strlen%768+1; the resize geometry is pure arithmetic, so DuckDB
+    # recomputes the whole stage from the text lengths.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      strlen(text) % 1024 + 1 AS w,
+                      strlen(text) % 768 + 1 AS h
+               FROM documents),
+    s AS (SELECT media_id, w, h,
+                 least(1.0, 256.0 / greatest(w, h)) AS scale FROM m)
+    SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(greatest(1, floor(w * scale)) AS INTEGER) AS out_width,
+           CAST(greatest(1, floor(h * scale)) AS INTEGER) AS out_height
+    FROM s
+    """,
+    tags=("batch", "llm", "multimodal", "pandas-udf"),
+)
+def q_multimodal_resize(spark, sf_dir):
+    """K8 (resize stage): aspect-ratio-preserving fit into 256² via the
+    Arrow-batched mapInPandas path a real image resize uses — geometry
+    computed per batch in Python, payload column pruned away entirely
+    (the plan never reads the bytes when only geometry is consumed).
+    The arithmetic is value-checked against DuckDB recomputing it from
+    the deterministic metadata."""
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_plan,
+    )
+
+    t = tables(spark, sf_dir)
+    media = attach_fake_media(t.documents, "doc_id", "text")
+    return resize_plan(media, max_side=256)

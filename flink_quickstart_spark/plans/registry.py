@@ -117,6 +117,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_scan_merge_schema", "q_join_nullsafe", "q_embed_centroid",
         "q_fn_try_safe", "q_llm_ingest_dedup",
         "q_sample_importance", "q_llm_mix_datasets",
+        "q_multimodal_resize",
     }
 )
 
