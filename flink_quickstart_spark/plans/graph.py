@@ -132,3 +132,87 @@ def q_graph_pagerank(spark, sf_dir):
     emitted (no tie-sensitive top-k in the oracle-checked output)."""
     ranks = pagerank(_bipartite_edges(spark, sf_dir), iterations=8)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH edges_raw AS (
+      SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    edges AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v FROM edges_raw
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS node FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT CAST(node AS INT) AS node, n_triangles FROM per_node
+    """,
+    tags=("batch", "graph", "join"),
+)
+def q_graph_triangles(spark, sf_dir):
+    """Graph-ext: per-node triangle counting on the nation trade graph
+    (nations joined by an order shipping between them). Classic
+    node-iterator formulation: canonicalize each undirected edge to
+    (u < v), then join wedges u-v, u-w (v < w) against the closing edge
+    v-w — each triangle found exactly once as u < v < w.
+
+    Scale shape: two shuffles on edge endpoints; candidate wedges are
+    bounded by sum(deg²) — at 100 TB the standard mitigation (orient
+    edges from low- to high-degree endpoint, which this canonical
+    ordering approximates) keeps the wedge set near-linear for
+    power-law graphs. No driver-side state; the dense 25-node nation
+    projection here is deliberately small so the oracle's cubic check
+    stays cheap while the Spark plan is the real distributed one."""
+    t = tables(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = raw.alias("e1")
+    e2 = raw.alias("e2")
+    e3 = raw.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

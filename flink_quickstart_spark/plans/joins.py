@@ -469,3 +469,98 @@ def q_join_nullsafe(spark, sf_dir):
     return a.join(b, a.k.eqNullSafe(b.k)).select(
         "event_id", a.k.alias("bucket"), "n_purch"
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("batch", "join", "skew"),
+)
+def q_join_skew_salted(spark, sf_dir):
+    """C-ext: explicit salted skew join — the manual fallback when AQE's
+    skew splitting cannot help (e.g. a single hot key larger than any
+    split threshold, or a non-AQE engine). The big (fact) side gets a
+    deterministic per-row salt in [0, 8); the small side is replicated
+    once per salt via a broadcast cross of the 8-row salt table, and the
+    join key becomes (user_id, salt) — the hot user spreads over 8
+    tasks. Result is provably identical to the plain join (property
+    test in tests/test_sources_skew.py); the oracle is the plain join.
+
+    At 100 TB: replication cost = small side × n_salts shuffled once;
+    pick n_salts ≈ (hot-key rows / target-partition rows). The salt is
+    xxhash64-derived, not rand(), so task retries are deterministic."""
+    from flink_quickstart_spark.operators.skew import salted_join
+
+    t = tables(spark, sf_dir)
+    events = t.events.select("user_id", "value")
+    cust = t.customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(events, cust, on="user_id", n_salts=8)
+    return (
+        joined.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 30 MINUTE
+                THEN c.event_id END AS click_id,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 30 MINUTE
+                THEN epoch_us(c.ts) END AS click_ts_us
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("batch", "join", "timeseries"),
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """C10-ext: as-of join with a match tolerance — the pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` semantic: each purchase
+    takes the latest prior click of the same user ONLY if it is within
+    30 minutes; otherwise the match is NULL (stale quotes must not
+    leak). Same single-shuffle union+window operator as q_join_asof,
+    with the tolerance applied as a post-filter on the matched
+    timestamp — no second join, no extra shuffle."""
+    t = tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "ts"],
+    )
+    within = F.col("r_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("r_ts") <= 30 * 60 * 1_000_000
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.when(within, F.col("r_event_id")).alias("click_id"),
+        F.when(within, F.unix_micros("r_ts")).alias("click_ts_us"),
+    )

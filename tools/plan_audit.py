@@ -56,6 +56,18 @@ ALLOWED = {
         "max-rate scalar crossed with the 5-row ratio table only; the "
         "corpus meets a BroadcastHashJoin on lang",
     ),
+    "q_join_skew_salted": (
+        "BroadcastNestedLoopJoin",
+        "the 8-row salt table is broadcast-crossed onto the SMALL side "
+        "to replicate it per salt; the actual (user_id, salt) join is a "
+        "hash join (asserted in tests/test_invariants_r3b.py)",
+    ),
+    "q_llm_cooccur_pmi": (
+        "BroadcastNestedLoopJoin",
+        "1-row n_docs scalar crossed onto the pair aggregate; the pair "
+        "self-join is a BroadcastHashJoin on doc_id with the w1<w2 "
+        "canonicalization as residual condition",
+    ),
 }
 
 
