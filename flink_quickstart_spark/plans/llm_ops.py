@@ -1975,3 +1975,102 @@ def q_llm_cooccur_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "q_llm_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) AS BIGINT) AS h8
+      FROM documents
+    )
+    SELECT doc_id, h8,
+           CAST(row_number() OVER (ORDER BY h8, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_llm_global_shuffle(spark, sf_dir):
+    """Training-pipeline staple: deterministic global shuffle — every
+    epoch's data order must be reproducible (resumable training, bitwise
+    re-runs), so the 'shuffle' is a SORT by a keyed hash, never an RNG.
+    md5 of the stable id → first 8 hex chars as a bigint → global
+    position over (hash, id).
+
+    The global position comes from operators/rank.global_row_number:
+    range-bucket on the hash, per-bucket window, prefix-summed offsets —
+    NO single-reducer global window. At 100 TB the shuffle is a range
+    partition by hash (uniform by construction — the hash is the value
+    being bucketed), each bucket numbers independently, and the offsets
+    are a driver-side vector of <= `buckets` longs."""
+    from flink_quickstart_spark.operators.rank import global_row_number
+
+    t = tables(spark, sf_dir)
+    h = t.documents.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h8"),
+    )
+    return global_row_number(
+        h, order_by=[F.col("h8").asc(), F.col("doc_id").asc()],
+        bucket_col="h8", out_col="pos",
+    ).select("doc_id", "h8", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "q_llm_shard_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 16 AS BIGINT) AS shard
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS shard_chars
+      FROM assigned GROUP BY shard
+    ),
+    tot AS (SELECT sum(shard_chars) AS total_chars FROM per)
+    SELECT shard, n_docs, shard_chars,
+           round(shard_chars * 16.0 / total_chars, 4) AS balance
+    FROM per CROSS JOIN tot
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_llm_shard_assign(spark, sf_dir):
+    """Training-pipeline staple: output sharding — assign each doc to
+    one of 16 shards by stable hash and report per-shard balance
+    (shard bytes ÷ ideal share; 1.0 = perfectly even). The hash-mod
+    assignment is a pure map (no shuffle to assign, one agg shuffle to
+    audit); writing then becomes ``df.repartition(shard).write`` with
+    each output file's size predictable from this audit. The balance
+    column is the go/no-go signal for salting or re-sharding before a
+    100 TB write fans out to fixed shard counts."""
+    t = tables(spark, sf_dir)
+    assigned = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(16),
+        ).alias("shard"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+    tot = per.agg(F.sum("shard_chars").alias("total_chars"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "shard_chars",
+        F.round(F.col("shard_chars") * 16.0 / F.col("total_chars"), 4).alias(
+            "balance"
+        ),
+    )

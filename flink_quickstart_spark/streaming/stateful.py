@@ -144,3 +144,75 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+EWMA_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double, ewma double"
+_EWMA_STATE_SCHEMA = "ewma double"
+
+
+def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """I9 depth: TRUE recursive EWMA as a keyed stateful operator —
+    ``y_i = α·x_i + (1-α)·y_{i-1}`` carried across micro-batches in
+    per-key ValueState (one double). This is the semantics the batch
+    ``q_ts_ewma`` key truncates to an 8-tap FIR; streaming has no
+    truncation pressure because the recursion IS the O(1) state.
+
+    Dual-mode: on a stream this is ``applyInPandasWithState`` (Spark
+    rejects it on batch inputs); on a batch DataFrame it dispatches to
+    a stateless ``applyInPandas`` running the SAME recursion over each
+    key's full, sorted history. The equivalence test asserts streamed
+    output == batch output == pandas ``ewm(adjust=False)``.
+
+    State: one double per key, updated per event in arrival (ts,
+    event_id) order within each micro-batch — rows must arrive
+    time-ordered across batches for exact recursion (the test harness
+    replays in order; out-of-order production input needs the watermark
+    + sort per batch the harness applies)."""
+
+    def _recurse(pdf: pd.DataFrame, prev: float | None):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        vals = pdf["value"].to_numpy(dtype="float64")
+        ew = vals.copy()
+        for i, x in enumerate(vals):
+            prev = x if prev is None else alpha * x + (1.0 - alpha) * prev
+            ew[i] = prev
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts_us": pdf["ts_us"].to_numpy(),
+                "value": vals,
+                "ewma": ew.round(6),
+            }
+        )
+        return out, prev
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            out, prev = _recurse(pdf, prev)
+            yield out
+        state.update((prev,))
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _recurse(pdf, None)
+        return out
+
+    from pyspark.sql import functions as F
+
+    events = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+    )
+    if not events.isStreaming:
+        return events.groupBy("user_id").applyInPandas(batch_fn, EWMA_SCHEMA)
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        EWMA_SCHEMA,
+        _EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -338,3 +338,30 @@ def test_streaming_exact_dedup_matches_batch(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in batch.collect()
     } and got.count() > 0
+
+
+def test_stream_ewma_matches_batch_and_pandas_reference(spark):
+    """I9 depth: the recursive EWMA's streamed run (state carried across
+    micro-batches) must equal (a) its own batch-mode run and (b) an
+    independent pandas ewm(adjust=False) reference."""
+    from flink_quickstart_spark.streaming.stateful import streaming_ewma
+
+    stream_out = run_to_memory(streaming_ewma(events_stream(spark, SF_DIR)))
+    batch_in = load_table(spark, SF_DIR, "events")
+    batch_out = streaming_ewma(batch_in)
+    assert _rows(stream_out) == _rows(batch_out)
+
+    pdf = batch_in.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    ).toPandas()
+    pdf = pdf.sort_values(["user_id", "ts_us", "event_id"])
+    pdf["ref"] = (
+        pdf.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+        .round(6)
+    )
+    got = {
+        (r.user_id, r.event_id): r.ewma for r in stream_out.collect()
+    }
+    for row in pdf.itertuples():
+        assert abs(got[(row.user_id, row.event_id)] - row.ref) < 1e-5
