@@ -473,3 +473,81 @@ def q_fn_try_safe(spark, sf_dir):
         ).alias("price_mod_qty"),
         F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT)         AS with_flags,
+           CAST(xor(o_orderkey, 21845) AS BIGINT)  AS toggled,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS popcount,
+           CAST(o_orderkey << 2 AS BIGINT)         AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT)         AS shr3
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_bitwise(spark, sf_dir):
+    """H-ext: bitwise function family — AND/OR/XOR masks, popcount,
+    shifts. The building blocks of bitmap flags, bloom-filter probes
+    and feature hashing; all JVM-side integer ops inside whole-stage
+    codegen (no UDF). Filtered to a deterministic key subset to keep
+    the oracle output small."""
+    t = tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return t.orders.where(k % 97 == 0).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("long").alias("with_flags"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("toggled"),
+        F.bit_count(k.cast("long")).alias("popcount"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+    )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id % 7 AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1)  AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)  AS lang_param
+    FROM urls
+    """,
+    tags=("batch", "function", "text"),
+)
+def q_fn_url(spark, sf_dir):
+    """H-ext: URL parsing — host / path / query-parameter extraction,
+    the first step of web-corpus curation (domain blocklists, per-site
+    dedup, crawl-source stats). Spark side uses the native ``parse_url``
+    (JVM, codegen-friendly); the oracle re-derives the same parts with
+    anchored regexes. URLs are synthesized deterministically from
+    document attributes (the corpus itself carries none), which also
+    pins the parse_url ↔ regex semantics to the same strings."""
+    t = tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    d = t.documents.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -121,6 +121,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_join_skew_salted", "q_join_asof_tolerance", "q_agg_hll_rollup",
         "q_graph_triangles", "q_llm_cooccur_pmi", "q_ts_ewma",
         "q_window_topk_types", "q_llm_global_shuffle", "q_llm_shard_assign",
+        "q_ts_outlier_mad", "q_fn_bitwise", "q_fn_url",
     }
 )
 

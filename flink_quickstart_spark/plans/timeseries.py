@@ -324,3 +324,70 @@ def q_ts_ewma(spark, sf_dir):
         F.round("value", 2).alias("value"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@register(
+    "q_ts_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.user_id = m.user_id
+    ),
+    mad AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, round(d.value, 2) AS value,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad,
+           CAST(abs(d.value - d.med) > 3 * 1.4826 * m.mad AS BOOLEAN)
+             AS is_outlier
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    WHERE m.mad > 0
+    """,
+    tags=("batch", "timeseries", "agg"),
+)
+def q_ts_outlier_mad(spark, sf_dir):
+    """TS-ext: robust outlier flagging via Median Absolute Deviation —
+    the monitoring-pipeline alternative to z-scores that a single spike
+    cannot poison (breakdown point 50% vs 0%). Two grouped exact-median
+    passes (per-key median, then median of absolute deviations) and a
+    3·1.4826·MAD cut (1.4826 scales MAD to σ under normality).
+
+    Scale shape: two shuffles on user_id (medians) + the deviations
+    join — all exact `percentile(0.5)`; at extreme cardinality swap in
+    `approx_percentile` per the q_agg_approx_percentile contract. The
+    mad > 0 guard drops keys whose majority value is constant, where
+    the MAD cut is undefined (division-free form keeps it a multiply)."""
+    t = tables(spark, sf_dir)
+    med = t.events.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = t.events.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .where(F.col("mad") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).alias("is_outlier"),
+        )
+    )
