@@ -2074,3 +2074,39 @@ def q_llm_shard_assign(spark, sf_dir):
             "balance"
         ),
     )
+
+
+@register(
+    "q_llm_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tok2 AS (SELECT word FROM tok WHERE word <> ''),
+    tot AS (SELECT count(*) AS n_tokens FROM tok2)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0 / n_tokens, 6) AS freq
+    FROM tok2 CROSS JOIN tot
+    GROUP BY word, n_tokens
+    HAVING count(*) >= n_tokens * 0.02
+    """,
+    tags=("batch", "llm", "text", "approx"),
+)
+def q_llm_heavy_hitters(spark, sf_dir):
+    """LLM-ext: φ-heavy hitters (φ=2%) over the token stream — the
+    'which tokens dominate the corpus' question behind stopword
+    derivation, tokenizer-vocab audits and hot-key detection. Sketch-
+    then-verify: per-partition Misra-Gries summaries (≤64 rows per
+    partition leave each task regardless of partition size — the wide
+    pass never shuffles the token distribution) yield a guaranteed
+    candidate SUPERSET, then one exact count over the broadcast
+    candidate set applies the true threshold. Output is therefore
+    exactly the true heavy hitters — the oracle is the plain exact
+    frequency filter. See operators/freq.py for the pigeonhole bound."""
+    from flink_quickstart_spark.operators.freq import heavy_hitters
+
+    t = tables(spark, sf_dir)
+    tokens = t.documents.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return heavy_hitters(tokens, "word", phi=0.02, capacity=64)

@@ -114,3 +114,36 @@ def test_window_topk_rank_contract(spark):
         assert rks == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
         assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+
+
+def test_heavy_hitters_exact_on_skewed_data_with_tight_capacity(spark):
+    """MG guarantee under pressure: capacity (8) far below vocabulary
+    (100) forces the decrement path; output must still equal the exact
+    heavy-hitter set because candidates are a guaranteed superset and
+    the verify pass is exact."""
+    import collections
+
+    from flink_quickstart_spark.operators.freq import heavy_hitters
+
+    # Zipf-ish skew: token i appears 1000//(i+1) times, i in [0,100).
+    words = []
+    for i in range(100):
+        words.extend([f"w{i:03d}"] * (1000 // (i + 1)))
+    df = spark.createDataFrame([(w,) for w in words], "word string").repartition(7)
+
+    phi = 0.15
+    got = {(r.word, r.cnt) for r in heavy_hitters(df, "word", phi=phi, capacity=8).collect()}
+    exact = collections.Counter(words)
+    want = {(w, c) for w, c in exact.items() if c >= len(words) * phi}
+    assert got == want
+    assert want, "test data must contain at least one heavy hitter"
+
+
+def test_heavy_hitters_rejects_insufficient_capacity(spark):
+    import pytest as _pytest
+
+    from flink_quickstart_spark.operators.freq import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "word string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "word", phi=0.01, capacity=50)
