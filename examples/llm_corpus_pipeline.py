@@ -139,7 +139,35 @@ def main() -> None:
         F.when(F.substring(h, 1, 1).isin("0", "1"), "test").otherwise("train"),
     )
 
-    # 9. partitioned landing: split/lang directories prune downstream scans
+    # 9. deterministic epoch shuffle: global position = two-phase row
+    # number over a keyed hash (operators/rank.py — no single-reducer
+    # window), so every training run reads the same order.
+    from flink_quickstart_spark.operators.rank import global_row_number
+
+    final = final.withColumn(
+        "h8",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    final = global_row_number(
+        final, order_by=[F.col("h8").asc(), F.col("doc_id").asc()],
+        bucket_col="h8", out_col="pos",
+    ).drop("h8")
+
+    # 10. shard assignment audit: hash-mod shards with a balance check
+    # before the write fans out (balance ≈ 1.0 per shard = even bytes).
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(8),
+    )
+    audit = (
+        final.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+    # 11. partitioned landing: split/lang directories prune downstream scans
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
 
     kept = spark.read.parquet(out_dir)
@@ -147,6 +175,8 @@ def main() -> None:
           f"after_exact={deduped.count()} after_neardup={pruned.count()} "
           f"after_groups={canonical.count()} after_decontam+scrub={clean.count()}")
     kept.groupBy("split").count().orderBy("split").show()
+    print("shard balance:")
+    audit.orderBy("shard").show()
     print("wrote", out_dir)
 
 
