@@ -122,7 +122,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_graph_triangles", "q_llm_cooccur_pmi", "q_ts_ewma",
         "q_window_topk_types", "q_llm_global_shuffle", "q_llm_shard_assign",
         "q_ts_outlier_mad", "q_fn_bitwise", "q_fn_url",
-        "q_llm_heavy_hitters",
+        "q_llm_heavy_hitters", "q_join_dpp",
     }
 )
 

@@ -487,3 +487,59 @@ def q_scan_merge_schema(spark, sf_dir):
         F.count("user_id").alias("n_with_user"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click', 'engage'), ('view', 'engage'),
+             ('purchase', 'convert'), ('signup', 'convert'),
+             ('error', 'ops')
+    )
+    SELECT category,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'convert'
+    GROUP BY category
+    """,
+    tags=("batch", "source", "join"),
+)
+def q_join_dpp(spark, sf_dir):
+    """A/C-ext: dynamic partition pruning — the fact table is laid out
+    hive-partitioned on the join key, the dimension carries the filter,
+    and Spark derives the fact-side partition filter AT RUNTIME from
+    the broadcast dim (``dynamicpruningexpression`` in the scan's
+    PartitionFilters — asserted in tests/test_invariants_r3b.py). This
+    is the star-schema contract that lets a 100 TB fact scan open only
+    the partitions the filtered dimension names, without the user
+    repeating the filter on the fact side. The oracle inlines the dim
+    as VALUES over the unpartitioned original — proving layout + DPP
+    change nothing semantically."""
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "dpp", os.path.basename(sf_dir)
+    )
+    t.events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        fact.join(dim.where(F.col("category") == "convert"), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -147,3 +147,11 @@ def test_heavy_hitters_rejects_insufficient_capacity(spark):
     df = spark.createDataFrame([("a",)], "word string")
     with _pytest.raises(ValueError):
         heavy_hitters(df, "word", phi=0.01, capacity=50)
+
+
+def test_dpp_plan_has_dynamic_pruning(spark):
+    """q_join_dpp's fact scan must carry a runtime dynamicpruning
+    partition filter derived from the broadcast dim."""
+    df = _run(spark, "q_join_dpp")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
