@@ -650,3 +650,51 @@ def q_agg_hll_rollup(spark, sf_dir):
             <= 0.05 * F.col("n_exact_users")
         ).alias("merged_ok"),
     )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(c) AS n FROM per GROUP BY user_id)
+    SELECT p.user_id,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4)
+             AS entropy
+    FROM per p JOIN tot t ON p.user_id = t.user_id
+    GROUP BY p.user_id, t.n
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_entropy(spark, sf_dir):
+    """D-ext: Shannon entropy of each user's event-type distribution —
+    the behavioral-diversity / anomaly feature (entropy 0 = monomaniac
+    key, ln(k) = uniform over k types). Two chained hash aggregates
+    (per (user, type) counts, then per-user entropy over the counts) —
+    both partial+final, map-side combined; no window, no UDF. The same
+    shape computes label-distribution entropy per shard in a training
+    pipeline's balance audit."""
+    t = tables(spark, sf_dir)
+    per = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_tot = per.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        per.join(w_tot, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

@@ -2110,3 +2110,127 @@ def q_llm_heavy_hitters(spark, sf_dir):
         F.explode(F.split("text", " ")).alias("word")
     ).where(F.col("word") != "")
     return heavy_hitters(tokens, "word", phi=0.02, capacity=64)
+
+
+@register(
+    "q_llm_xent_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    bi AS (
+      SELECT doc_id, word AS w1,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi2 GROUP BY w1, w2),
+    c1  AS (SELECT w1, count(*) AS n1 FROM bi2 GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(CAST(c12.n12 AS DOUBLE) / c1.n1)), 4) AS xent_bigram
+    FROM bi2 b
+    JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    JOIN c1  ON b.w1 = c1.w1
+    GROUP BY b.doc_id
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_xent_bigram(spark, sf_dir):
+    """LLM-ext: per-document cross-entropy under the corpus BIGRAM LM —
+    the next rung above q_llm_xent_unigram on the model-based-quality
+    ladder (context-sensitive: a doc of common words in uncommon ORDER
+    now scores high). P(w2|w1) = c(w1,w2)/c(w1·) estimated from the
+    corpus itself; per-doc score = −avg ln P over its bigrams.
+
+    Scale shape: one tokenization pass with positions, bigrams from a
+    per-doc lead() window (partition-local after one doc_id shuffle),
+    then two count aggregates joined back — the bigram vocabulary is
+    the only wide side and it shuffles once. No smoothing needed: the
+    LM is fit on the scored corpus, so every observed bigram has
+    positive count."""
+    t = tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .where(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.select(
+            "doc_id",
+            F.col("word").alias("w1"),
+            F.lead("word").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log(F.col("n12").cast("double") / F.col("n1"))), 4
+            ).alias("xent_bigram"),
+        )
+    )
+
+
+@register(
+    "q_sample_temperature",
+    oracle="""
+    WITH per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs) AS n FROM per),
+    scored AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / n AS p,
+             pow(CAST(n_docs AS DOUBLE) / n, 0.7) AS p_tau
+      FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT sum(p_tau) AS z FROM scored)
+    SELECT lang, n_docs,
+           round(p, 6)               AS p,
+           round(p_tau / z, 6)       AS q,
+           round(p_tau / z / p, 6)   AS sample_weight
+    FROM scored CROSS JOIN z
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_sample_temperature(spark, sf_dir):
+    """LLM-ext: temperature-scaled language resampling (the mBERT /
+    XLM-R exponential-smoothing recipe, τ=0.7): target share
+    q_l ∝ p_l^τ upweights low-resource languages; the emitted
+    ``sample_weight`` = q_l/p_l is the per-document acceptance/
+    repetition factor a pipeline multiplies into its sampler. Pure
+    aggregate math — two scalar broadcasts (corpus total, normalizer),
+    no shuffle beyond the per-lang count."""
+    t = tables(spark, sf_dir)
+    per = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").cast("double").alias("n"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("n")).alias("p"),
+        F.pow(F.col("n_docs") / F.col("n"), 0.7).alias("p_tau"),
+    )
+    z = scored.agg(F.sum("p_tau").alias("z"))
+    return scored.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round(F.col("p_tau") / F.col("z"), 6).alias("q"),
+        F.round(F.col("p_tau") / F.col("z") / F.col("p"), 6).alias(
+            "sample_weight"
+        ),
+    )
