@@ -68,6 +68,22 @@ ALLOWED = {
         "self-join is a BroadcastHashJoin on doc_id with the w1<w2 "
         "canonicalization as residual condition",
     ),
+    "q_llm_shard_assign": (
+        "BroadcastNestedLoopJoin",
+        "1-row total-chars scalar crossed onto the 16-row per-shard "
+        "aggregate for the balance ratio",
+    ),
+    "q_llm_heavy_hitters": (
+        "BroadcastNestedLoopJoin",
+        "1-row token-total scalar crossed onto the (tiny) exact-verified "
+        "candidate counts; the wide pass is the MG mapInPandas + a "
+        "left-semi hash join",
+    ),
+    "q_sample_temperature": (
+        "BroadcastNestedLoopJoin",
+        "two 1-row scalar crosses (corpus total, p^tau normalizer) onto "
+        "the per-language aggregate — all sides O(|languages|)",
+    ),
 }
 
 

@@ -132,6 +132,42 @@ def main() -> None:
     assert all("_rank_bucket" in ln for ln in windows if "Window" in ln), windows
     print(f"rank {n}x plan: {len(windows)} Window node(s), all bucket-partitioned")
 
+    # Misra-Gries heavy hitters at N×: the wide stage emits ≤ capacity
+    # rows per partition REGARDLESS of partition size — the sketch
+    # summary (what actually shuffles) must stay bounded while input
+    # grows N×, and the verified output must be byte-identical to the
+    # 1× answer (replication preserves token frequencies).
+    from flink_quickstart_spark.operators.freq import (
+        heavy_hitters,
+        misra_gries_summaries,
+    )
+
+    docs = load_tables(spark, SF_DIR).documents
+    docs_big = replicate(docs, ["doc_id"], n, 10_000_000)
+
+    def toks(d):
+        return d.select(F.explode(F.split("text", " ")).alias("word")).where(
+            F.col("word") != ""
+        )
+
+    heavy_hitters(toks(docs), "word", 0.02, 64).collect()  # warm-up
+    base_h = timed("heavy-hitters 1x", heavy_hitters(toks(docs), "word", 0.02, 64))
+    big_h = timed(
+        f"heavy-hitters {n}x", heavy_hitters(toks(docs_big), "word", 0.02, 64)
+    )
+    print(f"heavy-hitters scaling factor: {big_h / base_h:.1f}x for {n}x data")
+    n_parts = toks(docs_big).rdd.getNumPartitions()
+    summary_rows = misra_gries_summaries(toks(docs_big), "word", 64).count()
+    assert summary_rows <= 64 * n_parts, (summary_rows, n_parts)
+    print(
+        f"MG summary at {n}x: {summary_rows} rows from {n_parts} partitions "
+        f"(bound {64 * n_parts}) — shuffle stays sketch-sized"
+    )
+    hh_small = {(r.word, r.freq) for r in heavy_hitters(toks(docs), "word", 0.02, 64).collect()}
+    hh_big = {(r.word, r.freq) for r in heavy_hitters(toks(docs_big), "word", 0.02, 64).collect()}
+    assert hh_small == hh_big, "replication must preserve heavy-hitter frequencies"
+    print("heavy-hitter set identical at 1x and N× — exactness preserved")
+
 
 if __name__ == "__main__":
     main()
