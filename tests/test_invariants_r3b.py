@@ -155,3 +155,57 @@ def test_dpp_plan_has_dynamic_pruning(spark):
     df = _run(spark, "q_join_dpp")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bigram_xent_counts_and_positivity(spark):
+    """Each doc's bigram count must equal its token count minus one, and
+    cross-entropy is positive (no bigram has probability 1 corpus-wide
+    unless its left word is deterministic — then ln term is 0, so ≥ 0)."""
+    df = _run(spark, "q_llm_xent_bigram")
+    t = registry.tables(spark, SF_DIR)
+    ntok = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    bad = (
+        df.join(ntok, "doc_id")
+        .where(
+            (F.col("n_bigrams") != F.col("n_tok") - 1)
+            | (F.col("xent_bigram") < 0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_temperature_weights_normalize_and_flatten(spark):
+    """Target shares q must sum to 1, and temperature tau<1 must FLATTEN
+    the distribution: every language's |q - uniform| <= |p - uniform|."""
+    rows = _run(spark, "q_sample_temperature").collect()
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-3
+    u = 1.0 / len(rows)
+    for r in rows:
+        assert abs(r.q - u) <= abs(r.p - u) + 1e-6
+        # weight boosts low-resource (p<u) and shrinks high-resource
+        if r.p < u - 1e-9:
+            assert r.sample_weight > 1.0
+        if r.p > u + 1e-9:
+            assert r.sample_weight < 1.0
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_types) per user, with H == 0 iff one type."""
+    bad = (
+        _run(spark, "q_agg_entropy")
+        .where(
+            (F.col("entropy") < -1e-9)
+            | (F.col("entropy") > F.log(F.col("n_types").cast("double")) + 1e-3)
+            | ((F.col("n_types") == 1) & (F.col("entropy") != 0.0))
+        )
+        .count()
+    )
+    assert bad == 0
