@@ -18,6 +18,7 @@ double sums differ in final ulps (SURVEY.md §5.1).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.plans.registry import register, tables
@@ -697,4 +698,118 @@ def q_agg_entropy(spark, sf_dir):
             "n_types",
             "entropy",
         )
+    )
+
+
+@register(
+    "q_agg_quantile_rollup",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)    OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           round(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                          THEN value END), 4)  AS exact_p50,
+           round(min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                          THEN value END), 4)  AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("batch", "agg", "approx"),
+)
+def q_agg_quantile_rollup(spark, sf_dir):
+    """D-ext: mergeable QUANTILE rollup — the percentile twin of
+    q_agg_hll_rollup. Per (event_type, day) the values are sketched as
+    a fixed 512-bin uniform histogram (global [min,max] from one scalar
+    pass); the per-type percentile is then estimated by MERGING the
+    daily histograms (bin-wise count sum — associative, any grain) and
+    reading the cumulative distribution. A rollup table of histogram
+    partitions answers p50/p95 at every coarser grain without
+    rescanning raw data — constant size per partition, one narrow merge.
+
+    Histogram estimates carry a strict ±bin_width guarantee against the
+    DISCRETE quantile (the value at rank ⌈q·n⌉ — a real data point,
+    which by construction lies inside the located bin; the midpoint
+    read-out errs by at most one width). Interpolated quantiles don't
+    admit this bound on sparse tails (the interpolation midpoint can
+    fall between distant order statistics), so both engines compute the
+    same explicit value-at-rank — and the oracle checks the CONTRACT:
+    per type, |merged-histogram estimate − discrete percentile| ≤
+    bin_width for p50 and p95. A mis-merged or mis-bounded sketch flips
+    the booleans and fails the value hash."""
+    t = tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = (
+        t.events.select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "day",
+            "lo",
+            "hi",
+            F.least(
+                F.lit(511),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 512)
+                ).cast("int"),
+            ).alias("bin"),
+        )
+    )
+    # Daily sketch partitions: count per (type, day, bin).
+    daily = binned.groupBy("event_type", "day", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # Merge across days: bin-wise sum — the rollup step.
+    merged = daily.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.sum("c").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        "lo",
+        "hi",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 512
+    est_bin = lambda q: F.min(  # first bin whose cumulative reaches q·n
+        F.when(F.col("cum") >= q * F.col("n"), F.col("bin"))
+    )
+    ests = cum.groupBy("event_type", "lo", "hi").agg(
+        est_bin(0.5).alias("b50"), est_bin(0.95).alias("b95")
+    ).select(
+        "event_type",
+        (F.col("lo") + (F.col("b50") + 0.5) * width).alias("est50"),
+        (F.col("lo") + (F.col("b95") + 0.5) * width).alias("est95"),
+        width.alias("bw"),
+    )
+    rw = Window.partitionBy("event_type").orderBy("value")
+    ranked = t.events.select(
+        "event_type",
+        "value",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("value"))
+        ).alias("x50"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("value"))
+        ).alias("x95"),
+    )
+    return exact.join(ests, "event_type").select(
+        "event_type",
+        F.round("x50", 4).alias("exact_p50"),
+        F.round("x95", 4).alias("exact_p95"),
+        (F.abs(F.col("est50") - F.col("x50")) <= F.col("bw")).alias("p50_ok"),
+        (F.abs(F.col("est95") - F.col("x95")) <= F.col("bw")).alias("p95_ok"),
     )

@@ -84,6 +84,11 @@ ALLOWED = {
         "two 1-row scalar crosses (corpus total, p^tau normalizer) onto "
         "the per-language aggregate — all sides O(|languages|)",
     ),
+    "q_agg_quantile_rollup": (
+        "BroadcastNestedLoopJoin",
+        "1-row global [min,max] bounds crossed onto the fact scan to fix "
+        "the histogram domain; everything after is hash aggregation",
+    ),
 }
 
 
