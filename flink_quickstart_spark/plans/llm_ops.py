@@ -2234,3 +2234,80 @@ def q_sample_temperature(spark, sf_dir):
             "sample_weight"
         ),
     )
+
+
+@register(
+    "q_dq_sequence_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+             event_id - prev_id - 1 AS n_missing
+      FROM seq WHERE event_id - prev_id > 1
+    )
+    SELECT CAST(count(*) AS BIGINT)                      AS n_gaps,
+           CAST(coalesce(sum(n_missing), 0) AS BIGINT)   AS n_missing_total,
+           CAST(coalesce(max(n_missing), 0) AS BIGINT)   AS widest_gap,
+           CAST(coalesce(min(gap_start), -1) AS BIGINT)  AS first_gap_start
+    FROM gaps
+    """,
+    tags=("batch", "llm", "quality"),
+)
+def q_dq_sequence_gaps(spark, sf_dir):
+    """DQ-ext: sequence-gap detection — the completeness audit for any
+    monotonically-keyed feed (Kafka offsets, CDC LSNs, event ids): find
+    every hole in the id sequence, its width, and the total missing
+    count.
+
+    A naive ``lag() OVER (ORDER BY id)`` is a single-reducer window at
+    scale, so this uses the two-level bucketed formulation: ids hash
+    into 4096-wide ranges (``id DIV 4096``), intra-bucket gaps come
+    from a lag window PARTITIONED by bucket (fully parallel), and
+    cross-bucket gaps from a lag over the per-bucket (min, max, count)
+    aggregate — ≤ range/4096 rows, aggregate-sized, the same
+    small-side concession as the two-phase rank's offset vector. Empty
+    buckets between non-adjacent buckets are themselves gaps and fall
+    out of the boundary lag naturally."""
+    t = tables(spark, sf_dir)
+    B = 4096
+    ids = t.events.select(
+        "event_id", (F.col("event_id") - (F.col("event_id") % B)).alias("bucket")
+    )
+    intra_w = Window.partitionBy("bucket").orderBy("event_id")
+    intra = (
+        ids.select(
+            "event_id", F.lag("event_id").over(intra_w).alias("prev_id")
+        )
+        .where(F.col("event_id") - F.col("prev_id") > 1)
+        .select(
+            (F.col("prev_id") + 1).alias("gap_start"),
+            (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+        )
+    )
+    # Bucket summaries: tiny (range/B rows); boundary gaps between the
+    # max of one non-empty bucket and the min of the next.
+    summaries = ids.groupBy("bucket").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    bound_w = Window.orderBy("bucket")
+    inter = (
+        summaries.select(
+            "lo", F.lag("hi").over(bound_w).alias("prev_hi")
+        )
+        .where(F.col("lo") - F.col("prev_hi") > 1)
+        .select(
+            (F.col("prev_hi") + 1).alias("gap_start"),
+            (F.col("lo") - F.col("prev_hi") - 1).alias("n_missing"),
+        )
+    )
+    gaps = intra.unionByName(inter)
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(F.sum("n_missing"), F.lit(0)).alias("n_missing_total"),
+        F.coalesce(F.max("n_missing"), F.lit(0)).alias("widest_gap"),
+        F.coalesce(F.min("gap_start"), F.lit(-1)).alias("first_gap_start"),
+    )

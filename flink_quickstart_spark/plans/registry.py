@@ -124,7 +124,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_ts_outlier_mad", "q_fn_bitwise", "q_fn_url",
         "q_llm_heavy_hitters", "q_join_dpp",
         "q_llm_xent_bigram", "q_sample_temperature", "q_agg_entropy",
-        "q_agg_quantile_rollup",
+        "q_agg_quantile_rollup", "q_ts_lateness", "q_dq_sequence_gaps",
     }
 )
 

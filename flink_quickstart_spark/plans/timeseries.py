@@ -391,3 +391,75 @@ def q_ts_outlier_mad(spark, sf_dir):
             ).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "q_ts_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ),
+    late AS (
+      SELECT event_type,
+             epoch_us(high_water) - epoch_us(ts) AS late_us
+      FROM arr
+    ),
+    ranked AS (
+      SELECT event_type, late_us,
+             row_number() OVER (PARTITION BY event_type ORDER BY late_us) AS rn,
+             count(*)    OVER (PARTITION BY event_type) AS n
+      FROM late
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN late_us END) AS BIGINT) AS p95_late_us,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tags=("batch", "timeseries", "streaming-analog"),
+)
+def q_ts_lateness(spark, sf_dir):
+    """TS/I4-ext: out-of-orderness quantification — THE design input for
+    a watermark bound. Arrival order is the append sequence (event_id);
+    each event's lateness = running max event-time at its arrival minus
+    its own event-time (0 for in-order arrivals). Per type: how many
+    events arrived late, the p95 lateness (discrete value-at-rank, same
+    convention as q_agg_quantile_rollup), and the worst case. A
+    ``withWatermark(ts, p95_late)`` bound then provably admits ≥95% of
+    events; max shows the tail you'd drop.
+
+    Scale shape: two windows over the same (event_type, order) shuffle —
+    partition-parallel, no global sort; exactly the profile job to run
+    on a sample before fixing a production watermark."""
+    t = tables(spark, sf_dir)
+    arrw = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = t.events.select(
+        "event_type",
+        (
+            F.unix_micros(F.max("ts").over(arrw)) - F.unix_micros("ts")
+        ).alias("late_us"),
+    )
+    rw = Window.partitionBy("event_type").orderBy("late_us")
+    ranked = late.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias("n_late"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("late_us"))
+        ).cast("long").alias("p95_late_us"),
+        F.max("late_us").alias("max_late_us"),
+    )

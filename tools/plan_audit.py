@@ -89,6 +89,13 @@ ALLOWED = {
         "1-row global [min,max] bounds crossed onto the fact scan to fix "
         "the histogram domain; everything after is hash aggregation",
     ),
+    "q_dq_sequence_gaps": (
+        "global-window",
+        "the only unpartitioned window runs over PER-BUCKET SUMMARIES "
+        "(≤ id-range/4096 rows, aggregate-sized — the two-phase rank's "
+        "offset-vector concession); the row-level lag is partitioned by "
+        "bucket",
+    ),
 }
 
 
