@@ -209,3 +209,35 @@ def test_entropy_bounds(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_lateness_stats_consistent(spark):
+    """p95 lateness <= max lateness, n_late <= group size, and all
+    lateness stats are non-negative."""
+    df = _run(spark, "q_ts_lateness")
+    t = registry.tables(spark, SF_DIR)
+    sizes = t.events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    bad = (
+        df.join(sizes, "event_type")
+        .where(
+            (F.col("p95_late_us") > F.col("max_late_us"))
+            | (F.col("n_late") > F.col("n"))
+            | (F.col("p95_late_us") < 0)
+            | (F.col("max_late_us") < 0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sequence_gaps_match_range_arithmetic(spark):
+    """Total missing ids must equal (max-min+1) - distinct-count — the
+    bucketed gap enumeration and plain range arithmetic must agree."""
+    df = _run(spark, "q_dq_sequence_gaps").collect()[0]
+    t = registry.tables(spark, SF_DIR)
+    r = t.events.agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.countDistinct("event_id").alias("n"),
+    ).collect()[0]
+    assert df.n_missing_total == (r.hi - r.lo + 1) - r.n
