@@ -813,3 +813,70 @@ def q_agg_quantile_rollup(spark, sf_dir):
         (F.abs(F.col("est50") - F.col("x50")) <= F.col("bw")).alias("p50_ok"),
         (F.abs(F.col("est95") - F.col("x95")) <= F.col("bw")).alias("p95_ok"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(l_extendedprice)     AS mu,
+             avg(l_extendedprice * l_extendedprice) AS m2r
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l.l_returnflag, m.n, m.mu,
+             avg(pow(l.l_extendedprice - m.mu, 2)) AS m2,
+             avg(pow(l.l_extendedprice - m.mu, 3)) AS m3,
+             avg(pow(l.l_extendedprice - m.mu, 4)) AS m4
+      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag, m.n, m.mu
+    )
+    SELECT l_returnflag, n,
+           round(mu, 4)                      AS mean_price,
+           round(sqrt(m2), 4)                AS stddev_pop,
+           round(m3 / pow(m2, 1.5), 6)       AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6)    AS excess_kurtosis
+    FROM c
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_moments(spark, sf_dir):
+    """D-ext: higher central moments — population skewness and excess
+    kurtosis per group, computed from EXPLICIT central moments (two
+    passes: mean, then avg((x−µ)^k) with the group means joined back).
+    Built-in skewness()/kurtosis() differ between engines on the
+    sample-vs-population convention, so both sides compute the same
+    explicit formula — the portable way to pin distribution-shape
+    metrics in a cross-engine pipeline.
+
+    Scale shape: two grouped hash aggregates over the same key plus a
+    broadcast-sized join of per-group means (|groups| rows) back onto
+    the facts — the standard two-pass moment recipe when Welford-style
+    single-pass co-moments aren't available as built-ins for k>2."""
+    t = tables(spark, sf_dir)
+    m = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_extendedprice").alias("mu"),
+    )
+    d = F.col("l_extendedprice") - F.col("mu")
+    c = (
+        t.lineitem.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag", "n", "mu")
+        .agg(
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+        )
+    )
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round("mu", 4).alias("mean_price"),
+        F.round(F.sqrt("m2"), 4).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
+            "excess_kurtosis"
+        ),
+    )

@@ -551,3 +551,40 @@ def q_fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "q_fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity / 10.0), 6)                 AS sin_q,
+           round(cos(l_discount * 3.141592653589793), 6)    AS cos_d,
+           round(atan2(l_tax, l_discount + 0.01), 6)        AS heading,
+           round(degrees(atan2(l_tax, l_discount + 0.01)), 4) AS heading_deg,
+           round(radians(l_quantity), 6)                    AS rad_q
+    FROM lineitem
+    WHERE l_orderkey % 191 = 0
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_trig(spark, sf_dir):
+    """H-ext: trigonometric family — sin/cos/atan2/degrees/radians, the
+    building blocks of geo math (haversine), cyclical time-of-day
+    feature encodings, and signal work. All JVM intrinsics inside
+    whole-stage codegen; both engines evaluate IEEE doubles with libm
+    semantics, aligned by the 6-decimal round. Deterministic key subset
+    keeps the oracle output small."""
+    t = tables(spark, sf_dir)
+    return t.lineitem.where(F.col("l_orderkey") % 191 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(F.col("l_quantity") / 10.0), 6).alias("sin_q"),
+        F.round(F.cos(F.col("l_discount") * 3.141592653589793), 6).alias("cos_d"),
+        F.round(F.atan2(F.col("l_tax"), F.col("l_discount") + 0.01), 6).alias(
+            "heading"
+        ),
+        F.round(
+            F.degrees(F.atan2(F.col("l_tax"), F.col("l_discount") + 0.01)), 4
+        ).alias("heading_deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+    )
