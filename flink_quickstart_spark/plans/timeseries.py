@@ -463,3 +463,66 @@ def q_ts_lateness(spark, sf_dir):
         ).cast("long").alias("p95_late_us"),
         F.max("late_us").alias("max_late_us"),
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH paired AS (
+      SELECT user_id, value AS x,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    p AS (SELECT user_id, x, y FROM paired WHERE y IS NOT NULL),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             avg(x) AS mx, avg(y) AS my,
+             avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((mxy - mx * my)
+                 / sqrt((mxx - mx * mx) * (myy - my * my)), 6) AS acf1
+    FROM m
+    WHERE n >= 10 AND (mxx - mx * mx) * (myy - my * my) > 0
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_autocorr(spark, sf_dir):
+    """TS-ext: lag-1 autocorrelation per key — the memory/seasonality
+    probe (near 0 = white noise, positive = trending/sticky metric,
+    negative = oscillating). Pairs each value with its predecessor via
+    one lag window, then Pearson r from EXPLICIT raw moments
+    (E[xy]−E[x]E[y] over the product of standard deviations) — the
+    corr() built-ins agree across engines only up to sample/population
+    conventions, so the formula is written out once and identically.
+
+    Scale shape: one shuffle on user_id for the lag window, then a
+    grouped moment aggregate — partial+final, map-side combined. Keys
+    with n<10 pairs or zero variance are excluded (r undefined)."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = t.events.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lag("value").over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    m = paired.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    return (
+        m.where((F.col("n") >= 10) & (varx * vary > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(cov / F.sqrt(varx * vary), 6).alias("acf1"),
+        )
+    )
