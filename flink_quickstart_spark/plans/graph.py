@@ -216,3 +216,35 @@ def q_graph_triangles(spark, sf_dir):
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "q_graph_degree_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY degree
+    """,
+    tags=("batch", "graph", "agg"),
+)
+def q_graph_degree_stats(spark, sf_dir):
+    """Graph-ext: degree distribution of the customer–supplier graph —
+    the first question asked of any large graph (power-law tail ⇒ hub
+    nodes ⇒ skew strategy for every downstream join). Two hash
+    aggregates over the symmetrized edge list: per-node degree, then
+    nodes per degree. The same histogram drives the wedge-bound
+    estimate for q_graph_triangles (Σ deg²) and the salting decision
+    for hot-node joins."""
+    edges = _bipartite_edges(spark, sf_dir)
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -2311,3 +2311,54 @@ def q_dq_sequence_gaps(spark, sf_dir):
         F.coalesce(F.max("n_missing"), F.lit(0)).alias("widest_gap"),
         F.coalesce(F.min("gap_start"), F.lit(-1)).alias("first_gap_start"),
     )
+
+
+@register(
+    "q_llm_dedup_prefix",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS pfp
+      FROM documents
+    ),
+    grp AS (
+      SELECT pfp, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT)   AS keep_id
+      FROM pref GROUP BY pfp
+      HAVING count(*) > 1
+    )
+    SELECT p.pfp, g.n_docs, g.keep_id,
+           CAST(p.doc_id AS BIGINT) AS drop_id
+    FROM pref p JOIN grp g ON p.pfp = g.pfp
+    WHERE p.doc_id <> g.keep_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_prefix(spark, sf_dir):
+    """K-ext: prefix-fingerprint dedup — hash of the first 8 tokens.
+    Catches template/boilerplate-start duplicates that full-content
+    hashing misses (same opening, divergent tails: mirrored articles,
+    re-crawls with appended footers) and that shingle Jaccard only
+    finds at quadratic candidate cost. One md5 over a bounded prefix →
+    one shuffle on the 16-byte fingerprint → keep the lowest id per
+    collision group, emit the drops. At 100 TB this is the cheap first
+    pass BEFORE near-dup: constant work per doc regardless of doc
+    length, fingerprint cardinality ≈ corpus size."""
+    t = tables(spark, sf_dir)
+    pfp = F.md5(
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    )
+    pref = t.documents.select("doc_id", pfp.alias("pfp"))
+    grp = (
+        pref.groupBy("pfp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return (
+        pref.join(grp, "pfp")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("pfp", "n_docs", "keep_id", F.col("doc_id").alias("drop_id"))
+    )

@@ -126,6 +126,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_llm_xent_bigram", "q_sample_temperature", "q_agg_entropy",
         "q_agg_quantile_rollup", "q_ts_lateness", "q_dq_sequence_gaps",
         "q_fn_trig", "q_agg_moments", "q_ts_autocorr",
+        "q_graph_degree_stats", "q_llm_dedup_prefix",
     }
 )
 
