@@ -564,3 +564,79 @@ def q_join_asof_tolerance(spark, sf_dir):
         F.when(within, F.col("r_event_id")).alias("click_id"),
         F.when(within, F.unix_micros("r_ts")).alias("click_ts_us"),
     )
+
+
+@register(
+    "q_join_pit_features",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_60m,
+           round(coalesce(sum(c.value), 0.0), 2) AS click_value_60m
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("batch", "join", "timeseries"),
+)
+def q_join_pit_features(spark, sf_dir):
+    """C9-ext: point-in-time feature join — the feature-store
+    primitive: for each anchor (purchase) compute trailing aggregates
+    of another stream (clicks in the strictly-prior 60 minutes, same
+    user). The strict ``c.ts < p.ts`` bound is the leakage guard: no
+    information at-or-after the anchor instant enters the feature.
+    Anchors with no prior clicks are kept with zero features (LEFT
+    join semantics) — silently dropping them would bias any model
+    trained on the output.
+
+    Scale shape: an equi-join on user_id with the time predicate as
+    residual condition (hash join, not nested-loop) followed by one
+    hash aggregation on the anchor key. Candidate fan-out is bounded
+    by per-user activity within the 60-minute horizon; for extreme
+    horizons the binned range-join operator
+    (operators/range_join.py) caps candidates by time bucket."""
+    t = tables(spark, sf_dir)
+    p = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .alias("p")
+    )
+    c = (
+        t.events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .alias("c")
+    )
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p.ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("c_ts") < F.col("p.ts")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("ts"),
+    ).agg(
+        F.count("c_event_id").alias("n_clicks_60m"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias(
+            "click_value_60m"
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_clicks_60m",
+        "click_value_60m",
+    )

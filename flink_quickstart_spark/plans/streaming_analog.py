@@ -732,3 +732,60 @@ def q_window_topk_types(spark, sf_dir):
             "rk",
         )
     )
+
+
+@register(
+    "q_window_ohlc",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_type, ts, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS arrival_key
+      FROM events
+    )
+    SELECT event_type,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+           round(arg_min(value, arrival_key), 2) AS open,
+           round(max(value), 2)                  AS high,
+           round(min(value), 2)                  AS low,
+           round(arg_max(value, arrival_key), 2) AS close,
+           CAST(count(*) AS BIGINT)              AS n_events
+    FROM keyed
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    """,
+    tags=("batch", "streaming-analog", "timeseries"),
+)
+def q_window_ohlc(spark, sf_dir):
+    """I-ext: OHLC bars — the canonical market-data downsample (open /
+    high / low / close per key per hour), equally the shape of any
+    'first/last/extremes per window' rollup. Open and close are
+    struct-ordered min/max aggregates over (ts, event_id, value) — one
+    hash aggregation, partial+final, NO window function and NO
+    per-window sort; ties at the same microsecond break
+    deterministically on event_id on both engines (DuckDB arg_min/
+    arg_max over the [ts, id] list key)."""
+    t = tables(spark, sf_dir)
+    key = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    return (
+        t.events.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.min(key).getField("v"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(key).getField("v"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w.start").alias("ws_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
