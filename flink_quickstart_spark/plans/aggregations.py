@@ -880,3 +880,31 @@ def q_agg_moments(spark, sf_dir):
             "excess_kurtosis"
         ),
     )
+
+
+@register(
+    "q_agg_bitops",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(user_id % 256) AS BIGINT)  AS flags_any,
+           CAST(bit_and(user_id % 256) AS BIGINT) AS flags_all,
+           CAST(bit_xor(user_id % 256) AS BIGINT) AS flags_parity
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_bitops(spark, sf_dir):
+    """D-ext: bitwise aggregates — OR-fold ("any row set this flag"),
+    AND-fold ("every row set it"), XOR-fold (parity/checksum) over a
+    flag byte. The compact idiom for permission masks, feature-flag
+    rollups and Merkle-ish parity checks; all three are associative +
+    commutative, so Catalyst plans the usual partial+final hash
+    aggregate and the shuffle carries one long per group."""
+    t = tables(spark, sf_dir)
+    flags = F.col("user_id") % 256
+    return t.events.groupBy("event_type").agg(
+        F.bit_or(flags).alias("flags_any"),
+        F.bit_and(flags).alias("flags_all"),
+        F.bit_xor(flags).alias("flags_parity"),
+    )

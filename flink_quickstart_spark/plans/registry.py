@@ -127,7 +127,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_agg_quantile_rollup", "q_ts_lateness", "q_dq_sequence_gaps",
         "q_fn_trig", "q_agg_moments", "q_ts_autocorr",
         "q_graph_degree_stats", "q_llm_dedup_prefix",
-        "q_window_ohlc", "q_join_pit_features",
+        "q_window_ohlc", "q_join_pit_features", "q_agg_bitops",
     }
 )
 
