@@ -908,3 +908,179 @@ def q_agg_bitops(spark, sf_dir):
         F.bit_and(flags).alias("flags_all"),
         F.bit_xor(flags).alias("flags_parity"),
     )
+
+
+@register(
+    "q_ab_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, variant,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mean, avg(value * value) AS m2
+      FROM assigned GROUP BY event_type, variant
+    ),
+    v AS (
+      SELECT event_type, variant, n, mean,
+             (CAST(n AS DOUBLE) / (n - 1)) * (m2 - mean * mean) AS var
+      FROM m WHERE n >= 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n + b.var / b.n AS se2,
+             a.var / a.n AS sa, b.var / b.n AS sb,
+             a.n AS na, b.n AS nb
+      FROM v a JOIN v b
+        ON a.event_type = b.event_type AND a.variant = 'A' AND b.variant = 'B'
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2 / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 6)
+             AS welch_df
+    FROM w WHERE se2 > 0
+    """,
+    tags=("batch", "agg", "stats"),
+)
+def q_ab_welch_ttest(spark, sf_dir):
+    """D-ext: Welch's two-sample t-test per experiment cell — the A/B
+    readout every event pipeline ends in. Variant assignment is the
+    deterministic ``user_id % 2`` split; per (event_type, variant) one
+    pass computes count and raw moments, sample variance comes from the
+    explicit ``n/(n-1) * (E[x^2] - E[x]^2)`` formula (written out
+    identically on both engines — ``var_samp`` conventions differ), then
+    the Welch statistic and Satterthwaite degrees of freedom are pure
+    per-row arithmetic on the tiny per-cell table.
+
+    Scale shape: one partial+final hash aggregate over (event_type,
+    variant) — the shuffle carries 3 doubles per cell regardless of row
+    count — then a self-join on the post-agg table whose size is
+    O(#event_types), broadcast by AQE. No second pass over the data."""
+    t = tables(spark, sf_dir)
+    assigned = t.events.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "value",
+    )
+    m = assigned.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.avg(F.col("value") * F.col("value")).alias("m2"),
+    )
+    v = m.where(F.col("n") >= 2).select(
+        "event_type",
+        "variant",
+        "n",
+        "mean",
+        (
+            (F.col("n").cast("double") / (F.col("n") - 1))
+            * (F.col("m2") - F.col("mean") * F.col("mean"))
+        ).alias("var"),
+    )
+    a = v.where(F.col("variant") == "A").alias("a")
+    b = v.where(F.col("variant") == "B").alias("b")
+    sa = F.col("a.var") / F.col("a.n")
+    sb = F.col("b.var") / F.col("b.n")
+    se2 = sa + sb
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .where(se2 > 0)
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round("a.mean", 6).alias("mean_a"),
+            F.round("b.mean", 6).alias("mean_b"),
+            F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6).alias(
+                "t_stat"
+            ),
+            F.round(
+                se2 * se2
+                / (sa * sa / (F.col("a.n") - 1) + sb * sb / (F.col("b.n") - 1)),
+                6,
+            ).alias("welch_df"),
+        )
+    )
+
+
+@register(
+    "q_agg_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS i FROM per_key
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(max(c) AS BIGINT) AS max_rows,
+             sum(CAST(i AS DOUBLE) * c) AS iwsum
+      FROM ranked
+    )
+    SELECT n_keys, total_rows, max_rows,
+           round(CAST(total_rows AS DOUBLE) / n_keys, 6) AS avg_rows,
+           round(CAST(max_rows AS DOUBLE) * n_keys / total_rows, 6)
+             AS skew_ratio,
+           round(2.0 * iwsum / (n_keys * total_rows)
+                 - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+    FROM g
+    """,
+    tags=("batch", "agg", "profiling"),
+)
+def q_agg_skew_audit(spark, sf_dir):
+    """D-ext: join-key skew audit — the pre-flight check before any big
+    shuffle: per-key row counts for a join key, then the global skew
+    picture (max/avg hot-key ratio and the Gini coefficient of the key
+    distribution, via the rank identity G = 2*sum(i*x_i)/(n*sum x) -
+    (n+1)/n). This is the report that decides between a plain shuffle
+    join, AQE skew splitting, and the salted join (q_join_skew_salted).
+
+    Scale shape: one hash aggregate collapses the fact table to one row
+    per key; ranking runs over that DISTINCT-KEY table (orders-of-
+    magnitude smaller than the input) through the two-phase
+    ``global_row_number`` — range-bucketed partial sort + prefix-summed
+    offsets, never a single-reducer window; the final reduction is a
+    scalar aggregate."""
+    from flink_quickstart_spark.operators.rank import global_row_number
+
+    t = tables(spark, sf_dir)
+    per_key = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    ranked = global_row_number(
+        per_key,
+        order_by=[F.col("c").asc(), F.col("o_custkey").asc()],
+        bucket_col="c",
+        out_col="i",
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_rows"),
+        F.sum(F.col("i").cast("double") * F.col("c")).alias("iwsum"),
+    )
+    return g.select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        F.round(F.col("total_rows").cast("double") / F.col("n_keys"), 6).alias(
+            "avg_rows"
+        ),
+        F.round(
+            F.col("max_rows").cast("double") * F.col("n_keys") / F.col("total_rows"),
+            6,
+        ).alias("skew_ratio"),
+        F.round(
+            2.0 * F.col("iwsum") / (F.col("n_keys") * F.col("total_rows"))
+            - (F.col("n_keys") + 1).cast("double") / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )

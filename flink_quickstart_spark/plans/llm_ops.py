@@ -2362,3 +2362,270 @@ def q_llm_dedup_prefix(spark, sf_dir):
         .where(F.col("doc_id") != F.col("keep_id"))
         .select("pfp", "n_docs", "keep_id", F.col("doc_id").alias("drop_id"))
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    bi AS (
+      SELECT doc_id, word || ' ' || lead(word) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM tok
+    ),
+    bc AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+      FROM bi WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6)
+             AS dup_bigram_frac,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+    FROM bc GROUP BY doc_id HAVING sum(c) >= 5
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_repetition(spark, sf_dir):
+    """LLM-ext: within-document repetition signals — the Gopher
+    repetition battery's n-gram half: the fraction of word-bigram
+    occurrences that are repeats (1 - distinct/total) and the share
+    taken by the single most frequent bigram. Boilerplate, keyword
+    stuffing, and degenerate-generation text all light up here while
+    passing length/stopword checks.
+
+    Scale shape: tokenize + adjacent-pair construction entirely inside
+    array expressions (no shuffle until the per-(doc,bigram) count),
+    then two hash aggregates keyed by doc_id — linear in corpus size,
+    no Python. Docs with <5 bigrams excluded (ratios unstable)."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1]))"
+    )
+    bi = (
+        t.documents.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bc = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            ).alias("dup_bigram_frac"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .where(F.col("n_bigrams") >= 5)
+    )
+
+
+@register(
+    "q_llm_tfidf_cosine",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * ln(1.0 + n.n_docs / df.df) AS wt
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+      WHERE df.df <= 100
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.wt * b.wt) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM dots JOIN norms x ON d1 = x.doc_id JOIN norms y ON d2 = y.doc_id
+    WHERE x.nrm > 0 AND y.nrm > 0 AND dot / (x.nrm * y.nrm) >= 0.5
+    """,
+    tags=("batch", "llm", "dedup", "similarity"),
+)
+def q_llm_tfidf_cosine(spark, sf_dir):
+    """LLM-ext: sparse TF-IDF cosine similarity between document pairs —
+    the lexical-similarity tier between shingle-Jaccard (surface
+    overlap) and embedding cosine (semantic): weighted-term dot
+    products, so near-dups with light paraphrasing still score. Weight
+    = tf * ln(1 + N/df); pairs at cos >= 0.5 emitted.
+
+    Scale shape: an inverted-index (term-postings) self-join — pairs
+    meet only on shared terms, never all-pairs — with the same
+    document-frequency cap as q_llm_neardup (terms with df > 100
+    dropped on BOTH sides; stopword-grade terms carry ~no IDF weight
+    and would otherwise quadratically blow up the hottest postings
+    lists). One shuffle builds tf, one the postings join; norms join
+    back broadcast-sized."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tf = (
+        t.documents.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    w = (
+        tf.join(df.where(F.col("df") <= 100), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf") * F.log(1.0 + F.col("n_docs") / F.col("df"))
+            ).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    x = norms.alias("x")
+    y = norms.alias("y")
+    cos = F.col("dot") / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        dots.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .where((F.col("x.nrm") > 0) & (F.col("y.nrm") > 0) & (cos >= 0.5))
+        .select("d1", "d2", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "q_llm_domain_budget",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / tot.z, 6) AS alloc_frac,
+           CAST(floor(1000000 * sqrt(CAST(n_tokens AS DOUBLE)) / tot.z)
+                AS BIGINT) AS budget_tokens
+    FROM per_source CROSS JOIN tot
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_llm_domain_budget(spark, sf_dir):
+    """LLM-ext: per-domain token-budget allocation under sqrt-scaling —
+    the mixture-design step between corpus stats and sampling: each
+    source's share of a fixed training budget is proportional to the
+    square root of its token mass (the standard up-weight-the-tail
+    compromise between proportional and uniform mixing; cf. the
+    temperature resampling key, of which sqrt is the tau=2 point).
+    Emits the audit table: docs, tokens, allocated fraction, and the
+    floor'd token budget out of 1M.
+
+    Scale shape: one hash aggregate to per-source totals (token counts
+    computed inside an array expression — no explode, no shuffle of
+    token rows), then scalar normalization against the broadcast
+    1-row total. O(#sources) output."""
+    t = tables(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    per_source = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z")
+    )
+    s = F.sqrt(F.col("n_tokens").cast("double"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(s / F.col("z"), 6).alias("alloc_frac"),
+        F.floor(1000000 * s / F.col("z")).cast("long").alias("budget_tokens"),
+    )
+
+
+@register(
+    "q_anon_kanonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT event_type,
+             EXTRACT(hour FROM ts) AS hr,
+             user_id % 100 AS cohort,
+             CAST(count(*) AS BIGINT) AS grp_size
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           round(CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                 AS DOUBLE) / sum(grp_size), 6) AS frac_at_risk
+    FROM qi GROUP BY event_type
+    """,
+    tags=("batch", "agg", "privacy"),
+)
+def q_anon_kanonymity(spark, sf_dir):
+    """Privacy-ext: k-anonymity audit over a quasi-identifier tuple —
+    before events ship to a training corpus, count how many
+    (event_type, hour-of-day, user-cohort) equivalence classes have
+    fewer than k=5 members and what fraction of rows sit in them: the
+    re-identification exposure report that gates release (small groups
+    must be suppressed or generalized).
+
+    Scale shape: two stacked hash aggregates — rows to QI-group sizes,
+    group sizes to per-event_type exposure — both partial+final,
+    map-side combined; the second input is one row per QI group."""
+    t = tables(spark, sf_dir)
+    qi = t.events.groupBy(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        (F.col("user_id") % 100).alias("cohort"),
+    ).agg(F.count(F.lit(1)).alias("grp_size"))
+    small = F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+    return qi.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_size") < 5, 1).otherwise(0)).alias(
+            "n_small_groups"
+        ),
+        F.sum(small).alias("rows_at_risk"),
+        F.round(
+            F.sum(small).cast("double") / F.sum("grp_size"), 6
+        ).alias("frac_at_risk"),
+    )

@@ -128,6 +128,9 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_fn_trig", "q_agg_moments", "q_ts_autocorr",
         "q_graph_degree_stats", "q_llm_dedup_prefix",
         "q_window_ohlc", "q_join_pit_features", "q_agg_bitops",
+        "q_ab_welch_ttest", "q_agg_skew_audit", "q_ts_cusum",
+        "q_wf_streaks", "q_text_repetition", "q_llm_tfidf_cosine",
+        "q_llm_domain_budget", "q_anon_kanonymity",
     }
 )
 

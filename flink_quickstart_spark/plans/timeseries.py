@@ -526,3 +526,100 @@ def q_ts_autocorr(spark, sf_dir):
             F.round(cov / F.sqrt(varx * vary), 6).alias("acf1"),
         )
     )
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mu,
+             sqrt(avg(value * value) - avg(value) * avg(value)) AS sigma
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT e.user_id, m.n, e.event_id,
+             round(abs(sum((e.value - m.mu) / m.sigma) OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+               ROWS UNBOUNDED PRECEDING)), 6) AS cusum_abs
+      FROM events e JOIN m ON e.user_id = m.user_id
+      WHERE m.n >= 20 AND m.sigma > 0
+    ),
+    mx AS (
+      SELECT user_id, n, max(cusum_abs) AS max_cusum
+      FROM s GROUP BY user_id, n
+    )
+    SELECT s.user_id, mx.n, mx.max_cusum,
+           CAST(min(s.event_id) AS BIGINT) AS at_event_id
+    FROM s JOIN mx
+      ON s.user_id = mx.user_id AND s.cusum_abs = mx.max_cusum
+    GROUP BY s.user_id, mx.n, mx.max_cusum
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_cusum(spark, sf_dir):
+    """TS-ext: CUSUM changepoint score per key — the classic mean-shift
+    detector: the running sum of standardized deviations from the key
+    mean drifts away from zero exactly when the level shifts, and the
+    location of max |S_i| is the change-point estimate. Mean and sigma
+    come from explicit raw moments (population sqrt(E[x^2]-E[x]^2),
+    written identically on both engines); the running sum accumulates in
+    the SAME defined order (ts, event_id) on both, and the score is
+    rounded to 6 decimals BEFORE the argmax so near-tie resolution is
+    engine-stable, with min(event_id) as the final tie-break.
+
+    Scale shape: two shuffles on user_id — one hash aggregate for the
+    moments (joined back broadcast-side since the moment table is one
+    row per key), one ordered window for the running sum. The argmax is
+    a per-key max plus a self-equi-join on the (tiny) per-key max table.
+    Keys with n<20 or zero variance excluded (score undefined)."""
+    t = tables(spark, sf_dir)
+    m = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("value") * F.col("value"))
+            - F.avg("value") * F.avg("value")
+        ).alias("sigma"),
+    )
+    joined = (
+        t.events.alias("e")
+        .join(m.alias("m"), "user_id")
+        .where((F.col("m.n") >= 20) & (F.col("m.sigma") > 0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = joined.select(
+        "user_id",
+        F.col("m.n").alias("n"),
+        "event_id",
+        F.round(
+            F.abs(
+                F.sum((F.col("value") - F.col("mu")) / F.col("sigma")).over(w)
+            ),
+            6,
+        ).alias("cusum_abs"),
+    )
+    mx = (
+        s.groupBy("user_id", "n")
+        .agg(F.max("cusum_abs").alias("max_cusum"))
+        .withColumnRenamed("user_id", "mx_user_id")
+        .withColumnRenamed("n", "mx_n")
+    )
+    return (
+        s.alias("s")
+        .join(
+            mx.alias("mx"),
+            (F.col("s.user_id") == F.col("mx.mx_user_id"))
+            & (F.col("s.cusum_abs") == F.col("mx.max_cusum")),
+        )
+        .groupBy(
+            F.col("s.user_id").alias("user_id"),
+            F.col("mx.mx_n").alias("n"),
+            F.col("mx.max_cusum").alias("max_cusum"),
+        )
+        .agg(F.min("s.event_id").alias("at_event_id"))
+    )

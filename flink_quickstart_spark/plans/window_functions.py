@@ -269,3 +269,71 @@ def q_wf_nth(spark, sf_dir):
         F.nth_value("c_name", 2).over(w).alias("second_poorest"),
         F.first("c_name").over(w).alias("poorest"),
     )
+
+
+@register(
+    "q_wf_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    anchored AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS run_len,
+             min(d) AS run_start
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           min(CASE WHEN run_len = mx THEN run_start END) AS best_streak_start
+    FROM (SELECT *, max(run_len) OVER (PARTITION BY user_id) AS mx FROM runs) r
+    GROUP BY user_id
+    """,
+    tags=("batch", "window_fn"),
+)
+def q_wf_streaks(spark, sf_dir):
+    """E-ext: longest consecutive-day activity streak per user — the
+    retention/engagement metric, and the canonical gaps-and-islands
+    window idiom: distinct active dates, then ``date - row_number``
+    collapses each consecutive run to a constant anchor, a group-by on
+    the anchor measures run lengths, and a per-user max picks the best
+    streak (earliest start date as tie-break).
+
+    Scale shape: the distinct collapses events to at most one row per
+    (user, day) — the dominant reduction — then every later stage
+    (row_number window, two hash aggregates) runs over that compact
+    table, all partitioned by user_id so one shuffle's partitioning is
+    reused by the window and both aggregates."""
+    t = tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("d").alias("run_start")
+    )
+    mxw = Window.partitionBy("user_id")
+    r = runs.select(
+        "user_id",
+        "run_len",
+        "run_start",
+        F.max("run_len").over(mxw).alias("mx"),
+    )
+    return r.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.max("run_len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("run_len") == F.col("mx"), F.col("run_start"))
+        ).alias("best_streak_start"),
+    )
