@@ -2629,3 +2629,66 @@ def q_anon_kanonymity(spark, sf_dir):
             F.sum(small).cast("double") / F.sum("grp_size"), 6
         ).alias("frac_at_risk"),
     )
+
+
+@register(
+    "q_embed_sign_bits",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id,
+             CAST((SELECT sum(CASE WHEN u.x > 0
+                              THEN CAST(power(2, u.i - 1) AS BIGINT)
+                              ELSE 0 END)
+                   FROM (SELECT unnest(embedding) AS x,
+                                generate_subscripts(embedding, 1) AS i) u
+                   WHERE u.i <= 32) AS BIGINT) AS w0,
+             CAST((SELECT sum(CASE WHEN u.x > 0
+                              THEN CAST(power(2, u.i - 33) AS BIGINT)
+                              ELSE 0 END)
+                   FROM (SELECT unnest(embedding) AS x,
+                                generate_subscripts(embedding, 1) AS i) u
+                   WHERE u.i > 32) AS BIGINT) AS w1
+      FROM embeddings
+    )
+    SELECT w0, w1,
+           CAST(count(*) AS BIGINT)   AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS keep_id
+    FROM bits GROUP BY w0, w1 HAVING count(*) >= 2
+    """,
+    tags=("batch", "llm", "similarity"),
+)
+def q_embed_sign_bits(spark, sf_dir):
+    """LLM-ext: sign-bit binarization of embeddings — the 64-dim float
+    vector collapses to two 32-bit words of sign bits (the zero-cost
+    special case of random-hyperplane LSH where the hyperplanes are the
+    axes), then exact-collision groups are candidate semantic
+    duplicates. 32 bytes/vector → 8 bytes: the compaction that makes
+    billion-vector candidate generation a plain hash aggregate.
+
+    Scale shape: bit packing runs inside an array-fold expression (no
+    explode — each row does 64 comparisons in codegen), then one hash
+    aggregate on the fingerprint. Identical packing on both engines:
+    bit i set iff component i > 0, words split at dim 32 so every
+    partial sum stays exactly representable."""
+    t = tables(spark, sf_dir)
+
+    def word(lo: int, hi: int, shift: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT),"
+            f" (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0,"
+            f" shiftleft(CAST(1 AS BIGINT), i - {shift}), CAST(0 AS BIGINT)))"
+        )
+
+    bits = t.embeddings.select(
+        "vec_id",
+        word(0, 31, 0).alias("w0"),
+        word(32, 63, 32).alias("w1"),
+    )
+    return (
+        bits.groupBy("w0", "w1")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("keep_id"),
+        )
+        .where(F.col("n_vecs") >= 2)
+    )

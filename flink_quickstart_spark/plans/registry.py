@@ -131,6 +131,8 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_ab_welch_ttest", "q_agg_skew_audit", "q_ts_cusum",
         "q_wf_streaks", "q_text_repetition", "q_llm_tfidf_cosine",
         "q_llm_domain_budget", "q_anon_kanonymity",
+        "q_window_rate_anomaly", "q_ts_seasonal_profile",
+        "q_embed_sign_bits",
     }
 )
 

@@ -789,3 +789,62 @@ def q_window_ohlc(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "q_window_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             avg(CAST(n AS DOUBLE)) AS mu,
+             sqrt(avg(CAST(n AS DOUBLE) * n) - avg(CAST(n AS DOUBLE))
+                  * avg(CAST(n AS DOUBLE))) AS sigma
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.ws_us, h.n,
+           round((h.n - m.mu) / m.sigma, 6) AS zscore
+    FROM hourly h JOIN m ON h.event_type = m.event_type
+    WHERE m.n_windows >= 24 AND m.sigma > 0
+      AND (h.n - m.mu) / m.sigma > 3.0
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_window_rate_anomaly(spark, sf_dir):
+    """I-ext: traffic-rate anomaly detection — the ops-monitoring
+    staple: bucket events into tumbling hours per type, fit the
+    per-type rate distribution (mean/σ from explicit raw moments), and
+    emit the hours whose count sits more than 3σ above the mean. The
+    streaming twin keeps the per-type running moments in keyed state
+    and scores each closing window against them.
+
+    Scale shape: the hourly rollup is the big reduction (one hash
+    aggregate over (type, hour)); the moment fit runs over the rollup
+    (O(types × hours) rows), and the score join is broadcast-sized on
+    the per-type moment table. Types with <24 observed windows are
+    excluded (no meaningful fit)."""
+    t = tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = hourly.select(
+        "event_type", F.unix_micros("w.start").alias("ws_us"), "n"
+    )
+    nd = F.col("n").cast("double")
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.avg(nd).alias("mu"),
+        F.sqrt(F.avg(nd * nd) - F.avg(nd) * F.avg(nd)).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .where((F.col("n_windows") >= 24) & (F.col("sigma") > 0) & (z > 3.0))
+        .select("event_type", "ws_us", "n", F.round(z, 6).alias("zscore"))
+    )

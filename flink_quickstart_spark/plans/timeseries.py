@@ -623,3 +623,73 @@ def q_ts_cusum(spark, sf_dir):
         )
         .agg(F.min("s.event_id").alias("at_event_id"))
     )
+
+
+@register(
+    "q_ts_seasonal_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hr, n, avg_value,
+             max(n) OVER (PARTITION BY event_type) AS peak_n,
+             min(n) OVER (PARTITION BY event_type) AS trough_n
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN n = peak_n THEN hr END) AS BIGINT)
+             AS peak_hour,
+           CAST(min(CASE WHEN n = trough_n THEN hr END) AS BIGINT)
+             AS trough_hour,
+           CAST(max(peak_n) AS BIGINT) AS peak_n,
+           CAST(max(trough_n) AS BIGINT) AS trough_n,
+           round(CAST(max(peak_n) AS DOUBLE) / max(trough_n), 6)
+             AS peak_trough_ratio
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_seasonal_profile(spark, sf_dir):
+    """TS-ext: hour-of-day seasonality profile per stream — the shape
+    check behind capacity planning and anomaly thresholds: event counts
+    folded onto the 24-hour clock, then the peak hour, trough hour
+    (earliest hour as tie-break) and peak/trough amplitude ratio per
+    type. A ratio near 1 means no diurnal pattern; large ratios say
+    the anomaly detector (q_window_rate_anomaly) needs hour-conditioned
+    baselines.
+
+    Scale shape: one hash aggregate folds any number of rows onto
+    (type, 24 hours); the argmax/argmin run as windows over that
+    constant-size profile table. Single data pass."""
+    t = tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.max("n").over(w).alias("peak_n"),
+        F.min("n").over(w).alias("trough_n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("n") == F.col("peak_n"), F.col("hr")))
+        .cast("long")
+        .alias("peak_hour"),
+        F.min(F.when(F.col("n") == F.col("trough_n"), F.col("hr")))
+        .cast("long")
+        .alias("trough_hour"),
+        F.max("peak_n").alias("peak_n"),
+        F.max("trough_n").alias("trough_n"),
+        F.round(
+            F.max("peak_n").cast("double") / F.max("trough_n"), 6
+        ).alias("peak_trough_ratio"),
+    )

@@ -89,6 +89,17 @@ ALLOWED = {
         "1-row global [min,max] bounds crossed onto the fact scan to fix "
         "the histogram domain; everything after is hash aggregation",
     ),
+    "q_llm_tfidf_cosine": (
+        "BroadcastNestedLoopJoin",
+        "1-row n_docs scalar crossed onto the df-capped postings for the "
+        "IDF weight; the pair discovery is a hash self-join on the term "
+        "with doc_id< as residual — never all-pairs",
+    ),
+    "q_llm_domain_budget": (
+        "BroadcastNestedLoopJoin",
+        "1-row sqrt-mass normalizer crossed onto the O(#sources) "
+        "per-source aggregate",
+    ),
     "q_dq_sequence_gaps": (
         "global-window",
         "the only unpartitioned window runs over PER-BUCKET SUMMARIES "
