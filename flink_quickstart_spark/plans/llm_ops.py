@@ -2692,3 +2692,189 @@ def q_embed_sign_bits(spark, sf_dir):
         )
         .where(F.col("n_vecs") >= 2)
     )
+
+
+@register(
+    "q_llm_dedup_paragraph",
+    oracle="""
+    WITH sents AS (
+      SELECT DISTINCT doc_id, sent FROM (
+        SELECT doc_id, trim(unnest(string_split(text, '.'))) AS sent
+        FROM documents
+      ) WHERE len(list_filter(string_split(sent, ' '), w -> w <> '')) >= 3
+    ),
+    support AS (
+      SELECT sent, CAST(count(*) AS BIGINT) AS n_docs
+      FROM sents GROUP BY sent
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_sents,
+           round(CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS shared_frac
+    FROM sents s JOIN support p ON s.sent = p.sent
+    GROUP BY s.doc_id
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_paragraph(spark, sf_dir):
+    """LLM-ext: sub-document (sentence-level) dedup — the C4-style
+    granularity between exact whole-doc hashing and span n-grams:
+    sentences of >= 3 words, deduped within-doc, then cross-corpus
+    support counts; each doc reports how many of its sentences appear
+    verbatim in OTHER documents (boilerplate, license headers, quoted
+    chain text). Docs above a shared_frac threshold get dropped or
+    trimmed by the cascade.
+
+    Scale shape: explode to distinct (doc, sentence), one hash
+    aggregate for sentence support, one hash join back (sentence-keyed
+    — in production the join key is a sentence HASH, here the raw
+    string so the oracle is expressible), one per-doc aggregate.
+    Linear in sentence mass; no all-pairs anywhere."""
+    t = tables(spark, sf_dir)
+    words = F.filter(F.split(F.col("sent"), r"\s+"), lambda x: x != "")
+    sents = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", r"\.")).alias("raw")
+        )
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .where(F.size(words) >= 3)
+        .distinct()
+    )
+    support = sents.groupBy("sent").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        sents.join(support, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(shared).alias("n_shared_sents"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+@register(
+    "q_llm_vocab_growth",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id % 10 AS bucket, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    tok_per_bucket AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM words GROUP BY bucket
+    ),
+    first_seen AS (
+      SELECT word, min(bucket) AS first_bucket FROM words GROUP BY word
+    ),
+    new_per_bucket AS (
+      SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY first_bucket
+    )
+    SELECT t.bucket,
+           CAST(sum(t2.n_tokens) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n2.n_new, 0)) AS BIGINT) AS vocab_size
+    FROM tok_per_bucket t
+    JOIN tok_per_bucket t2 ON t2.bucket <= t.bucket
+    LEFT JOIN new_per_bucket n2 ON n2.bucket = t2.bucket
+    GROUP BY t.bucket
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_vocab_growth(spark, sf_dir):
+    """LLM-ext: vocabulary-growth (Heaps'-law) curve — cumulative
+    distinct-word count as the corpus grows, the sanity check behind
+    tokenizer-vocab sizing and dedup verification (a deduped corpus
+    grows vocabulary faster per token). Cumulative DISTINCT is the
+    classically expensive part; it reduces to a linear program via
+    first-occurrence attribution: each word contributes +1 to the
+    bucket where it FIRST appears, so the curve is a running sum over
+    per-bucket counts.
+
+    Scale shape: one min-aggregate per word (the only vocabulary-wide
+    shuffle), one count per bucket, then the cumulative join runs over
+    the 10-row bucket table. Never materializes a per-prefix distinct."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    words = t.documents.select(
+        (F.col("doc_id") % 10).alias("bucket"),
+        F.explode(toks).alias("word"),
+    )
+    tok_per_bucket = words.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    new_per_bucket = (
+        words.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    t1 = tok_per_bucket.alias("t")
+    t2 = tok_per_bucket.alias("t2")
+    n2 = new_per_bucket.alias("n2")
+    return (
+        t1.join(t2, F.col("t2.bucket") <= F.col("t.bucket"))
+        .join(n2, F.col("n2.bucket") == F.col("t2.bucket"), "left")
+        .groupBy(F.col("t.bucket").alias("bucket"))
+        .agg(
+            F.sum("t2.n_tokens").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n2.n_new"), F.lit(0))).alias(
+                "vocab_size"
+            ),
+        )
+    )
+
+
+@register(
+    "q_llm_token_len_hist",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(floor(log2(len(list_filter(string_split(text, ' '),
+                                             w -> w <> '')))) AS BIGINT)
+               AS log2_bucket
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 1
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lens)
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / tot.n, 6) AS share
+    FROM lens CROSS JOIN tot
+    GROUP BY log2_bucket, tot.n
+    """,
+    tags=("batch", "llm", "profiling"),
+)
+def q_llm_token_len_hist(spark, sf_dir):
+    """LLM-ext: document-length histogram in log2 token buckets — the
+    sequence-length planning input for packing (q_llm_pack_sequences)
+    and truncation policy: how much of the corpus lives at each length
+    scale. Token counting stays inside an array expression; the
+    histogram is one hash aggregate over a handful of buckets.
+
+    Scale shape: no explode — each doc contributes one pre-bucketed
+    row to a partial+final aggregate; the share normalizer is a 1-row
+    broadcast scalar."""
+    t = tables(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    lens = t.documents.where(n_tok >= 1).select(
+        F.floor(F.log2(n_tok.cast("double"))).cast("long").alias(
+            "log2_bucket"
+        )
+    )
+    tot = lens.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        lens.crossJoin(F.broadcast(tot))
+        .groupBy("log2_bucket", "n")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "log2_bucket",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
+        )
+    )

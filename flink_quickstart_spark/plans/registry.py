@@ -132,7 +132,9 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_wf_streaks", "q_text_repetition", "q_llm_tfidf_cosine",
         "q_llm_domain_budget", "q_anon_kanonymity",
         "q_window_rate_anomaly", "q_ts_seasonal_profile",
-        "q_embed_sign_bits",
+        "q_embed_sign_bits", "q_llm_dedup_paragraph",
+        "q_llm_vocab_growth", "q_llm_token_len_hist",
+        "q_sql_division", "q_pattern_timeout",
     }
 )
 

@@ -732,3 +732,35 @@ def q_sql_q22(spark, sf_dir):
     ANTI join after pushing the date filter into the orders scan)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+_DIVISION_SQL = """
+WITH n_types AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS total FROM events
+)
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events CROSS JOIN n_types
+GROUP BY user_id, n_types.total
+HAVING count(DISTINCT event_type) = total
+"""
+
+
+@register(
+    "q_sql_division",
+    oracle=_DIVISION_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_division(spark, sf_dir):
+    """SQL-surface: relational division — "users who triggered EVERY
+    event type", the for-all quantifier the EXISTS/semi-join family
+    (q_sql_exists) can't express directly. Authored as the count-match
+    rewrite: per-user distinct-type count equals the global
+    distinct-type count — the scale-safe form; the textbook
+    double-NOT-EXISTS would nest correlated anti-joins.
+
+    Scale shape: one distinct aggregate per user (Catalyst expand +
+    two-phase agg) against a 1-row broadcast global count — linear,
+    one shuffle on user_id."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DIVISION_SQL)

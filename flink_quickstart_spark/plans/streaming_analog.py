@@ -848,3 +848,63 @@ def q_window_rate_anomaly(spark, sf_dir):
         .where((F.col("n_windows") >= 24) & (F.col("sigma") > 0) & (z > 3.0))
         .select("event_type", "ws_us", "n", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "q_pattern_timeout",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN next_us IS NULL THEN -1
+                ELSE next_us - ts_us END AS gap_us
+    FROM seq
+    WHERE event_type = 'click'
+      AND (next_us IS NULL OR next_us - ts_us > 3600000000)
+    """,
+    tags=("batch", "streaming-analog", "cep"),
+)
+def q_pattern_timeout(spark, sf_dir):
+    """I11b: CEP timeout / absence pattern — clicks followed by NOTHING
+    from the same user within one hour (abandonment, stalled funnel,
+    dead-session detection). In Flink this is the timer branch of a
+    KeyedProcessFunction: register click_ts + 1h, fire if no event
+    arrives first; the batch analog is a per-key lead() — the very next
+    event's timestamp, whatever its type — with the gap test as a
+    filter. gap_us = -1 encodes "no later event at all" (end-of-stream
+    timeout), keeping the column non-null for hashing.
+
+    Scale shape: one shuffle on user_id for the sequence window, then a
+    narrow filter — same cost as any per-key ordering; no join against
+    the future needed. The streaming twin lives in streaming/timers.py
+    (event-time timers over transformWithStateInPandas)."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "click")
+            & (
+                F.col("next_us").isNull()
+                | (F.col("next_us") - F.col("ts_us") > 3600000000)
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.when(F.col("next_us").isNull(), F.lit(-1).cast("long"))
+            .otherwise(F.col("next_us") - F.col("ts_us"))
+            .alias("gap_us"),
+        )
+    )
