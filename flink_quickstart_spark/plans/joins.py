@@ -640,3 +640,78 @@ def q_join_pit_features(spark, sf_dir):
         "n_clicks_60m",
         "click_value_60m",
     )
+
+
+@register(
+    "q_dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT count(*) FROM supplier) AS BIGINT),
+           CAST((SELECT count(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    """,
+    tags=("batch", "join", "dq"),
+)
+def q_dq_referential_integrity(spark, sf_dir):
+    """DQ-ext: referential-integrity audit across the warehouse's FK
+    edges — child count and orphan count per relation, the check that
+    runs after every ingest and before every join-dependent pipeline
+    (an orphan rate > 0 silently deletes rows from inner joins).
+
+    Scale shape: each orphan count is a LEFT ANTI hash join (fact side
+    streams, dimension side broadcast when small — customer/nation —
+    or shuffled hash for orders); the four audits are independent and
+    union into a 4-row report. No row-level output, so the result is
+    constant-size at any scale."""
+    t = tables(spark, sf_dir)
+
+    def audit(name, child, ckey, parent, pkey):
+        # Lazy 1-row report: total via agg, orphans via LEFT ANTI + agg.
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orphan = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return (
+            n_child.crossJoin(n_orphan)
+            .select(
+                F.lit(name).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+
+    reports = [
+        audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders,
+              "o_orderkey"),
+        audit("orders->customer", t.orders, "o_custkey", t.customer,
+              "c_custkey"),
+        audit("customer->nation", t.customer, "c_nationkey", t.nation,
+              "n_nationkey"),
+        audit("supplier->nation", t.supplier, "s_nationkey", t.nation,
+              "n_nationkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -2878,3 +2878,44 @@ def q_llm_token_len_hist(spark, sf_dir):
             F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "q_sample_group_topk_hash",
+    oracle="""
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("batch", "llm", "sampling"),
+)
+def q_sample_group_topk_hash(spark, sf_dir):
+    """LLM-ext: exact-k uniform sample per group — k=5 documents per
+    source, drawn by ranking on md5(doc_id): a deterministic,
+    engine-reproducible stand-in for per-group reservoir sampling
+    (the hash order is uniform-pseudorandom but re-derivable anywhere,
+    unlike rand()-based reservoirs). Complements q_sample_stratified's
+    FRACTION-based hash threshold: that can't promise a count; this
+    promises exactly min(k, group size).
+
+    Scale shape: one shuffle on the group key, per-group top-k via
+    rank — Catalyst inserts WindowGroupLimit so each partition keeps
+    only k candidates before and after the shuffle (the same
+    optimization q_topk_pergroup is plan-asserted on); never a global
+    sort."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t.documents.select(
+            "source", "doc_id", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )

@@ -135,6 +135,8 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_embed_sign_bits", "q_llm_dedup_paragraph",
         "q_llm_vocab_growth", "q_llm_token_len_hist",
         "q_sql_division", "q_pattern_timeout",
+        "q_ts_decimate_minmax", "q_dq_referential_integrity",
+        "q_sample_group_topk_hash",
     }
 )
 

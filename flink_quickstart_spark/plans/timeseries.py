@@ -693,3 +693,71 @@ def q_ts_seasonal_profile(spark, sf_dir):
             F.max("peak_n").cast("double") / F.max("trough_n"), 6
         ).alias("peak_trough_ratio"),
     )
+
+
+@register(
+    "q_ts_decimate_minmax",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us,
+             epoch_us(ts) AS ts_us, value,
+             min(value) OVER (PARTITION BY user_id,
+               (epoch_us(ts) // 21600000000)) AS min_v,
+             max(value) OVER (PARTITION BY user_id,
+               (epoch_us(ts) // 21600000000)) AS max_v
+      FROM events
+    )
+    SELECT user_id, ws_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           min(CASE WHEN value = min_v THEN ts_us END) AS ts_at_min_us,
+           min(CASE WHEN value = max_v THEN ts_us END) AS ts_at_max_us
+    FROM b GROUP BY user_id, ws_us
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_decimate_minmax(spark, sf_dir):
+    """TS-ext: min-max decimation — the plot/archive downsample that
+    preserves envelopes and spike visibility (what naive averaging
+    destroys): per (key, 6-hour bucket), the extreme values and the
+    EARLIEST instant each extreme occurred (CASE-conditional min over
+    the bucket's per-row running extremes — identical tie policy on
+    both engines; the equality test compares unmodified stored doubles,
+    so it is exact). Buckets come from integer epoch arithmetic, the
+    same grid as F.window(ts, '6 hours').
+
+    Scale shape: one window pass and one hash aggregate, both on the
+    same (user, bucket) partitioning — the window's shuffle is reused
+    by the aggregate; output is two points per bucket regardless of
+    input density, the fixed-size result that makes dashboards over
+    raw 100 TB feasible."""
+    t = tables(spark, sf_dir)
+    ts_us = F.unix_micros("ts")
+    ws_us = (ts_us / F.lit(21600000000)).cast("long") * F.lit(21600000000)
+    w = Window.partitionBy("user_id", "ws_us")
+    b = t.events.select(
+        "user_id",
+        ws_us.alias("ws_us"),
+        ts_us.alias("ts_us"),
+        "value",
+    ).select(
+        "user_id",
+        "ws_us",
+        "ts_us",
+        "value",
+        F.min("value").over(w).alias("min_v"),
+        F.max("value").over(w).alias("max_v"),
+    )
+    return b.groupBy("user_id", "ws_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.min(F.when(F.col("value") == F.col("min_v"), F.col("ts_us"))).alias(
+            "ts_at_min_us"
+        ),
+        F.min(F.when(F.col("value") == F.col("max_v"), F.col("ts_us"))).alias(
+            "ts_at_max_us"
+        ),
+    )
