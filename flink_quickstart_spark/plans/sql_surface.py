@@ -737,12 +737,14 @@ def q_sql_q22(spark, sf_dir):
 _DIVISION_SQL = """
 WITH n_types AS (
   SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS total FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id
 )
-SELECT user_id,
-       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
-FROM events CROSS JOIN n_types
-GROUP BY user_id, n_types.total
-HAVING count(DISTINCT event_type) = total
+SELECT user_id, n_types
+FROM per_user CROSS JOIN n_types
+WHERE n_types = total
 """
 
 
@@ -760,7 +762,8 @@ def q_sql_division(spark, sf_dir):
     double-NOT-EXISTS would nest correlated anti-joins.
 
     Scale shape: one distinct aggregate per user (Catalyst expand +
-    two-phase agg) against a 1-row broadcast global count — linear,
-    one shuffle on user_id."""
+    two-phase agg) against a 1-row broadcast global count, attached
+    AFTER aggregation so the scalar cross touches O(users) rows, not
+    the fact scan — linear, one shuffle on user_id."""
     register_views(spark, sf_dir)
     return spark.sql(_DIVISION_SQL)

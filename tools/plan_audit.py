@@ -100,6 +100,28 @@ ALLOWED = {
         "1-row sqrt-mass normalizer crossed onto the O(#sources) "
         "per-source aggregate",
     ),
+    "q_llm_token_len_hist": (
+        "BroadcastNestedLoopJoin",
+        "1-row share normalizer crossed onto pre-bucketed rows; the "
+        "histogram itself is a partial+final hash aggregate",
+    ),
+    "q_llm_vocab_growth": (
+        "BroadcastNestedLoopJoin",
+        "the cumulative (t2.bucket <= t.bucket) join runs over the "
+        "10-row bucket table — O(buckets^2) on aggregate-sized input; "
+        "the vocabulary-wide work is hash aggregation only",
+    ),
+    "q_sql_division": (
+        "BroadcastNestedLoopJoin",
+        "1-row global distinct-type count crossed onto the per-user "
+        "AGGREGATE (O(users) rows, post-shuffle); the distinct agg is "
+        "the standard expand + two-phase hash aggregate",
+    ),
+    "q_dq_referential_integrity": (
+        "BroadcastNestedLoopJoin",
+        "four 1-row (n_child × n_orphans) scalar crosses assembling "
+        "the 4-row report; every orphan count is a LEFT ANTI hash join",
+    ),
     "q_dq_sequence_gaps": (
         "global-window",
         "the only unpartitioned window runs over PER-BUCKET SUMMARIES "
