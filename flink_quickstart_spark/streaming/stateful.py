@@ -216,3 +216,57 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TIMEOUT_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, gap_us bigint"
+_TIMEOUT_STATE_SCHEMA = "prev_id bigint, prev_ts_us bigint, prev_is_click boolean"
+
+
+def timeout_absence(events: DataFrame, within_us: int = 3_600_000_000) -> DataFrame:
+    """I11b streaming twin of ``q_pattern_timeout``: emit each click whose
+    NEXT event from the same user arrives more than ``within_us`` late
+    (abandonment detection — the timer branch of a Flink
+    KeyedProcessFunction). State per key is O(1): the previous event's
+    (id, ts, was-it-a-click). A click that never sees a successor stays
+    pending (the batch analog marks those ``gap_us = -1``); emitting them
+    eagerly would need an event-time timer — see streaming/timers.py for
+    the transformWithStateInPandas variant of that pattern.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prev_id, prev_ts, prev_click = (
+            state.get if state.exists else (None, None, False)
+        )
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for et, eid, ts_us in zip(
+                pdf["event_type"], pdf["event_id"], pdf["ts_us"]
+            ):
+                if prev_click and ts_us - prev_ts > within_us:
+                    out.append(
+                        (key[0], int(prev_id), int(prev_ts), int(ts_us - prev_ts))
+                    )
+                prev_id, prev_ts, prev_click = int(eid), int(ts_us), et == "click"
+        state.update((prev_id, prev_ts, prev_click))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts_us", "gap_us"]
+            )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        TIMEOUT_SCHEMA,
+        _TIMEOUT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

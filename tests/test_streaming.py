@@ -365,3 +365,21 @@ def test_stream_ewma_matches_batch_and_pandas_reference(spark):
     }
     for row in pdf.itertuples():
         assert abs(got[(row.user_id, row.event_id)] - row.ref) < 1e-5
+
+
+def test_stream_timeout_pattern_matches_batch_analog(spark):
+    """I11b: the stateful timeout/absence processor must agree with the
+    lead() batch analog on every click that HAS a successor; the stream
+    cannot flush end-of-stream pending clicks (the batch's gap_us = -1
+    rows) without event-time timers, so those are excluded."""
+    from flink_quickstart_spark.plans import load_all, registry
+    from flink_quickstart_spark.streaming.stateful import timeout_absence
+
+    load_all()
+    stream_out = run_to_memory(timeout_absence(events_stream(spark, SF_DIR)))
+    batch = (
+        registry.REGISTRY["q_pattern_timeout"]
+        .builder(spark, SF_DIR)
+        .where(F.col("gap_us") != -1)
+    )
+    assert _rows(stream_out.select(batch.columns)) == _rows(batch)
