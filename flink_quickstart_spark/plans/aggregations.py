@@ -1084,3 +1084,47 @@ def q_agg_skew_audit(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, epoch_us(ts) / 86400000000.0) AS BIGINT)
+             AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2,
+           round(regr_avgx(value, epoch_us(ts) / 86400000000.0), 4)
+             AS avg_day,
+           round(regr_avgy(value, epoch_us(ts) / 86400000000.0), 4)
+             AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("batch", "agg", "stats"),
+)
+def q_agg_regression(spark, sf_dir):
+    """D-ext: the full OLS regression aggregate family (regr_count /
+    slope / intercept / r2 / avgx / avgy) — trend-per-stream in one
+    aggregate pass, the SQL-standard bivariate toolkit
+    (q_ts_features uses slope+corr per window; this is the per-key
+    whole-history fit with the complete coefficient set). Time is
+    rescaled to DAYS (epoch_us / 86.4e9) so slopes are human-readable
+    and survive 6-decimal rounding.
+
+    Scale shape: every regr_* is an algebraic aggregate (sums of
+    products) — partial+final hash aggregation, shuffle carries six
+    doubles per group."""
+    t = tables(spark, sf_dir)
+    day = F.unix_micros("ts") / F.lit(86400000000.0)
+    v = F.col("value")
+    return t.events.groupBy("event_type").agg(
+        F.regr_count(v, day).cast("long").alias("n"),
+        F.round(F.regr_slope(v, day), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(v, day), 4).alias("intercept"),
+        F.round(F.regr_r2(v, day), 6).alias("r2"),
+        F.round(F.regr_avgx(v, day), 4).alias("avg_day"),
+        F.round(F.regr_avgy(v, day), 4).alias("avg_value"),
+    )

@@ -588,3 +588,47 @@ def q_fn_trig(spark, sf_dir):
         ).alias("heading_deg"),
         F.round(F.radians("l_quantity"), 6).alias("rad_q"),
     )
+
+
+@register(
+    "q_fn_string_extended",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')    AS padded_key,
+           split_part(c_name, '#', 2)                   AS name_num,
+           strpos(c_name, '#')                          AS hash_pos,
+           reverse(c_mktsegment)                        AS seg_rev,
+           translate(c_name, '#', '-')                  AS name_dashed,
+           repeat(left(c_mktsegment, 1), 3)             AS seg_initials,
+           right(c_name, 4)                             AS name_tail
+    FROM customer
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_string_extended(spark, sf_dir):
+    """H1b: the second string-function tier — padding, field splitting,
+    position search, reversal, character translation, repetition, and
+    edge slicing: the ETL-normalization vocabulary beyond H1's
+    substr/concat/trim basics. All JVM-side built-ins inside
+    whole-stage codegen; each maps 1:1 to an ANSI/DuckDB function
+    (instr→strpos being the one rename).
+
+    Scale shape: pure per-row projection — no shuffle, fully
+    pushdown-compatible, reads only the 4 referenced columns."""
+    t = tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias(
+            "name_num"
+        ),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.translate(F.col("c_name"), "#", "-").alias("name_dashed"),
+        F.repeat(F.substring(F.col("c_mktsegment"), 1, 1), 3).alias(
+            "seg_initials"
+        ),
+        F.substring(F.col("c_name"), -4, 4).alias("name_tail"),
+    )

@@ -2919,3 +2919,79 @@ def q_sample_group_topk_hash(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@register(
+    "q_llm_novelty",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             word || ' ' || lead(word, 1) OVER w || ' '
+                  || lead(word, 2) OVER w AS trigram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT trigram, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM tri GROUP BY trigram
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = t.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS novelty
+    FROM tri t JOIN first_seen f ON t.trigram = f.trigram
+    GROUP BY t.doc_id
+    """,
+    tags=("batch", "llm", "dedup", "text"),
+)
+def q_llm_novelty(spark, sf_dir):
+    """LLM-ext: incremental novelty scoring — processing the corpus in
+    doc_id order, what fraction of each document's word-trigrams has
+    never been seen before? The curriculum/ordering signal (late
+    near-duplicates score ~0) and the online-dedup admission test, via
+    the same first-occurrence attribution as q_llm_vocab_growth: a
+    trigram is "novel" for exactly the doc with the minimum doc_id
+    containing it.
+
+    Scale shape: trigrams from array expressions (distinct per doc),
+    one min-aggregate over the trigram vocabulary — the only wide
+    shuffle — then a hash join back and a per-doc aggregate. Linear;
+    the streaming twin keeps the seen-set as keyed state."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    trigrams = F.expr(
+        "transform(sequence(0, size(toks) - 3),"
+        " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+    )
+    tri = (
+        t.documents.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(trigrams).alias("trigram"))
+        .distinct()
+    )
+    first_seen = tri.groupBy("trigram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        tri.join(first_seen, "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )

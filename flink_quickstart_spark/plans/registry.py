@@ -136,7 +136,8 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_llm_vocab_growth", "q_llm_token_len_hist",
         "q_sql_division", "q_pattern_timeout",
         "q_ts_decimate_minmax", "q_dq_referential_integrity",
-        "q_sample_group_topk_hash",
+        "q_sample_group_topk_hash", "q_scan_text_roundtrip",
+        "q_fn_string_extended", "q_agg_regression", "q_llm_novelty",
     }
 )
 

@@ -543,3 +543,50 @@ def q_join_dpp(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_scan_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("batch", "source"),
+)
+def q_scan_text_roundtrip(spark, sf_dir):
+    """A2c: line-oriented TEXT write → spark.read.text → parse →
+    aggregate — the Flink ``readTextFile``/``writeAsText`` pair as a
+    value-checked roundtrip (csv/orc/json cover the structured formats;
+    this is the raw-line surface word-count jobs start from). Each doc
+    serializes to one tab-separated line (text has no tabs in the
+    testdata — asserted by the parse producing no NULLs); the reader
+    splits it back and re-aggregates, matching the parquet oracle.
+
+    Scale shape: text write/read is per-partition and embarrassingly
+    parallel; the aggregate is the usual partial+final hash agg."""
+    t = tables(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "fqs_scratch", "text_roundtrip",
+        os.path.basename(sf_dir),
+    )
+    t.documents.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split("value", "\t").alias("parts")
+    ).select(
+        F.element_at("parts", 2).alias("lang"),
+        F.element_at("parts", 3).cast("long").alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
