@@ -271,6 +271,26 @@ class DataStream:
         else:
             fn(self._df, -1)
 
+    def with_metrics(self, name: str, **metrics: Column) -> "DataStream":
+        """Flink accumulators / operator metrics analog: attach named
+        aggregate metrics that are computed AS A SIDE EFFECT of the next
+        action, with zero extra passes over the data (Spark's
+        ``Observation`` API — metrics piggyback on the job that
+        materializes the stream, exactly like Flink accumulators ride
+        the job execution). Read them back after an action via
+        ``env.metrics(name)``.
+
+        Batch only: streaming metrics go through each query's
+        ``lastProgress`` (see streaming/harness.py)."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        out = DataStream(self._df.observe(obs, *[
+            m.alias(k) for k, m in metrics.items()
+        ]), self._env)
+        self._env._observations[name] = obs
+        return out
+
 
 class KeyedStream:
     def __init__(
@@ -418,6 +438,13 @@ class StreamExecutionEnvironment:
     def __init__(self, spark: SparkSession) -> None:
         self._spark = spark
         self._queries: list = []  # StreamingQuery handles started by sinks
+        self._observations: dict = {}  # name -> Observation (accumulators)
+
+    def metrics(self, name: str) -> dict:
+        """Read back accumulator-style metrics attached with
+        ``DataStream.with_metrics`` — available after an action has run
+        over the observed frame (Flink ``getAccumulatorResult``)."""
+        return dict(self._observations[name].get)
 
     @classmethod
     def get_execution_environment(

@@ -273,3 +273,48 @@ def test_redistribution_and_split(spark):
     n_hot, n_rest = hot.to_df().count(), rest.to_df().count()
     assert n_hot + n_rest == ev.to_df().count()
     assert n_hot == ev.to_df().where(F.col("value") > 100).count()
+
+
+def test_with_metrics_observation(spark):
+    """Accumulator parity: metrics ride the materializing action with no
+    extra pass (Spark Observation <-> Flink accumulators)."""
+    from pyspark.sql import functions as F
+
+    from flink_quickstart_spark.api import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_collection(
+        [(1, 2.0), (2, 4.0), (3, 6.0)], "id long, v double"
+    ).with_metrics(
+        "job_stats",
+        n_rows=F.count(F.lit(1)),
+        sum_v=F.sum("v"),
+    )
+    assert ds.to_df().count() == 3
+    m = env.metrics("job_stats")
+    assert m["n_rows"] == 3 and m["sum_v"] == 12.0
+
+
+def test_async_enrich_bulk_lookup(spark):
+    """AsyncFunction parity: one bulk lookup per Arrow batch, distinct
+    keys only, NULL for misses."""
+    from flink_quickstart_spark.operators.enrich import async_enrich
+
+    calls = []
+
+    def fake_lookup(keys):
+        calls.append(sorted(keys))
+        return {k: f"name-{k}" for k in keys if k % 2 == 0}
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "row_id long, key long"
+    ).coalesce(1)
+    out = async_enrich(df, "key", fake_lookup, out_col="name").collect()
+    assert len(out) == 100
+    for r in out:
+        if r.key % 2 == 0:
+            assert r.name == f"name-{r.key}"
+        else:
+            assert r.name is None
+    # distinct keys per batch, not per row: 100 rows, 4 distinct keys
+    assert all(len(c) <= 4 for c in calls)
