@@ -168,6 +168,40 @@ def main() -> None:
     assert hh_small == hh_big, "replication must preserve heavy-hitter frequencies"
     print("heavy-hitter set identical at 1x and N× — exactness preserved")
 
+    # First-occurrence attribution (novelty / vocab-growth core) at N×:
+    # the "seen in any earlier doc?" test is one min(doc_id) aggregate
+    # over the trigram vocabulary plus a hash join back — runtime must
+    # scale ~linearly with trigram mass, never quadratically with the
+    # number of doc pairs it implicitly compares.
+    def novelty(d):
+        toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        tri = (
+            d.select("doc_id", toks_arr.alias("toks"))
+            .where(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3),"
+                        " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                    )
+                ).alias("trigram"),
+            )
+            .distinct()
+        )
+        first = tri.groupBy("trigram").agg(F.min("doc_id").alias("first_doc"))
+        novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        return (
+            tri.join(first, "trigram")
+            .groupBy("doc_id")
+            .agg(F.sum(novel).alias("n_novel"))
+        )
+
+    novelty(docs).collect()  # warm-up
+    base_n = timed("novelty 1x", novelty(docs))
+    big_n = timed(f"novelty {n}x", novelty(docs_big))
+    print(f"novelty scaling factor: {big_n / base_n:.1f}x for {n}x data")
+
 
 if __name__ == "__main__":
     main()
