@@ -1128,3 +1128,73 @@ def q_agg_regression(spark, sf_dir):
         F.round(F.regr_avgx(v, day), 4).alias("avg_day"),
         F.round(F.regr_avgy(v, day), 4).alias("avg_value"),
     )
+
+
+@register(
+    "q_agg_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    run AS (
+      SELECT o_custkey, rev_cents,
+             sum(rev_cents) OVER (
+               ORDER BY rev_cents DESC, o_custkey
+               ROWS UNBOUNDED PRECEDING) AS running
+      FROM per_cust
+    ),
+    tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM per_cust)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN (running - rev_cents) * 5 < total * 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN (running - rev_cents) * 5 < total * 4
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS frac_top80,
+           CAST(max(total) AS BIGINT) AS total_rev_cents
+    FROM run CROSS JOIN tot
+    """,
+    tags=("batch", "agg", "profiling"),
+)
+def q_agg_pareto(spark, sf_dir):
+    """D-ext: revenue-concentration (Pareto) report — the smallest set
+    of customers covering 80% of revenue: per-customer totals in exact
+    integer CENTS, a GLOBAL running sum over the revenue-desc order,
+    and an integer predicate (5 * cumulative-before < 4 * total ⇔ the
+    row is still needed to reach 80%) so the cut is engine-exact with
+    no floating-point thresholds.
+
+    Scale shape: the per-customer aggregate collapses the fact table;
+    the global running sum uses the two-phase distributed prefix sum
+    (operators/rank.global_row_number's sibling: range buckets →
+    aggregate-sized offsets → PARTITIONED intra-bucket windows — no
+    single-reducer WindowExec); the report is one row."""
+    from flink_quickstart_spark.operators.rank import global_running_sum
+
+    t = tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents")
+    )
+    run = global_running_sum(
+        per_cust,
+        value_col="rev_cents",
+        order_by=[F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+        bucket_col="rev_cents",
+        out_col="running",
+    )
+    tot = per_cust.agg(F.sum("rev_cents").alias("total"))
+    needed = F.when(
+        (F.col("running") - F.col("rev_cents")) * 5 < F.col("total") * 4, 1
+    ).otherwise(0)
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(needed).alias("n_top80"),
+            F.round(
+                F.sum(needed).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_top80"),
+            F.max("total").alias("total_rev_cents"),
+        )
+    )

@@ -908,3 +908,106 @@ def q_pattern_timeout(spark, sf_dir):
             .alias("gap_us"),
         )
     )
+
+
+@register(
+    "q_session_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END
+               AS is_start
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no,
+             ts_us
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts_us) - min(ts_us) AS dur_us
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           round(avg(CAST(dur_us AS DOUBLE)) / 1000000.0, 6)
+             AS avg_dur_s
+    FROM per_session GROUP BY user_id
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_session_stats(spark, sf_dir):
+    """I3b: per-user session QUALITY rollup — sessionize with a 30-min
+    inactivity gap (the lag-then-running-sum gaps-and-islands form, the
+    portable twin of F.session_window), then the engagement report:
+    session count, bounce count (single-event sessions), mean/max
+    events per session, mean duration. This is the aggregate the
+    session window feeds in every product-analytics pipeline.
+
+    Scale shape: one shuffle on user_id serves the lag window, the
+    running session counter, and BOTH aggregates — four stages, one
+    partitioning; nothing global anywhere. Session durations use exact
+    integer epoch-microsecond arithmetic until the final rounding."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    marked = seq.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    runw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.select(
+        "user_id",
+        F.sum("is_start").over(runw).alias("session_no"),
+        "ts_us",
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounce"
+        ),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_events"
+        ),
+        F.max("n_events").alias("max_events"),
+        F.round(
+            F.avg(F.col("dur_us").cast("double")) / 1000000.0, 6
+        ).alias("avg_dur_s"),
+    )
