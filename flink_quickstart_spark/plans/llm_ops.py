@@ -2995,3 +2995,170 @@ def q_llm_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "q_llm_winnowing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    tri AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(word || ' '
+                    || lead(word, 1) OVER w || ' '
+                    || lead(word, 2) OVER w), 1, 15)) AS BIGINT) AS h
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM tri
+      QUALIFY lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NOT NULL
+    ),
+    selected AS (SELECT DISTINCT doc_id, fp FROM wins),
+    df AS (
+      SELECT fp FROM selected GROUP BY fp HAVING count(*) <= 100
+    ),
+    capped AS (SELECT s.* FROM selected s JOIN df USING (fp))
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_winnowing(spark, sf_dir):
+    """K2d: full MOSS-style winnowing — the fingerprint-SET tier above
+    q_text_fingerprint's single min-hash: hash every word trigram
+    (portable md5-60), slide a 4-window over the hash sequence keeping
+    each window's MINIMUM (the winnowing guarantee: any match of >=
+    window+k-gram length shares a selected fingerprint), dedup the
+    selections per doc, and report document pairs sharing >= 2
+    fingerprints — the local-plagiarism/near-dup detector that catches
+    PARTIAL overlap exact-hash dedup misses.
+
+    Scale shape: selection is per-doc windows (one doc_id shuffle);
+    density drops ~2/(window+1) before any join; the pair join is an
+    inverted index on the selected fingerprint with the standard df<=100
+    hot-fingerprint cap — never all-pairs. Same shape as q_llm_neardup
+    with a provably-sampled shingle set."""
+    t = tables(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("pos", "word"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
+            ).alias("s"),
+            F.lead("word", 2).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    winw = w.rowsBetween(Window.currentRow, 3)
+    wins = (
+        tri.select(
+            "doc_id",
+            F.min("h").over(winw).alias("fp"),
+            F.lead("h", 3).over(w).alias("h3"),
+        )
+        .where(F.col("h3").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_ok = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= 100
+    )
+    capped = wins.join(df_ok.select("fp"), "fp")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@register(
+    "q_embed_dim_stats",
+    oracle="""
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 6) AS mean_x,
+           round(sqrt(avg(x * x) - avg(x) * avg(x)), 6) AS std_x,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+    FROM (
+      SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+    tags=("batch", "llm", "similarity", "profiling"),
+)
+def q_embed_dim_stats(spark, sf_dir):
+    """LLM-ext: per-dimension embedding statistics — the drift/health
+    monitor for a vector corpus: mean/std/min/max for each of the 64
+    dimensions (population std from explicit raw moments — engine-
+    stable). Dead dimensions (std ~ 0), mean shift between snapshots,
+    and range blowups (bad normalization upstream) all show here; it's
+    also the input for deciding quantization scales
+    (q_embed_quantize_int8) and binarization validity
+    (q_embed_sign_bits).
+
+    Scale shape: posexplode to (dim, value) then one hash aggregate
+    onto 64 groups — partial+final, map-side combined; output is
+    constant-size."""
+    t = tables(spark, sf_dir)
+    return (
+        t.embeddings.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            )
+        )
+        .select((F.col("pos") + 1).cast("long").alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(
+                F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")),
+                6,
+            ).alias("std_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )

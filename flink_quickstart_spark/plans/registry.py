@@ -138,7 +138,8 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_ts_decimate_minmax", "q_dq_referential_integrity",
         "q_sample_group_topk_hash", "q_scan_text_roundtrip",
         "q_fn_string_extended", "q_agg_regression", "q_llm_novelty",
-        "q_agg_pareto", "q_session_stats",
+        "q_agg_pareto", "q_session_stats", "q_llm_winnowing",
+        "q_embed_dim_stats", "q_agg_stickiness",
     }
 )
 

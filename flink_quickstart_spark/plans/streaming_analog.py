@@ -1011,3 +1011,69 @@ def q_session_stats(spark, sf_dir):
             F.avg(F.col("dur_us").cast("double")) / 1000000.0, 6
         ).alias("avg_dur_s"),
     )
+
+
+@register(
+    "q_agg_stickiness",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM active),
+    mau AS (
+      SELECT days.d,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+      FROM days JOIN active a
+        ON a.d <= days.d AND a.d > days.d - 28
+      GROUP BY days.d
+    ),
+    dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY d
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day,
+           dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+    tags=("batch", "streaming-analog"),
+)
+def q_agg_stickiness(spark, sf_dir):
+    """I-ext: DAU/MAU stickiness — daily actives over trailing-28-day
+    monthly actives, the canonical engagement ratio. Exact trailing
+    COUNT(DISTINCT) over a sliding range is the expensive part; it
+    runs over the COMPACTED activity table (distinct user-days — the
+    dominant reduction) joined to the day grid with a 28-day band, so
+    the widest intermediate is activity × 28, bounded by the rollup
+    size, never by raw events.
+
+    Scale shape: distinct user-days first (one shuffle), the banded
+    grid join replicates each activity row <= 28 times (a constant),
+    and the distinct count per grid day is the standard expand + two-
+    phase aggregate. The streaming twin maintains a 28-slot HLL ring
+    per day (q_agg_hll_rollup's merge path)."""
+    t = tables(spark, sf_dir)
+    active = t.events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = active.select("d").distinct().withColumnRenamed("d", "grid_d")
+    mau = (
+        days.join(
+            active,
+            (F.col("d") <= F.col("grid_d"))
+            & (F.col("d") > F.date_sub(F.col("grid_d"), 28)),
+        )
+        .groupBy("grid_d")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    dau = active.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(mau, dau.d == mau.grid_d)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
