@@ -3162,3 +3162,72 @@ def q_embed_dim_stats(spark, sf_dir):
             F.round(F.max("x"), 6).alias("max_x"),
         )
     )
+
+
+@register(
+    "q_text_halves_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    halves AS (
+      SELECT doc_id,
+             list_distinct(list_slice(toks, 1, len(toks) // 2)) AS h1,
+             list_distinct(list_slice(toks, len(toks) // 2 + 1,
+                                      len(toks))) AS h2
+      FROM t WHERE len(toks) >= 10
+    )
+    SELECT doc_id,
+           CAST(len(h1) AS BIGINT) AS n_h1,
+           CAST(len(h2) AS BIGINT) AS n_h2,
+           CAST(len(list_intersect(h1, h2)) AS BIGINT) AS n_common,
+           round(CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+                 / (len(h1) + len(h2) - len(list_intersect(h1, h2))), 6)
+             AS jaccard_halves
+    FROM halves
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_text_halves_overlap(spark, sf_dir):
+    """LLM-ext: intra-document half-overlap — the Jaccard similarity
+    between a document's first and second half vocabularies: template
+    pages, mirrored boilerplate and copy-paste padding score high while
+    natural prose scores low (vocabulary shifts as a document
+    progresses). Also exercises the array SET-operation surface
+    (slice, distinct, intersect) that H5 covers only partially.
+
+    Scale shape: everything happens inside array expressions on each
+    row — slice, distinct, intersect are per-row, no explode and NO
+    shuffle at all before the (absent) aggregation; the operator is a
+    pure projection and scales with scan bandwidth."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    half = (F.size("toks") / 2).cast("int")
+    base = (
+        t.documents.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 10)
+        .select(
+            "doc_id",
+            F.array_distinct(F.slice("toks", 1, half)).alias("h1"),
+            F.array_distinct(
+                F.expr(
+                    "slice(toks, CAST(size(toks) / 2 AS INT) + 1,"
+                    " size(toks) - CAST(size(toks) / 2 AS INT))"
+                )
+            ).alias("h2"),
+        )
+    )
+    n_common = F.size(F.array_intersect("h1", "h2"))
+    return base.select(
+        "doc_id",
+        F.size("h1").cast("long").alias("n_h1"),
+        F.size("h2").cast("long").alias("n_h2"),
+        n_common.cast("long").alias("n_common"),
+        F.round(
+            n_common.cast("double")
+            / (F.size("h1") + F.size("h2") - n_common),
+            6,
+        ).alias("jaccard_halves"),
+    )
