@@ -40,7 +40,16 @@ def async_enrich(
     dict key -> value; missing keys yield NULL. One call per Arrow
     batch per task — the bulk-request pattern.
     """
-    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_col} {out_type}"
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the frame")
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    # new list — StructType holds the given list by REFERENCE, so an
+    # in-place .add() would mutate the input frame's schema object
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, _parse_datatype_string(out_type))]
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

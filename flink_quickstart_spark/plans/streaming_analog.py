@@ -1046,22 +1046,27 @@ def q_agg_stickiness(spark, sf_dir):
     the widest intermediate is activity × 28, bounded by the rollup
     size, never by raw events.
 
-    Scale shape: distinct user-days first (one shuffle), the banded
-    grid join replicates each activity row <= 28 times (a constant),
-    and the distinct count per grid day is the standard expand + two-
-    phase aggregate. The streaming twin maintains a 28-slot HLL ring
-    per day (q_agg_hll_rollup's merge path)."""
+    Scale shape: distinct user-days first (one shuffle), then each
+    activity row EXPLODES to the <= 28 grid days it counts toward
+    (sequence + explode — a constant-factor row expansion that keeps
+    the join an EQUI-join on the grid day, never a range-predicate
+    nested loop), a semi-join restricts the grid to observed days, and
+    the distinct count per grid day is the standard expand + two-phase
+    aggregate. The streaming twin maintains a 28-slot HLL ring per day
+    (q_agg_hll_rollup's merge path)."""
     t = tables(spark, sf_dir)
     active = t.events.select(
         "user_id", F.to_date("ts").alias("d")
     ).distinct()
     days = active.select("d").distinct().withColumnRenamed("d", "grid_d")
+    attributed = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 27))
+        ).alias("grid_d"),
+    )
     mau = (
-        days.join(
-            active,
-            (F.col("d") <= F.col("grid_d"))
-            & (F.col("d") > F.date_sub(F.col("grid_d"), 28)),
-        )
+        attributed.join(days, "grid_d", "left_semi")
         .groupBy("grid_d")
         .agg(F.countDistinct("user_id").alias("mau"))
     )

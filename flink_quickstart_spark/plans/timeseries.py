@@ -630,12 +630,11 @@ def q_ts_cusum(spark, sf_dir):
     oracle="""
     WITH hourly AS (
       SELECT event_type, EXTRACT(hour FROM ts) AS hr,
-             CAST(count(*) AS BIGINT) AS n,
-             round(avg(value), 6) AS avg_value
+             CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     ),
     ranked AS (
-      SELECT event_type, hr, n, avg_value,
+      SELECT event_type, hr, n,
              max(n) OVER (PARTITION BY event_type) AS peak_n,
              min(n) OVER (PARTITION BY event_type) AS trough_n
       FROM hourly
@@ -668,10 +667,7 @@ def q_ts_seasonal_profile(spark, sf_dir):
     t = tables(spark, sf_dir)
     hourly = t.events.groupBy(
         "event_type", F.hour("ts").alias("hr")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-    )
+    ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("event_type")
     ranked = hourly.select(
         "event_type",

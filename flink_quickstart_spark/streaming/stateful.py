@@ -231,6 +231,14 @@ def timeout_absence(events: DataFrame, within_us: int = 3_600_000_000) -> DataFr
     pending (the batch analog marks those ``gap_us = -1``); emitting them
     eagerly would need an event-time timer — see streaming/timers.py for
     the transformWithStateInPandas variant of that pattern.
+
+    Within one micro-batch a key's rows may arrive as SEVERAL Arrow
+    chunks in shuffle-read order, so the chunks are concatenated and
+    sorted ONCE before sequencing (per-chunk sorting would mis-pair
+    events when a later chunk holds earlier timestamps). Memory is
+    bounded by one key's rows per micro-batch — the same envelope every
+    applyInPandasWithState operator has. ACROSS micro-batches the
+    watermark must hold back late data (the harness replays in order).
     """
 
     def fn(
@@ -242,17 +250,24 @@ def timeout_absence(events: DataFrame, within_us: int = 3_600_000_000) -> DataFr
             state.get if state.exists else (None, None, False)
         )
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            whole = whole.sort_values(["ts_us", "event_id"])
             for et, eid, ts_us in zip(
-                pdf["event_type"], pdf["event_id"], pdf["ts_us"]
+                whole["event_type"], whole["event_id"], whole["ts_us"]
             ):
                 if prev_click and ts_us - prev_ts > within_us:
                     out.append(
                         (key[0], int(prev_id), int(prev_ts), int(ts_us - prev_ts))
                     )
                 prev_id, prev_ts, prev_click = int(eid), int(ts_us), et == "click"
-        state.update((prev_id, prev_ts, prev_click))
+        if prev_id is not None:
+            state.update((prev_id, prev_ts, prev_click))
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "event_id", "ts_us", "gap_us"]

@@ -117,7 +117,7 @@ def test_sign_bits_packing_matches_python(spark):
     from flink_quickstart_spark.plans.registry import tables
 
     t = tables(spark, SF_DIR)
-    sample = t.embeddings.limit(50).collect()
+    sample = t.embeddings.orderBy("vec_id").limit(50).collect()
     got = {
         r.vec_id: (r.w0, r.w1)
         for r in t.embeddings.select(
@@ -133,6 +133,7 @@ def test_sign_bits_packing_matches_python(spark):
                 "shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT)))"
             ).alias("w1"),
         )
+        .orderBy("vec_id")
         .limit(50)
         .collect()
     }

@@ -117,6 +117,12 @@ ALLOWED = {
         "AGGREGATE (O(users) rows, post-shuffle); the distinct agg is "
         "the standard expand + two-phase hash aggregate",
     ),
+    "q_agg_pareto": (
+        "BroadcastNestedLoopJoin",
+        "1-row revenue-total scalar crossed onto the per-customer "
+        "aggregate for the 80% predicate; the prefix sum itself is the "
+        "two-phase bucketed rank — no global window",
+    ),
     "q_dq_referential_integrity": (
         "BroadcastNestedLoopJoin",
         "four 1-row (n_child × n_orphans) scalar crosses assembling "
