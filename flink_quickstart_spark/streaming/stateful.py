@@ -53,9 +53,17 @@ def count_window(events: DataFrame, n: int = 20) -> DataFrame:
             state.get if state.exists else (0, 0, 0.0)
         )
         out: list[tuple[int, int, int, float]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"].to_numpy():
+        # concat-then-sort: a key's micro-batch may span several Arrow
+        # chunks in shuffle-read order; per-chunk sorting would break
+        # the arrival sequence when chunks interleave in time.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            for v in whole["value"].to_numpy():
                 cur_n += 1
                 cur_sum += float(v)
                 if cur_n == n:
@@ -92,10 +100,16 @@ def cep_click_then_purchase(events: DataFrame, within_us: int = 600_000_000) -> 
     ) -> Iterator[pd.DataFrame]:
         pending_id, pending_ts = state.get if state.exists else (None, None)
         out: list[tuple[int, int, int, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # concat-then-sort across chunks — same rationale as count_window
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts_us", "event_id"])
             for et, eid, ts_us in zip(
-                pdf["event_type"], pdf["event_id"], pdf["ts_us"]
+                whole["event_type"], whole["event_id"], whole["ts_us"]
             ):
                 if et == "click":
                     pending_id, pending_ts = int(eid), int(ts_us)
