@@ -207,8 +207,17 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (prev,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            out, prev = _recurse(pdf, prev)
+        # concat-then-sort across Arrow chunks (same rationale as
+        # count_window): the recursion must see the whole micro-batch
+        # in time order, not per-chunk order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            out, prev = _recurse(whole, prev)
             yield out
         state.update((prev,))
 
