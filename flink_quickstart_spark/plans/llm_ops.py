@@ -3231,3 +3231,92 @@ def q_text_halves_overlap(spark, sf_dir):
             6,
         ).alias("jaccard_halves"),
     )
+
+
+@register(
+    "q_llm_dedup_cascade",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    s1 AS (  -- stage 1: exact content hash, keep min doc_id per group
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    s2 AS (  -- stage 2: 8-word prefix fingerprint over s1 survivors
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY md5(array_to_string(
+                   string_split(text, ' ')[1:8], ' '))
+                 ORDER BY doc_id) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM base) AS n0,
+             (SELECT count(*) FROM s1)   AS n1,
+             (SELECT count(*) FROM s2)   AS n2
+    )
+    SELECT stage, n_removed, n_remaining FROM (
+      SELECT 1 AS ord, 'exact_sha' AS stage,
+             CAST(n0 - n1 AS BIGINT) AS n_removed,
+             CAST(n1 AS BIGINT) AS n_remaining FROM counts
+      UNION ALL
+      SELECT 2, 'prefix_fp', CAST(n1 - n2 AS BIGINT),
+             CAST(n2 AS BIGINT) FROM counts
+    ) ORDER BY ord
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_dedup_cascade(spark, sf_dir):
+    """K1-capstone: the dedup CASCADE report — cheap tiers first, each
+    stage filtering the previous stage's survivors: (1) exact content
+    hash (md5, keep min doc_id), (2) 8-word prefix fingerprint. Emits
+    removed/remaining per stage — the admission funnel every corpus
+    build logs before the expensive near-dup tiers (MinHash, winnowing,
+    embedding cosine) run on what's left. Ordering the tiers by cost is
+    the scale decision: each stage's input is the previous stage's
+    output, so the costly tiers see the smallest corpus.
+
+    Scale shape: each stage is one hash-partitioned window (rank per
+    fingerprint group) over the shrinking survivor set — linear per
+    stage; counts are scalar aggregates."""
+    t = tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+
+    def survivors(df, fp_col):
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            df.select("doc_id", "text", fp_col.alias("fp"))
+            .select(
+                "doc_id", "text", F.row_number().over(w).alias("rn")
+            )
+            .where(F.col("rn") == 1)
+            .select("doc_id", "text")
+        )
+
+    s1 = survivors(base, F.md5("text"))
+    prefix = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split("text", r"\s+"), 1, 8)
+        )
+    )
+    s2 = survivors(s1, prefix)
+    n0 = base.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    counts = n0.crossJoin(n1).crossJoin(n2)
+    stage1 = counts.select(
+        F.lit("exact_sha").alias("stage"),
+        (F.col("n0") - F.col("n1")).alias("n_removed"),
+        F.col("n1").alias("n_remaining"),
+    )
+    stage2 = counts.select(
+        F.lit("prefix_fp").alias("stage"),
+        (F.col("n1") - F.col("n2")).alias("n_removed"),
+        F.col("n2").alias("n_remaining"),
+    )
+    return stage1.unionByName(stage2)

@@ -140,7 +140,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_fn_string_extended", "q_agg_regression", "q_llm_novelty",
         "q_agg_pareto", "q_session_stats", "q_llm_winnowing",
         "q_embed_dim_stats", "q_agg_stickiness",
-        "q_text_halves_overlap",
+        "q_text_halves_overlap", "q_llm_dedup_cascade",
     }
 )
 

@@ -123,6 +123,11 @@ ALLOWED = {
         "aggregate for the 80% predicate; the prefix sum itself is the "
         "two-phase bucketed rank — no global window",
     ),
+    "q_llm_dedup_cascade": (
+        "BroadcastNestedLoopJoin",
+        "three 1-row stage-count scalars crossed into the 2-row report; "
+        "each dedup stage is a hash-partitioned per-fingerprint rank",
+    ),
     "q_dq_referential_integrity": (
         "BroadcastNestedLoopJoin",
         "four 1-row (n_child × n_orphans) scalar crosses assembling "
