@@ -3320,3 +3320,78 @@ def q_llm_dedup_cascade(spark, sf_dir):
         F.col("n2").alias("n_remaining"),
     )
     return stage1.unionByName(stage2)
+
+
+@register(
+    "q_llm_source_overlap",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(count(*) AS BIGINT) AS n_shared_hashes
+      FROM hashed a JOIN hashed b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    sizes AS (
+      SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT p.s1, p.s2, p.n_shared_hashes,
+           round(CAST(p.n_shared_hashes AS DOUBLE)
+                 / least(x.n, y.n), 6) AS overlap_coeff
+    FROM pairs p
+    JOIN sizes x ON p.s1 = x.source
+    JOIN sizes y ON p.s2 = y.source
+    """,
+    tags=("batch", "llm", "dedup", "profiling"),
+)
+def q_llm_source_overlap(spark, sf_dir):
+    """LLM-ext: cross-source duplication matrix — for every pair of
+    ingest sources, how many exact content hashes they share and the
+    overlap coefficient (shared / smaller side): the report that
+    catches one crawl re-ingesting another, mirror sites, and vendor
+    datasets that repackage common corpora — BEFORE mixing weights
+    (q_llm_mix_datasets) are computed on double-counted text.
+
+    Scale shape: contents collapse to distinct (hash, source) first —
+    the inverted-index join then meets only on shared hashes, grouped
+    to an O(#sources^2) matrix; per-source sizes are one aggregate.
+    Never pairwise over documents."""
+    t = tables(spark, sf_dir)
+    hashed = t.documents.select(
+        F.md5("text").alias("h"), "source"
+    ).distinct()
+    a, b = hashed.alias("a"), hashed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_hashes"))
+    )
+    sizes = t.documents.groupBy("source").agg(
+        F.countDistinct(F.md5("text")).alias("n")
+    )
+    x = sizes.withColumnRenamed("source", "s1").withColumnRenamed("n", "nx")
+    y = sizes.withColumnRenamed("source", "s2").withColumnRenamed("n", "ny")
+    return (
+        pairs.join(F.broadcast(x), "s1")
+        .join(F.broadcast(y), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared_hashes",
+            F.round(
+                F.col("n_shared_hashes").cast("double")
+                / F.least("nx", "ny"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

@@ -757,3 +757,78 @@ def q_ts_decimate_minmax(spark, sf_dir):
             "ts_at_max_us"
         ),
     )
+
+
+@register(
+    "q_ts_outlier_rolling",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             count(*) OVER w AS n_win,
+             avg(value) OVER w AS mu,
+             sqrt(avg(value * value) OVER w
+                  - avg(value) OVER w * avg(value) OVER w) AS sigma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts_us,
+           round(value, 4) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM win
+    WHERE n_win >= 10 AND sigma > 0
+      AND abs((value - mu) / sigma) > 3.0
+    """,
+    tags=("batch", "timeseries"),
+)
+def q_ts_outlier_rolling(spark, sf_dir):
+    """TS-ext: TRAILING-window outlier detection — each point scored
+    against the 30 observations BEFORE it (frame ends at 1 PRECEDING,
+    so the point never contaminates its own baseline — the casual
+    mistake that halves detection power). Complements q_ts_outlier_mad
+    (whole-history robust baseline): the rolling form adapts to drift
+    and is exactly what the streaming twin computes from keyed state.
+    Moments are explicit raw sums over the frame — engine-identical.
+
+    Scale shape: one shuffle on user_id, one windowed pass, a narrow
+    filter; the frame is ROWS-bounded so state per key is O(31) on the
+    streaming side."""
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-30, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.sqrt(
+        F.avg(F.col("value") * F.col("value")).over(w) - mu * mu
+    )
+    z = (F.col("value") - mu) / sigma
+    return (
+        t.events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_win"),
+            mu.alias("mu"),
+            sigma.alias("sigma"),
+        )
+        .where(
+            (F.col("n_win") >= 10)
+            & (F.col("sigma") > 0)
+            & (
+                F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+                > 3.0
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.round("value", 4).alias("value"),
+            F.round(
+                (F.col("value") - F.col("mu")) / F.col("sigma"), 4
+            ).alias("zscore"),
+        )
+    )
