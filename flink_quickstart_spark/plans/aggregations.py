@@ -1198,3 +1198,72 @@ def q_agg_pareto(spark, sf_dir):
             F.max("total").alias("total_rev_cents"),
         )
     )
+
+
+@register(
+    "q_agg_rfm",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), max(anchor.mx))
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders CROSS JOIN anchor
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                AS BIGINT) AS m_score
+    FROM per_cust
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_rfm(spark, sf_dir):
+    """D-ext: RFM segmentation — the classic customer scoring: days
+    since last order (vs the corpus max date), order count, and total
+    spend, each quintiled into 1-5 scores (higher = better: recency
+    ranked DESC so the most recent buyers land in quintile 5). Tie
+    order pinned by custkey so ntile is engine-deterministic.
+
+    Scale shape: one hash aggregate to per-customer rows; the three
+    ntile windows run over the DISTINCT-CUSTOMER table (orders of
+    magnitude below fact rows). Unpartitioned ntile over customers is
+    the one concession — at true 100 TB swap in percent_rank bucketing
+    over the two-phase rank (operators/rank.py), same contract."""
+    t = tables(spark, sf_dir)
+    anchor = t.orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        t.orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )

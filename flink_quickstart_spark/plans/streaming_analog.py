@@ -1082,3 +1082,63 @@ def q_agg_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_pattern_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    outdeg AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / o.total, 6) AS p
+    FROM trans t JOIN outdeg o ON t.from_type = o.from_type
+    """,
+    tags=("batch", "streaming-analog", "cep"),
+)
+def q_pattern_transitions(spark, sf_dir):
+    """I11c: first-order behavior transition matrix — for every ordered
+    pair of event types, how often does B directly follow A within a
+    user's timeline, and with what conditional probability? The Markov
+    chain the CEP patterns (q_pattern_click_then_purchase,
+    q_pattern_timeout) are hand-picked cells of; the full matrix is
+    what funnel designers and anomaly baselines start from.
+
+    Scale shape: one lead() window on the user_id partitioning, a hash
+    aggregate onto the O(#types^2) matrix, and the row-normalization
+    join runs on that constant-size table."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outdeg = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "p"
+            ),
+        )
+    )
