@@ -133,6 +133,14 @@ ALLOWED = {
         "four 1-row (n_child × n_orphans) scalar crosses assembling "
         "the 4-row report; every orphan count is a LEFT ANTI hash join",
     ),
+    "q_agg_rfm": (
+        "BroadcastNestedLoopJoin|global-window",
+        "1-row max-date anchor crossed onto the scan, and the three "
+        "ntile quintile windows run over the DISTINCT-CUSTOMER aggregate "
+        "(orders of magnitude below fact rows); at true 100 TB swap to "
+        "percent_rank over the two-phase rank — documented in the key's "
+        "docstring",
+    ),
     "q_dq_sequence_gaps": (
         "global-window",
         "the only unpartitioned window runs over PER-BUCKET SUMMARIES "
