@@ -1267,3 +1267,70 @@ def q_agg_rfm(spark, sf_dir):
         .cast("long")
         .alias("m_score"),
     )
+
+
+@register(
+    "q_agg_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT f.cohort_month,
+             CAST(date_diff('month', f.cohort_month,
+                            date_trunc('month', o.o_orderdate))
+                  AS BIGINT) AS month_offset,
+             o.o_totalprice, o.o_custkey
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(CAST(cohort_month AS DATE) AS VARCHAR) AS cohort,
+           month_offset,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM joined
+    GROUP BY cohort_month, month_offset
+    """,
+    tags=("batch", "agg"),
+)
+def q_agg_cohort_ltv(spark, sf_dir):
+    """D-ext: cohort lifetime-value triangle — customers grouped by
+    first-order month, revenue and active-customer counts laid out by
+    month offset since acquisition: the retention-revenue matrix every
+    subscription/commerce dashboard is built on (q_retention_cohorts
+    does the activity half on events; this is the MONETARY half on
+    orders). Calendar-month cohorting via date_trunc on both engines.
+
+    Scale shape: one aggregate finds each customer's cohort (min-date
+    per key), a hash join attributes every order to its cohort —
+    per-customer table broadcast-or-shuffle by AQE — and one final
+    aggregate onto the O(months^2 / 2) triangle. Two shuffles total,
+    both on natural keys."""
+    t = tables(spark, sf_dir)
+    firsts = t.orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = t.orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        )
+        .cast("long")
+        .alias("month_offset"),
+        "o_totalprice",
+        "o_custkey",
+    )
+    return joined.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.col("cohort_month").cast("date").cast("string").alias("cohort"),
+        "month_offset",
+        "active_customers",
+        "n_orders",
+        "revenue",
+    )

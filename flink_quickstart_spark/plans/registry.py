@@ -142,7 +142,7 @@ _REGISTERED_R3: frozenset[str] = frozenset(
         "q_embed_dim_stats", "q_agg_stickiness",
         "q_text_halves_overlap", "q_llm_dedup_cascade",
         "q_ts_outlier_rolling", "q_llm_source_overlap",
-        "q_agg_rfm", "q_pattern_transitions",
+        "q_agg_rfm", "q_pattern_transitions", "q_agg_cohort_ltv",
     }
 )
 
