@@ -151,3 +151,36 @@ def test_seasonal_profile_bounds(spark):
         assert 0 <= r.peak_hour <= 23 and 0 <= r.trough_hour <= 23
         assert r.peak_n >= r.trough_n >= 1
         assert r.peak_trough_ratio >= 1.0
+
+
+def test_rfm_scores_in_range(spark):
+    rows = _run(spark, "q_agg_rfm").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.recency_days >= 0 and r.frequency >= 1 and r.monetary > 0
+
+
+def test_transition_probabilities_normalize(spark):
+    rows = _run(spark, "q_pattern_transitions").collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p
+        assert 0.0 < r.p <= 1.0
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-3  # rows rounded to 6 decimals
+
+
+def test_cohort_ltv_triangle_shape(spark):
+    rows = _run(spark, "q_agg_cohort_ltv").collect()
+    assert rows
+    for r in rows:
+        assert r.month_offset >= 0
+        assert r.active_customers <= r.n_orders
+        assert r.revenue > 0
+    # offset 0 exists for every cohort (the acquisition month itself)
+    cohorts = {r.cohort for r in rows}
+    zero = {r.cohort for r in rows if r.month_offset == 0}
+    assert cohorts == zero
