@@ -284,6 +284,13 @@ class DataStream:
         ``lastProgress`` (see streaming/harness.py)."""
         from pyspark.sql import Observation
 
+        if name in self._env._observations:
+            raise ValueError(
+                f"metric observation {name!r} is already registered on this "
+                "environment — Spark Observations are single-use, so reusing "
+                "a name would silently orphan the earlier metrics; pick a "
+                "distinct name per observed dataset"
+            )
         obs = Observation(name)
         out = DataStream(self._df.observe(obs, *[
             m.alias(k) for k, m in metrics.items()
@@ -444,6 +451,13 @@ class StreamExecutionEnvironment:
         """Read back accumulator-style metrics attached with
         ``DataStream.with_metrics`` — available after an action has run
         over the observed frame (Flink ``getAccumulatorResult``)."""
+        if name not in self._observations:
+            known = ", ".join(sorted(self._observations)) or "<none>"
+            raise KeyError(
+                f"no metric observation named {name!r} — registered names: "
+                f"{known}. Attach one with DataStream.with_metrics(name, ...) "
+                "and run an action over the observed frame first."
+            )
         return dict(self._observations[name].get)
 
     @classmethod

@@ -10,7 +10,7 @@ exact op carries a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.functions import text as X
@@ -2631,6 +2631,27 @@ def q_anon_kanonymity(spark, sf_dir):
     )
 
 
+def sign_bit_words(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, w0, w1): the 64-dim embedding packed into two 32-bit sign
+    words — bit i set iff component i > 0, words split at dim 32 so every
+    partial sum stays exactly representable. Shared by the registered
+    ``q_embed_sign_bits`` builder and its invariant test so the test
+    exercises the production packing expression, not a re-derivation."""
+
+    def word(lo: int, hi: int, shift: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT),"
+            f" (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0,"
+            f" shiftleft(CAST(1 AS BIGINT), i - {shift}), CAST(0 AS BIGINT)))"
+        )
+
+    return embeddings.select(
+        "vec_id",
+        word(0, 31, 0).alias("w0"),
+        word(32, 63, 32).alias("w1"),
+    )
+
+
 @register(
     "q_embed_sign_bits",
     oracle="""
@@ -2671,19 +2692,7 @@ def q_embed_sign_bits(spark, sf_dir):
     bit i set iff component i > 0, words split at dim 32 so every
     partial sum stays exactly representable."""
     t = tables(spark, sf_dir)
-
-    def word(lo: int, hi: int, shift: int):
-        return F.expr(
-            f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT),"
-            f" (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0,"
-            f" shiftleft(CAST(1 AS BIGINT), i - {shift}), CAST(0 AS BIGINT)))"
-        )
-
-    bits = t.embeddings.select(
-        "vec_id",
-        word(0, 31, 0).alias("w0"),
-        word(32, 63, 32).alias("w1"),
-    )
+    bits = sign_bit_words(t.embeddings)
     return (
         bits.groupBy("w0", "w1")
         .agg(

@@ -696,12 +696,15 @@ def q_ts_seasonal_profile(spark, sf_dir):
     oracle="""
     WITH b AS (
       SELECT user_id,
-             (epoch_us(ts) // 21600000000) * 21600000000 AS ws_us,
+             epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+                             % 21600000000) AS ws_us,
              epoch_us(ts) AS ts_us, value,
              min(value) OVER (PARTITION BY user_id,
-               (epoch_us(ts) // 21600000000)) AS min_v,
+               epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+                               % 21600000000)) AS min_v,
              max(value) OVER (PARTITION BY user_id,
-               (epoch_us(ts) // 21600000000)) AS max_v
+               epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+                               % 21600000000)) AS max_v
       FROM events
     )
     SELECT user_id, ws_us,
@@ -721,8 +724,11 @@ def q_ts_decimate_minmax(spark, sf_dir):
     EARLIEST instant each extreme occurred (CASE-conditional min over
     the bucket's per-row running extremes — identical tie policy on
     both engines; the equality test compares unmodified stored doubles,
-    so it is exact). Buckets come from integer epoch arithmetic, the
-    same grid as F.window(ts, '6 hours').
+    so it is exact). Buckets come from PURE INTEGER floor arithmetic
+    (``ts_us - pmod(ts_us, 6h)``) on both engines — no fp division, no
+    truncating cast, and floor semantics that stay correct for
+    pre-1970 (negative-epoch) timestamps; the same grid as
+    F.window(ts, '6 hours').
 
     Scale shape: one window pass and one hash aggregate, both on the
     same (user, bucket) partitioning — the window's shuffle is reused
@@ -731,7 +737,7 @@ def q_ts_decimate_minmax(spark, sf_dir):
     raw 100 TB feasible."""
     t = tables(spark, sf_dir)
     ts_us = F.unix_micros("ts")
-    ws_us = (ts_us / F.lit(21600000000)).cast("long") * F.lit(21600000000)
+    ws_us = ts_us - F.pmod(ts_us, F.lit(21600000000))
     w = Window.partitionBy("user_id", "ws_us")
     b = t.events.select(
         "user_id",

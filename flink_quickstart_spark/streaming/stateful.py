@@ -252,8 +252,9 @@ def timeout_absence(events: DataFrame, within_us: int = 3_600_000_000) -> DataFr
     KeyedProcessFunction). State per key is O(1): the previous event's
     (id, ts, was-it-a-click). A click that never sees a successor stays
     pending (the batch analog marks those ``gap_us = -1``); emitting them
-    eagerly would need an event-time timer — see streaming/timers.py for
-    the transformWithStateInPandas variant of that pattern.
+    eagerly needs an event-time timer — use :func:`timeout_absence_flush`
+    (GroupState EventTimeTimeout, runs on this box) or the
+    transformWithStateInPandas variant in streaming/timers.py.
 
     Within one micro-batch a key's rows may arrive as SEVERAL Arrow
     chunks in shuffle-read order, so the chunks are concatenated and
@@ -307,4 +308,96 @@ def timeout_absence(events: DataFrame, within_us: int = 3_600_000_000) -> DataFr
         _TIMEOUT_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def timeout_absence_flush(
+    events: DataFrame, within_us: int = 3_600_000_000
+) -> DataFrame:
+    """I11b with REAL event-time timers: same abandonment pattern as
+    :func:`timeout_absence`, but a click whose successor never arrives is
+    EMITTED (``gap_us = -1``, the batch analog's end-of-stream marker)
+    when the watermark passes ``click_ts + within`` — the timer branch of
+    a Flink KeyedProcessFunction, here via GroupState
+    ``EventTimeTimeout``. Firing also REMOVES the key's state, so idle
+    keys are cleaned instead of accumulating forever (the state-TTL gap
+    the NoTimeout variant documents).
+
+    Input must carry ``withWatermark("ts", ...)`` — EventTimeTimeout is
+    rejected without one. Timer semantics: the timeout timestamp must
+    exceed the current watermark, so a pending click older than the
+    watermark is scheduled at ``watermark + 1 ms`` (fires in the next
+    micro-batch — Spark fires timers in the batch AFTER the watermark
+    passes them, including availableNow's trailing no-data batch).
+
+    Emission-time caveat vs the batch analog: once a timer fires, the
+    click is reported with ``gap_us = -1`` even if a successor later
+    than ``within`` eventually arrives (the batch form reports the true
+    gap). That is the Flink-canonical timeout semantic — the alarm
+    cannot wait for an unbounded future — and with in-order replay the
+    two only differ on clicks still pending at end-of-stream.
+
+    State per key stays O(1); one shuffle on user_id; timer registry is
+    one entry per key — the 100 TB envelope is keys, not rows.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            prev_id, prev_ts, prev_click = state.get
+            state.remove()
+            if prev_click:
+                yield pd.DataFrame(
+                    [(key[0], int(prev_id), int(prev_ts), -1)],
+                    columns=["user_id", "event_id", "ts_us", "gap_us"],
+                )
+            return
+        prev_id, prev_ts, prev_click = (
+            state.get if state.exists else (None, None, False)
+        )
+        out: list[tuple[int, int, int, int]] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            whole = whole.sort_values(["ts_us", "event_id"])
+            for et, eid, ts_us in zip(
+                whole["event_type"], whole["event_id"], whole["ts_us"]
+            ):
+                if prev_click and ts_us - prev_ts > within_us:
+                    out.append(
+                        (key[0], int(prev_id), int(prev_ts), int(ts_us - prev_ts))
+                    )
+                prev_id, prev_ts, prev_click = int(eid), int(ts_us), et == "click"
+        if prev_id is not None:
+            state.update((prev_id, prev_ts, prev_click))
+            if prev_click:
+                # Fire when event time passes the click's deadline; a
+                # deadline already behind the watermark fires next batch.
+                deadline_ms = (prev_ts + within_us) // 1000
+                state.setTimeoutTimestamp(
+                    max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts_us", "gap_us"]
+            )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        TIMEOUT_SCHEMA,
+        _TIMEOUT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

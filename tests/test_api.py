@@ -295,6 +295,24 @@ def test_with_metrics_observation(spark):
     assert m["n_rows"] == 3 and m["sum_v"] == 12.0
 
 
+def test_with_metrics_name_errors(spark):
+    """Duplicate observation names fail loudly (Observations are
+    single-use), and unknown lookups name the registered set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_quickstart_spark.api import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_collection([(1,)], "id long").with_metrics(
+        "dup_name", n=F.count(F.lit(1))
+    )
+    with pytest.raises(ValueError, match="already registered"):
+        ds.with_metrics("dup_name", n=F.count(F.lit(1)))
+    with pytest.raises(KeyError, match="dup_name"):
+        env.metrics("no_such_metric")
+
+
 def test_async_enrich_bulk_lookup(spark):
     """AsyncFunction parity: one bulk lookup per Arrow batch, distinct
     keys only, NULL for misses."""

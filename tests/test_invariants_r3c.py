@@ -114,34 +114,53 @@ def test_rate_anomaly_threshold(spark):
 
 
 def test_sign_bits_packing_matches_python(spark):
+    """The packing expression under test is the PRODUCTION one: the same
+    sign_bit_words() the registered q_embed_sign_bits builder calls —
+    a regression in the builder's packing now fails here too."""
+    from flink_quickstart_spark.plans.llm_ops import sign_bit_words
     from flink_quickstart_spark.plans.registry import tables
 
     t = tables(spark, SF_DIR)
     sample = t.embeddings.orderBy("vec_id").limit(50).collect()
     got = {
         r.vec_id: (r.w0, r.w1)
-        for r in t.embeddings.select(
-            "vec_id",
-            F.expr(
-                "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
-                "acc + IF(element_at(embedding, i + 1) > 0, "
-                "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-            ).alias("w0"),
-            F.expr(
-                "aggregate(sequence(32, 63), CAST(0 AS BIGINT), (acc, i) -> "
-                "acc + IF(element_at(embedding, i + 1) > 0, "
-                "shiftleft(CAST(1 AS BIGINT), i - 32), CAST(0 AS BIGINT)))"
-            ).alias("w1"),
-        )
-        .orderBy("vec_id")
-        .limit(50)
-        .collect()
+        for r in sign_bit_words(t.embeddings).orderBy("vec_id").limit(50).collect()
     }
     for row in sample:
         w0 = sum(1 << i for i in range(32) if row.embedding[i] > 0)
         w1 = sum(1 << (i - 32) for i in range(32, 64) if row.embedding[i] > 0)
         assert got[row.vec_id] == (w0, w1)
         assert 0 <= w0 < 2**32 and 0 <= w1 < 2**32
+
+
+def test_sign_bits_registered_groups_consistent(spark):
+    """End-to-end on the registered key: every collision group's keep_id
+    must re-pack (in Python, from the raw embedding) to exactly the
+    group's (w0, w1), and the group count must equal the number of
+    vectors packing to those words."""
+    from flink_quickstart_spark.plans.registry import tables
+
+    t = tables(spark, SF_DIR)
+    groups = _run(spark, "q_embed_sign_bits").collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    }
+    from collections import Counter
+
+    packed = Counter()
+    for _vid, e in emb.items():
+        w0 = sum(1 << i for i in range(32) if e[i] > 0)
+        w1 = sum(1 << (i - 32) for i in range(32, 64) if e[i] > 0)
+        packed[(w0, w1)] += 1
+    # completeness: the builder reports EXACTLY the words with >= 2 vecs
+    expect = {k: n for k, n in packed.items() if n >= 2}
+    assert {(g.w0, g.w1): g.n_vecs for g in groups} == expect
+    for g in groups:
+        e = emb[g.keep_id]
+        w0 = sum(1 << i for i in range(32) if e[i] > 0)
+        w1 = sum(1 << (i - 32) for i in range(32, 64) if e[i] > 0)
+        assert (w0, w1) == (g.w0, g.w1)
 
 
 def test_seasonal_profile_bounds(spark):

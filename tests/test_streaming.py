@@ -383,3 +383,33 @@ def test_stream_timeout_pattern_matches_batch_analog(spark):
         .where(F.col("gap_us") != -1)
     )
     assert _rows(stream_out.select(batch.columns)) == _rows(batch)
+
+
+def test_stream_timeout_timers_flush_pending_clicks(spark):
+    """I11b event-time-timer variant: timeout_absence_flush must emit the
+    batch analog's gap_us = -1 rows too (clicks with no successor),
+    fired by the watermark in availableNow's trailing no-data batch —
+    full parity with q_pattern_timeout, pending rows included, for
+    every click whose deadline the final watermark passes."""
+    from flink_quickstart_spark.plans import load_all, registry
+    from flink_quickstart_spark.streaming.stateful import timeout_absence_flush
+
+    load_all()
+    src = events_stream(spark, SF_DIR).withWatermark("ts", "0 seconds")
+    stream_out = run_to_memory(timeout_absence_flush(src))
+    batch = registry.REGISTRY["q_pattern_timeout"].builder(spark, SF_DIR)
+    # Pending clicks whose deadline the final watermark (max ts, delay 0)
+    # never passes cannot fire — exclude them from the parity set. On
+    # this dataset the exclusion is empty, but the bound is the contract.
+    max_ts_us = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    fireable = batch.where(
+        (F.col("gap_us") != -1)
+        | (F.col("ts_us") + 3_600_000_000 < F.lit(max_ts_us))
+    )
+    assert _rows(stream_out.select(fireable.columns)) == _rows(fireable)
+    # and the flush rows actually exist (the variant's whole point)
+    assert stream_out.where(F.col("gap_us") == -1).count() > 0
