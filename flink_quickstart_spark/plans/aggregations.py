@@ -1231,11 +1231,15 @@ def q_agg_rfm(spark, sf_dir):
     ranked DESC so the most recent buyers land in quintile 5). Tie
     order pinned by custkey so ntile is engine-deterministic.
 
-    Scale shape: one hash aggregate to per-customer rows; the three
-    ntile windows run over the DISTINCT-CUSTOMER table (orders of
-    magnitude below fact rows). Unpartitioned ntile over customers is
-    the one concession — at true 100 TB swap in percent_rank bucketing
-    over the two-phase rank (operators/rank.py), same contract."""
+    Scale shape: one hash aggregate to per-customer rows; each quintile
+    then comes from the TWO-PHASE global rank (operators/rank.py) —
+    range-bucket on the score column, O(buckets) offsets to the driver,
+    partitioned window inside each bucket — so there is NO
+    single-partition WindowExec even though the ordering is global.
+    ANSI-ntile-exact because the ordering is made unique with the
+    custkey tiebreak (rank == row_number)."""
+    from flink_quickstart_spark.operators.rank import global_order_stats
+
     t = tables(spark, sf_dir)
     anchor = t.orders.agg(F.max("o_orderdate").alias("mx"))
     per_cust = (
@@ -1249,23 +1253,37 @@ def q_agg_rfm(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    return per_cust.select(
+    scored = per_cust
+    for score, order, bcol in (
+        (
+            "r_score",
+            [F.col("recency_days").desc(), F.col("o_custkey").asc()],
+            "recency_days",
+        ),
+        (
+            "f_score",
+            [F.col("frequency").asc(), F.col("o_custkey").asc()],
+            "frequency",
+        ),
+        (
+            "m_score",
+            [F.col("monetary").asc(), F.col("o_custkey").asc()],
+            "monetary",
+        ),
+    ):
+        scored = (
+            global_order_stats(scored, order, bcol, ntile=5)
+            .withColumnRenamed("ntile", score)
+            .drop("pct_rank", "cdist", "_pos")
+        )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .cast("long")
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

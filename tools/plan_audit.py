@@ -134,12 +134,10 @@ ALLOWED = {
         "the 4-row report; every orphan count is a LEFT ANTI hash join",
     ),
     "q_agg_rfm": (
-        "BroadcastNestedLoopJoin|global-window",
-        "1-row max-date anchor crossed onto the scan, and the three "
-        "ntile quintile windows run over the DISTINCT-CUSTOMER aggregate "
-        "(orders of magnitude below fact rows); at true 100 TB swap to "
-        "percent_rank over the two-phase rank — documented in the key's "
-        "docstring",
+        "BroadcastNestedLoopJoin",
+        "1-row max-date anchor crossed onto the scan; the quintiles now "
+        "run through the two-phase global rank (operators/rank.py), so "
+        "the former global-window waiver is gone",
     ),
     "q_dq_sequence_gaps": (
         "global-window",
