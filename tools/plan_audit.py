@@ -1,12 +1,21 @@
-"""Repo-wide physical-plan audit — scan EVERY registry key for the three
-scale anti-patterns that silently survive row-level correctness tests:
+"""Repo-wide physical-plan audit — scan EVERY registry key for the scale
+anti-patterns that silently survive row-level correctness tests:
 
 1. ``CartesianProduct`` — quadratic row explosion;
 2. ``BroadcastNestedLoopJoin`` — per-row probe of a broadcast side
    (acceptable ONLY for documented dim×dim theta joins);
 3. a partition-less window (``windowspecdefinition`` whose first
    argument is an ORDER BY expression, i.e. no PARTITION BY columns) —
-   a single-reducer sort at scale.
+   a single-reducer sort at scale;
+4. an UNBROADCAST TINY DIM: a SortMergeJoin / ShuffledHashJoin whose
+   one side is nothing but a scan(+filter/project) of ``region`` or
+   ``nation`` — those are ≤ 25 rows at ANY scale factor, so shuffling
+   the fact side against them instead of broadcasting is always wrong;
+5. DRIVER MATERIALIZATION (static, AST-level): ``.collect()`` /
+   ``.toPandas()`` / ``.toLocalIterator()`` / ``.first()`` / ``.take()``
+   / ``.head()`` calls inside package (non-test) sources. Each site
+   must carry a documented waiver in ``MATERIALIZE_ALLOWED`` — the
+   legitimate ones are all O(buckets)/O(1) scalars, never fact rows.
 
 Keys may declare a documented waiver in ``ALLOWED`` (with the reason
 printed); anything else is a finding. Exit code 1 if undocumented
@@ -18,6 +27,7 @@ Run: ``python tools/plan_audit.py [--sf /root/testdata/sf0.001]``
 from __future__ import annotations
 
 import argparse
+import ast
 import contextlib
 import io
 import re
@@ -149,6 +159,141 @@ ALLOWED = {
 }
 
 
+# "relpath:function:method" -> reason, for driver-materialization sites
+# that are PROVABLY bounded (O(buckets) / O(1) scalars, or an explicitly
+# budget-guarded corpus pull) — never fact-table rows.
+MATERIALIZE_ALLOWED = {
+    "operators/rank.py:global_row_number:collect": (
+        "O(buckets) per-bucket counts (≤ 64 rows) for the two-phase "
+        "rank's offset vector — the documented driver-side concession"
+    ),
+    "operators/rank.py:global_running_sum:collect": (
+        "O(buckets) per-bucket sums (≤ 64 rows) for the distributed "
+        "prefix-sum offsets"
+    ),
+    "operators/similarity.py:_collect_corpus:first": (
+        "1-row probe to learn the embedding dimension before the "
+        "budget check"
+    ),
+    "operators/similarity.py:_collect_corpus:toPandas": (
+        "the broadcast-corpus pull, AFTER the fail-fast size estimate "
+        "(plan-stats budget guard at the top of _collect_corpus)"
+    ),
+    "operators/similarity.py:ivf_topk:toPandas": (
+        "bounded centroid-training sample (limit(sample_rows), default "
+        "4096 rows) — k-means training set, not the corpus"
+    ),
+    "operators/iterative.py:pagerank:collect": (
+        "1-row dangling-mass scalar aggregate per power iteration "
+        "(standard dangling-node redistribution)"
+    ),
+    "streaming/harness.py:handle:collect": (
+        "1-row max-watermark scalar per micro-batch in the late-side-"
+        "output foreachBatch splitter"
+    ),
+}
+
+_MATERIALIZE_METHODS = {
+    "collect", "toPandas", "toLocalIterator", "first", "take", "head"
+}
+
+
+def audit_materialization(pkg_root: Path) -> tuple[list[str], list[str]]:
+    """Static AST scan of every non-test package module for driver-
+    materialization calls; returns (findings, waived) as printable
+    strings. Module-level calls report function name ``<module>``."""
+    findings, waived = [], []
+    for py in sorted(pkg_root.rglob("*.py")):
+        rel = py.relative_to(pkg_root).as_posix()
+        tree = ast.parse(py.read_text())
+        # map: line -> innermost enclosing function name
+        func_of: dict[int, str] = {}
+
+        def mark(node, name):
+            for lineno in range(node.lineno, (node.end_lineno or node.lineno) + 1):
+                func_of[lineno] = name
+
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                mark(node, node.name)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _MATERIALIZE_METHODS
+                # F.first(...) etc. are Column functions, not actions
+                and not (
+                    isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in ("F", "functions", "sf")
+                )
+            ):
+                fn = func_of.get(node.lineno, "<module>")
+                key = f"{rel}:{fn}:{node.func.attr}"
+                site = f"{rel}:{node.lineno} [{fn}] .{node.func.attr}()"
+                if key in MATERIALIZE_ALLOWED:
+                    waived.append(f"{site} — {MATERIALIZE_ALLOWED[key]}")
+                else:
+                    findings.append(site)
+    return findings, waived
+
+
+_TINY_DIMS = ("region", "nation")
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, text) per node of a simple-mode explain tree. Depth is the
+    column of the node marker; Spark renders children at marker columns
+    strictly deeper than their parent's."""
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+*-]*)(\(?\d*\)?\s*[A-Za-z].*)$", line)
+        if not m:
+            continue
+        prefix, text = m.groups()
+        nodes.append((len(prefix), text))
+    return nodes
+
+
+def audit_unbroadcast_dims(plan: str) -> list[str]:
+    """Flag SortMergeJoin / ShuffledHashJoin nodes where one entire child
+    subtree is just scan(+filter/project/exchange/sort) of region or
+    nation — tiny at any SF, so that side must broadcast."""
+    nodes = _parse_tree(plan)
+    findings = []
+    for i, (depth, text) in enumerate(nodes):
+        if "SortMergeJoin" not in text and "ShuffledHashJoin" not in text:
+            continue
+        # collect the join's child subtrees: nodes after i with depth >
+        # depth, split into siblings at the minimal child depth
+        subtree = []
+        for d, t in nodes[i + 1:]:
+            if d <= depth:
+                break
+            subtree.append((d, t))
+        if not subtree:
+            continue
+        child_depth = min(d for d, _ in subtree)
+        sides, cur = [], []
+        for d, t in subtree:
+            if d == child_depth and cur:
+                sides.append(cur)
+                cur = []
+            cur.append((d, t))
+        if cur:
+            sides.append(cur)
+        for side in sides:
+            blob = " ".join(t for _, t in side)
+            # path fragment survives simple-mode truncation ("…/region.parq…")
+            has_tiny = any(f"/{d}." in blob for d in _TINY_DIMS)
+            structural = re.search(
+                r"Join|HashAggregate|Window|Expand|Generate", blob
+            )
+            if has_tiny and not structural:
+                findings.append("unbroadcast-tiny-dim")
+                break
+    return findings
+
+
 def audit_plan(plan: str) -> list[str]:
     findings = []
     if "CartesianProduct" in plan:
@@ -182,6 +327,10 @@ def main() -> int:
             with contextlib.redirect_stdout(buf):
                 df.explain(mode="formatted")
             findings = audit_plan(buf.getvalue())
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()  # simple mode: tree with scan locations
+            findings.extend(audit_unbroadcast_dims(buf.getvalue()))
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {key}: {type(e).__name__}: {e}")
             n_bad += 1
@@ -196,6 +345,16 @@ def main() -> int:
         else:
             n_bad += 1
             print(f"FINDING {key}: {findings}")
+
+    pkg_root = Path(__file__).resolve().parents[1] / "flink_quickstart_spark"
+    mat_findings, mat_waived = audit_materialization(pkg_root)
+    for w in mat_waived:
+        print(f"WAIVED-MATERIALIZE {w}")
+    for f in mat_findings:
+        print(f"FINDING-MATERIALIZE {f}")
+    n_bad += len(mat_findings)
+    n_waived += len(mat_waived)
+
     print(f"== plan audit: {len(registry.REGISTRY)} keys, "
           f"{n_bad} findings, {n_waived} waived ==")
     return 1 if n_bad else 0
