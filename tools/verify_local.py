@@ -113,6 +113,11 @@ def main() -> int:
         action="store_true",
         help="analysis-only sweep over ALL keys (environment-drift guard)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write per-key results as JSON to this path",
+    )
     args = ap.parse_args()
 
     if args.analyze:
@@ -133,6 +138,7 @@ def main() -> int:
     keys = args.keys.split(",") if args.keys else list(qs)
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for key in keys:
         t0 = time.time()
         try:
@@ -141,10 +147,12 @@ def main() -> int:
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: spark error: {type(e).__name__}: {e}")
+            results[key] = {"status": "fail", "err": f"spark {type(e).__name__}: {e}"}
             n_fail += 1
             continue
         if key not in oracles:
             print(f"rows-only {key}: {len(srows)} rows ({time.time() - t0:.2f}s)")
+            results[key] = {"status": "rows_only", "spark_rows": len(srows)}
             n_rows_only += 1
             continue
         try:
@@ -153,6 +161,7 @@ def main() -> int:
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: duckdb error: {type(e).__name__}: {e}")
+            results[key] = {"status": "fail", "err": f"duckdb {type(e).__name__}: {e}"}
             n_fail += 1
             continue
 
@@ -175,16 +184,41 @@ def main() -> int:
             detail = f"{len(diffs)} differing rows; first: spark={diffs[0][1]} duck={diffs[0][2]} (cols {sc})"
         if status == "PASS":
             n_pass += 1
+            results[key] = {
+                "status": "pass",
+                "rows": len(sr),
+                "secs": round(time.time() - t0, 2),
+            }
             if args.verbose:
                 print(f"PASS {key}: {len(sr)} rows ({time.time() - t0:.2f}s)")
         else:
             n_fail += 1
+            results[key] = {"status": "fail", "err": detail}
             print(f"FAIL {key}: {detail}")
 
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
         f"(of {len(keys)} keys, sf={args.sf}) =="
     )
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "method": "exact value compare vs DuckDB oracle "
+                    "(column-sorted, row-sorted, rounded floats)",
+                    "keys": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
