@@ -318,6 +318,118 @@ def test_continuous_aggregate_tiers_streamed_then_rolled(spark, tmp_path):
     assert got == exp
 
 
+def test_rollup_restart_mid_stream_exactly_once(spark, tmp_path):
+    """I13 hard case: CRASH the continuous-aggregate query mid-stream —
+    after the sink wrote an epoch but before Spark committed it — then
+    restart from the same checkpoint. The failed epoch is re-delivered
+    with the SAME batch_id; the epoch-partitioned idempotent sink must
+    overwrite (not append) it, and the resumed state must neither lose
+    nor double-count rows: the 1-hour tier computed from the stored
+    10-minute tier must equal the 1-hour aggregate straight from batch
+    data, and no (epoch, window) may hold more than one row."""
+    import os
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    from flink_quickstart_spark.sources.tables import load_table
+    from flink_quickstart_spark.streaming.harness import idempotent_foreach_batch
+
+    events = load_table(spark, SF_DIR, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    src = tmp_path / "src"
+    src.mkdir()
+    # four time-sliced files so replay is ordered (a real landing dir):
+    # watermarks stay monotone and each file forms one micro-batch
+    for i in range(4):
+        part = events.where(
+            (F.col("ts") >= F.lit(lo + i * span))
+            & ((F.col("ts") < F.lit(lo + (i + 1) * span)) | F.lit(i == 3))
+        )
+        pdir = src / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for f in pdir.iterdir():  # strictly increasing mtimes => order
+            os.utime(f, (_time.time() + i, _time.time() + i))
+
+    tier_dir = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+    write_epoch = idempotent_foreach_batch(tier_dir)
+    crashed = {"done": False}
+
+    def run(bomb: bool):
+        def handle(batch_df, batch_id):
+            write_epoch(batch_df, batch_id)  # sink write HAS happened
+            if bomb and batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected crash after sink write")
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        ten_min = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+            .select(
+                F.unix_micros("w.start").alias("ws_us"), "event_type", "n", "sum_v"
+            )
+        )
+        q = (
+            ten_min.writeStream.outputMode("update")
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        run(bomb=True)
+        raise AssertionError("crash was not injected")
+    except StreamingQueryException:
+        pass
+    assert crashed["done"]
+    run(bomb=False)  # resume: failed epoch re-delivered, rest processed
+
+    stored = spark.read.parquet(tier_dir)
+    # idempotency: replayed epoch overwrote, never appended
+    assert (
+        stored.groupBy("batch_id", "ws_us", "event_type")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        == 1
+    )
+    # upsert semantics: latest emission per window wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ws_us", "event_type").orderBy(
+        F.col("batch_id").desc()
+    )
+    latest = (
+        stored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hour_from_tier = (
+        latest.withColumn(
+            "hour_us", F.col("ws_us") - F.col("ws_us") % (3600 * 1_000_000)
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_v"), 2).alias("sum_v"))
+    )
+    direct = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(F.unix_micros("w.start").alias("hour_us"), "event_type", "n", "sum_v")
+    )
+    assert _rows(hour_from_tier) == _rows(direct)
+
+
 def test_streaming_exact_dedup_matches_batch(spark):
     """LLM-pipeline op on a STREAM: exact dedup (sha-grouped) over a
     documents file stream in complete mode equals the batch operator —
