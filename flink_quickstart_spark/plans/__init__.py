@@ -15,6 +15,7 @@ def load_all() -> None:
     # Imports are side-effectful: each module body calls @register.
     from flink_quickstart_spark.plans import (  # noqa: F401
         aggregations,
+        analytics_ext,
         functions_scalar,
         graph,
         joins,

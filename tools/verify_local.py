@@ -44,6 +44,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:  # engines disagree on -0.0 vs +0.0 after round()
+            return repr(0.0)
         return repr(v)
     if isinstance(v, Decimal):
         return str(v)
