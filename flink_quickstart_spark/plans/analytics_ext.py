@@ -301,6 +301,251 @@ def q_dq_benford(spark, sf_dir):
     )
 
 
+@register(
+    "q_sql_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CASE CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                WHEN 0 THEN 'status+priority'
+                WHEN 1 THEN 'status'
+                ELSE 'grand total' END AS level,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags=("batch", "agg", "sql"),
+)
+def q_sql_grouping_id(spark, sf_dir):
+    """D6-ext: GROUPING_ID over a rollup — the disambiguation bit-vector
+    that separates "subtotal row" from "the group value happened to be
+    NULL" (the reason report writers use GROUPING(), not IS NULL, to
+    label rollup levels). Spark's ``grouping_id()`` and DuckDB's
+    ``GROUPING()`` produce the same bit encoding (1 bit per rolled-up
+    column, most-significant first), compared exactly, with a derived
+    human-readable level label.
+
+    Scale shape: Catalyst plans rollup as Expand (3 rows per input here)
+    feeding one partial+final hash aggregate — the same single-shuffle
+    cost as a plain grouped agg, multiplied by the rollup depth."""
+    t = tables(spark, sf_dir)
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "gid",
+            F.when(F.col("gid") == 0, F.lit("status+priority"))
+            .when(F.col("gid") == 1, F.lit("status"))
+            .otherwise(F.lit("grand total"))
+            .alias("level"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+STITCH_OVERLAP = 10  # q_llm_chunk's stride-40/window-50 overlap width
+
+
+@register(
+    "q_llm_chunk_stitch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start
+      FROM toks WHERE len(t) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+             array_slice(t, start + 1, start + 50) AS c
+      FROM st
+    ), fp AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(c) AS BIGINT) AS n_tok,
+             array_to_string(array_slice(c, 1, {STITCH_OVERLAP}), ' ')
+               AS head_fp,
+             array_to_string(
+               array_slice(c, greatest(len(c) - {STITCH_OVERLAP} + 1, 1),
+                           len(c)), ' ') AS tail_fp
+      FROM chunks
+    )
+    SELECT a.doc_id AS d1, a.chunk_id AS c1,
+           b.doc_id AS d2, b.chunk_id AS c2,
+           CASE WHEN a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
+                THEN 1 ELSE 0 END AS true_adjacent
+    FROM fp a JOIN fp b ON a.tail_fp = b.head_fp
+    WHERE a.n_tok = 50 AND b.n_tok >= {STITCH_OVERLAP}
+      AND NOT (a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id)
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_chunk_stitch(spark, sf_dir):
+    """LLM-ext: chunk-boundary stitching — given a chunked corpus (the
+    q_llm_chunk output shape: 50-token windows, stride 40, 10-token
+    overlap), recover which chunk follows which by matching each full
+    chunk's 10-token TAIL fingerprint against every chunk's 10-token
+    HEAD fingerprint. ``true_adjacent`` labels whether the stitch is the
+    genuine successor — the false-stitch rate is precisely the
+    boilerplate-collision rate a re-assembly pipeline must handle when
+    provenance metadata is lost.
+
+    Scale shape: fingerprints are per-chunk expressions; the stitch
+    discovery is ONE hash equi-join on the overlap string (never an
+    all-pairs comparison); output is bounded by fingerprint collisions.
+    The same shape at 100 TB: explode to chunks, two narrow columns,
+    one bucketed join."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    docs = t.documents.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(40)
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, 50)
+    fp = (
+        docs.select("doc_id", "t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / 40).cast("long").alias("chunk_id"),
+            chunk.alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").cast("long").alias("n_tok"),
+            F.array_join(F.slice("c", 1, STITCH_OVERLAP), " ").alias(
+                "head_fp"
+            ),
+            F.array_join(
+                F.slice(
+                    F.col("c"),
+                    F.greatest(
+                        F.size("c") - STITCH_OVERLAP + 1, F.lit(1)
+                    ),
+                    STITCH_OVERLAP,
+                ),
+                " ",
+            ).alias("tail_fp"),
+        )
+    )
+    a = fp.where(F.col("n_tok") == 50).select(
+        F.col("doc_id").alias("d1"),
+        F.col("chunk_id").alias("c1"),
+        F.col("tail_fp").alias("fp"),
+    )
+    b = fp.where(F.col("n_tok") >= STITCH_OVERLAP).select(
+        F.col("doc_id").alias("d2"),
+        F.col("chunk_id").alias("c2"),
+        F.col("head_fp").alias("fp"),
+    )
+    return (
+        a.join(b, "fp")
+        .where(~((F.col("d1") == F.col("d2")) & (F.col("c1") == F.col("c2"))))
+        .select(
+            "d1",
+            "c1",
+            "d2",
+            "c2",
+            F.when(
+                (F.col("d1") == F.col("d2"))
+                & (F.col("c2") == F.col("c1") + 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("true_adjacent"),
+        )
+    )
+
+
+SPAN_STRIDE = 20  # one 3-token masked span per 20 tokens ≈ 15% corruption
+SPAN_LEN = 3
+
+
+@register(
+    "q_llm_span_mask",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(
+             list_transform(range(1, len(t) + 1), i ->
+               CASE WHEN (i - 1) % {SPAN_STRIDE} = 0
+                    THEN '<extra_id_' || CAST((i - 1) // {SPAN_STRIDE}
+                                              AS VARCHAR) || '>'
+                    WHEN (i - 1) % {SPAN_STRIDE} < {SPAN_LEN} THEN ''
+                    ELSE t[i] END),
+             w -> w <> ''), ' ') AS masked_text,
+           array_to_string(list_filter(
+             list_transform(range(1, len(t) + 1), i ->
+               CASE WHEN (i - 1) % {SPAN_STRIDE} = 0
+                    THEN '<extra_id_' || CAST((i - 1) // {SPAN_STRIDE}
+                                              AS VARCHAR) || '> ' || t[i]
+                    WHEN (i - 1) % {SPAN_STRIDE} < {SPAN_LEN} THEN t[i]
+                    ELSE '' END),
+             w -> w <> ''), ' ') AS target_text,
+           CAST(len(list_filter(range(1, len(t) + 1),
+                                i -> (i - 1) % {SPAN_STRIDE} < {SPAN_LEN}))
+                AS BIGINT) AS n_masked
+    FROM toks WHERE len(t) > 0
+    """,
+    tags=("batch", "llm", "text"),
+)
+def q_llm_span_mask(spark, sf_dir):
+    """LLM-ext: deterministic T5-style span corruption — every 20-token
+    stride masks a 3-token span (≈15% corruption): the masked input
+    replaces each span with one ``<extra_id_k>`` sentinel, the target
+    sequence lists each sentinel followed by the tokens it hides. A real
+    pipeline randomizes span starts per epoch; the REGISTERED form pins
+    them to the stride grid so both engines produce byte-identical
+    output (swap the grid for a seeded hash of (doc_id, span) for
+    production randomness — same plan).
+
+    Scale shape: pure per-row array expressions (indexed transform →
+    filter → join) — no shuffle, no UDF, embarrassingly parallel;
+    exactly the map-only job span corruption should be at 100 TB."""
+    t = tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    docs = t.documents.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    masked = F.expr(
+        f"""array_join(filter(transform(t, (w, i) ->
+            CASE WHEN i % {SPAN_STRIDE} = 0
+                 THEN concat('<extra_id_', CAST(i DIV {SPAN_STRIDE}
+                                                AS STRING), '>')
+                 WHEN i % {SPAN_STRIDE} < {SPAN_LEN} THEN ''
+                 ELSE w END),
+            w -> w != ''), ' ')"""
+    )
+    target = F.expr(
+        f"""array_join(filter(transform(t, (w, i) ->
+            CASE WHEN i % {SPAN_STRIDE} = 0
+                 THEN concat('<extra_id_', CAST(i DIV {SPAN_STRIDE}
+                                                AS STRING), '> ', w)
+                 WHEN i % {SPAN_STRIDE} < {SPAN_LEN} THEN w
+                 ELSE '' END),
+            w -> w != ''), ' ')"""
+    )
+    n_masked = F.expr(
+        f"size(filter(sequence(0, size(t) - 1), "
+        f"i -> i % {SPAN_STRIDE} < {SPAN_LEN}))"
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        target.alias("target_text"),
+        n_masked.alias("n_masked"),
+    )
+
+
 RRF_K = 60
 RRF_TOPN = 50
 

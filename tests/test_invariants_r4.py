@@ -66,6 +66,75 @@ def test_benford_distribution_consistent(spark):
         assert abs(r.abs_dev - round(abs(r.frac - r.benford_frac), 5)) < 1e-4
 
 
+def test_span_mask_reconstructs_original(spark):
+    """The masked input and the sentinel target must together carry the
+    whole document: replacing each <extra_id_k> in the masked text with
+    target's span k reproduces the original token sequence exactly."""
+    import re
+
+    rows = _run(spark, "q_llm_span_mask").limit(30).collect()
+    t = registry.tables(spark, SF_DIR)
+    orig = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in t.documents.collect()
+    }
+    assert rows
+    for r in rows:
+        spans = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", r.target_text
+        ):
+            spans[int(m.group(1))] = m.group(2).split()
+        out = []
+        for w in r.masked_text.split(" "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", w)
+            out.extend(spans[int(m.group(1))] if m else [w])
+        assert out == orig[r.doc_id], r.doc_id
+        assert r.n_masked == sum(len(s) for s in spans.values())
+
+
+def test_chunk_stitch_recovers_all_adjacencies(spark):
+    """Every genuine (doc, chunk k -> k+1) adjacency must appear as a
+    stitch with true_adjacent = 1 (the overlap construction guarantees
+    the fingerprints match); false stitches are collisions, allowed but
+    labeled 0."""
+    from pyspark.sql import functions as F
+
+    stitches = _run(spark, "q_llm_chunk_stitch").collect()
+    chunks = _run(spark, "q_llm_chunk").collect()
+    per_doc = {}
+    for c in chunks:
+        per_doc.setdefault(c.doc_id, []).append((c.chunk_id, c.n_tokens))
+    expected = set()
+    for d, cs in per_doc.items():
+        for cid, ntok in cs:
+            # a full 50-token chunk has a 10-token tail overlapping the
+            # next chunk's head whenever a successor exists
+            if ntok == 50 and any(c2 == cid + 1 for c2, _ in cs):
+                nxt = next(n2 for c2, n2 in cs if c2 == cid + 1)
+                if nxt >= 10:
+                    expected.add((d, cid, d, cid + 1))
+    got_true = {
+        (s.d1, s.c1, s.d2, s.c2) for s in stitches if s.true_adjacent == 1
+    }
+    assert expected <= got_true
+    # and true_adjacent labeling is sound
+    for s in stitches:
+        if s.true_adjacent:
+            assert s.d1 == s.d2 and s.c2 == s.c1 + 1
+
+
+def test_grouping_id_levels_consistent(spark):
+    rows = _run(spark, "q_sql_grouping_id").collect()
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    statuses = [r for r in rows if r.gid == 1]
+    details = [r for r in rows if r.gid == 0]
+    assert sum(r.n for r in statuses) == grand[0].n
+    assert sum(r.n for r in details) == grand[0].n
+    assert abs(sum(r.revenue for r in details) - grand[0].revenue) < 1.0
+
+
 def test_rrf_fusion_ordering_and_bounds(spark):
     rows = _run(spark, "q_text_rrf_fusion").collect()
     assert 0 < len(rows) <= 20
