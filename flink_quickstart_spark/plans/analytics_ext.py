@@ -546,6 +546,75 @@ def q_llm_span_mask(spark, sf_dir):
     )
 
 
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id, ts, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, cb.c_id AS b_id, cb.c_us AS b_us
+          FROM p ASOF LEFT JOIN c cb
+            ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+    f AS (SELECT p.event_id, cf.c_id AS f_id, cf.c_us AS f_us
+          FROM p ASOF LEFT JOIN c cf
+            ON p.user_id = cf.user_id AND p.ts < cf.ts)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                     OR epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts))
+                THEN b_id ELSE f_id END AS click_id,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+                     OR epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts))
+                THEN b_us ELSE f_us END AS click_ts_us,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN b_id IS NOT NULL AND (f_id IS NULL
+                     OR epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts))
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM p JOIN b ON p.event_id = b.event_id
+           JOIN f ON p.event_id = f.event_id
+    """,
+    tags=("batch", "join"),
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """C10-ext: NEAREST as-of join — each purchase gets the click closest
+    in time in EITHER direction (the sensor-alignment / attribution
+    semantics when causality can run both ways), ties and exact-equal
+    timestamps resolving backward. Oracle = two native DuckDB ASOF
+    joins (backward non-strict, forward strict) fused by a gap CASE —
+    the same tie policy as the operator.
+
+    Scale shape: one shuffle on user_id, one window sort serving both
+    the running-last (backward) and running-first (forward) candidate
+    fills (:func:`operators.joins.asof_join_nearest`) — linear, no
+    range-join candidate pairs."""
+    from flink_quickstart_spark.operators.joins import asof_join_nearest
+
+    t = tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("r_event_id").alias("click_id"),
+        F.unix_micros("r_ts").alias("click_ts_us"),
+        "direction",
+    )
+
+
 RRF_K = 60
 RRF_TOPN = 50
 

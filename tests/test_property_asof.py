@@ -65,3 +65,44 @@ def test_asof_matches_duckdb(_spark, left, right):
     assert set(got) == set(want)
     for lid in got:
         assert got[lid][1] == want[lid][1], (lid, got[lid], want[lid], lrows, rrows)
+
+
+@given(left=rows, right=rows)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_asof_nearest_matches_python_reference(_spark, left, right):
+    """asof_join_nearest must pick the minimum |gap| right row per key,
+    ties (including exact-equal ts) resolving backward — checked against
+    a brute-force Python reference on arbitrary generated data."""
+    from flink_quickstart_spark.operators.joins import asof_join_nearest
+
+    lrows = [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)]
+    rrows = [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)]
+    ldf = _spark.createDataFrame(lrows or [], "lid int, k int, t timestamp")
+    rdf = _spark.createDataFrame(rrows or [], "rid int, k int, t timestamp")
+    if not lrows:
+        return
+    out = asof_join_nearest(
+        ldf, rdf, on="k", left_ts="t", right_ts="t", right_payload=["t"]
+    )
+    got = {r.lid: (r.r_t, r.direction) for r in out.collect()}
+
+    by_key: dict[int, list] = {}
+    for _rid, k, t in rrows:
+        by_key.setdefault(k, []).append(t)
+    for lid, k, t in lrows:
+        cands = by_key.get(k, [])
+        back = [c for c in cands if c <= t]
+        fwd = [c for c in cands if c > t]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None and f is None:
+            expect = (None, None)
+        elif b is not None and (f is None or (t - b) <= (f - t)):
+            expect = (b, "backward")
+        else:
+            expect = (f, "forward")
+        assert got[lid] == expect, (lid, got[lid], expect, lrows, rrows)
