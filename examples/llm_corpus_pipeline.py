@@ -170,6 +170,49 @@ def main() -> None:
     # 11. partitioned landing: split/lang directories prune downstream scans
     final.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
 
+    # 12. training-example materialization (round-4 ops): chunk the train
+    # split into 50-token windows (stride 40) and emit deterministic
+    # T5-style span-corruption pairs — masked input + sentinel targets.
+    # Both stages are map-only array expressions: the example writer
+    # adds NO shuffle beyond the partitioned read.
+    toks_arr = F.filter(F.split("text", " "), lambda w: w != "")
+    train = (
+        spark.read.parquet(out_dir)
+        .where(F.col("split") == "train")
+        .select("doc_id", toks_arr.alias("t"))
+        .where(F.size("t") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(40)
+    )
+    chunks = train.select(
+        "doc_id", F.explode(starts).alias("start"), "t"
+    ).select(
+        "doc_id",
+        (F.col("start") / 40).cast("long").alias("chunk_id"),
+        F.array_join(F.slice(F.col("t"), F.col("start") + 1, 50), " ").alias(
+            "text"
+        ),
+    )
+    mask = F.expr(
+        """array_join(filter(transform(split(text, ' '), (w, i) ->
+           CASE WHEN i % 20 = 0
+                THEN concat('<extra_id_', CAST(i DIV 20 AS STRING), '>')
+                WHEN i % 20 < 3 THEN '' ELSE w END),
+           w -> w != ''), ' ')"""
+    )
+    target = F.expr(
+        """array_join(filter(transform(split(text, ' '), (w, i) ->
+           CASE WHEN i % 20 = 0
+                THEN concat('<extra_id_', CAST(i DIV 20 AS STRING), '> ', w)
+                WHEN i % 20 < 3 THEN w ELSE '' END),
+           w -> w != ''), ' ')"""
+    )
+    examples = chunks.select(
+        "doc_id", "chunk_id", mask.alias("inputs"), target.alias("targets")
+    )
+    examples.write.mode("overwrite").parquet(f"{out_dir}_examples")
+
     kept = spark.read.parquet(out_dir)
     print(f"input={docs.count()} after_quality={quality.count()} "
           f"after_exact={deduped.count()} after_neardup={pruned.count()} "
@@ -177,7 +220,9 @@ def main() -> None:
     kept.groupBy("split").count().orderBy("split").show()
     print("shard balance:")
     audit.orderBy("shard").show()
-    print("wrote", out_dir)
+    n_ex = spark.read.parquet(f"{out_dir}_examples").count()
+    print(f"span-corruption training examples: {n_ex}")
+    print("wrote", out_dir, "and", f"{out_dir}_examples")
 
 
 if __name__ == "__main__":
