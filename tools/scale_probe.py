@@ -202,6 +202,71 @@ def main() -> None:
     big_n = timed(f"novelty {n}x", novelty(docs_big))
     print(f"novelty scaling factor: {big_n / base_n:.1f}x for {n}x data")
 
+    # Text-PAIR operators at N× via DISJOINT-UNIVERSE replication: each
+    # copy's tokens get a per-copy prefix so vocabularies never collide
+    # across copies — pairs only form within a copy, the honest model of
+    # "n independent shards of corpus" (plain replication would plant n
+    # exact duplicates of every doc and measure the quadratic output of
+    # true dup groups, not the operator's scaling). The registered
+    # builders run unmodified against a staged sf dir, so the probe
+    # exercises the production code path end-to-end.
+    staged = stage_disjoint_docs_dir(spark, n)
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    for key in (
+        "q_llm_winnowing",
+        "q_llm_tfidf_cosine",
+        "q_llm_source_overlap",
+        "q_text_halves_overlap",
+    ):
+        b = registry.REGISTRY[key].builder
+        b(spark, SF_DIR).collect()  # warm-up
+        base_t = timed(f"{key} 1x", b(spark, SF_DIR))
+        big_t = timed(f"{key} {n}x", b(spark, staged))
+        print(f"{key} scaling factor: {big_t / base_t:.1f}x for {n}x data")
+        plan = b(spark, staged)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        n_smj = plan.count("SortMergeJoin")
+        n_bhj = plan.count("BroadcastHashJoin")
+        print(f"{key} {n}x plan: SortMergeJoin={n_smj} BroadcastHashJoin={n_bhj}")
+
+
+def stage_disjoint_docs_dir(spark, n: int, stride: int = 10_000_000) -> str:
+    """A temp sf-layout dir whose ``documents`` is the N× disjoint-
+    universe replication; every other table symlinks to SF_DIR."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="fqs_scale_docs_")
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        os.symlink(f"{SF_DIR}/{tbl}.parquet", f"{base}/{tbl}.parquet")
+    docs = load_tables(spark, SF_DIR).documents
+    copies = []
+    for i in range(n):
+        tag = F.lit(f"c{i}_")
+        pref = F.concat_ws(
+            " ",
+            F.transform(F.split("text", " "), lambda t: F.concat(tag, t)),
+        )
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + i * stride).alias("doc_id"),
+                pref.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    return base
+
 
 if __name__ == "__main__":
     main()
