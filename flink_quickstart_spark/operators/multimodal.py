@@ -13,11 +13,19 @@ design for 100 TB multimodal corpora:
   ``mapInPandas`` stages sized by bytes (``maxRecordsPerBatch`` tuned
   down for large payloads).
 
-The actual codec work is STUBBED — image/audio libraries are not in this
-container. ``decode_stub`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it emits a reproducible fake
-feature vector derived from the payload hash, keeping every Spark-side
-contract (schema, batching, partitioning) real and testable.
+Codec status: COMPRESSED formats (JPEG/PNG/ffmpeg) are stubbed —
+their libraries are not in this container — but the UNCOMPRESSED tier
+is REAL: a pure-numpy binary-PPM (P6) codec (:func:`encode_ppm` /
+:func:`decode_ppm`) runs end-to-end through the distributed path —
+encode in ``mapInPandas``, decode + feature extraction in
+``mapInPandas``, nearest-neighbor resize on actual pixels — so the
+full Spark-side contract (binary payloads, Arrow batches, schema,
+partition preservation) is exercised on genuine image bytes, and a
+DuckDB oracle can independently recompute the pixel statistics
+(``q_multimodal_ppm_stats``). ``decode_stub`` auto-detects the P6
+magic and decodes for real; for non-PPM payloads it raises
+``NotImplementedError`` unless ``deterministic_fake=True`` (the
+hash-based pseudo-feature fallback).
 """
 
 from __future__ import annotations
@@ -67,22 +75,129 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) encode of an (h, w, 3) uint8 array — pure
+    Python/numpy, no codec library. PPM is the canonical uncompressed
+    interchange format: 12-byte-ish ASCII header + raw RGB rows."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) decode to an (h, w, 3) uint8 array. Parses the
+    three header tokens (width, height, maxval; comments unsupported —
+    this is the interchange subset), then one frombuffer view."""
+    if not payload.startswith(PPM_MAGIC):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 whitespace-separated ints + ONE whitespace byte
+    idx, tokens = 2, []
+    while len(tokens) < 3:
+        while payload[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while not payload[idx : idx + 1].isspace():
+            idx += 1
+        tokens.append(int(payload[start:idx]))
+    idx += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return raw.reshape(h, w, 3)
+
+
+def text_to_pixels(text: str, side: int) -> np.ndarray:
+    """Deterministic (h=side, w=side, 3) pixel block from a document:
+    the utf-8 bytes cycled to fill the raster — the stand-in for real
+    image ingest that keeps every byte independently recomputable by
+    the SQL oracle (corpus is ASCII, so byte == codepoint)."""
+    data = text.encode("utf-8")
+    need = side * side * 3
+    reps = need // len(data) + 1
+    return np.frombuffer(
+        (data * reps)[:need], dtype=np.uint8
+    ).reshape(side, side, 3)
+
+
+def attach_ppm_media(
+    df: DataFrame, id_col: str, text_col: str, side: int = 16
+) -> DataFrame:
+    """Build a multimodal table with GENUINE binary-PPM payloads from any
+    text table — the encode stage runs distributed in ``mapInPandas``
+    (real bytes through the Arrow boundary, not a driver loop)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(text_to_pixels(t, side)) if t else None
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": "image/x-portable-pixmap",
+                    "width": np.int32(side),
+                    "height": np.int32(side),
+                }
+            )
+
+    out_schema = (
+        "media_id bigint, payload binary, media_type string, "
+        "width int, height int"
+    )
+    media = df.select(id_col, text_col).where(
+        F.length(text_col) > 0
+    ).mapInPandas(encode, out_schema)
+    meta = F.struct(
+        "media_type",
+        "width",
+        "height",
+        F.lit(0).cast("long").alias("duration_ms"),
+        F.lit("ppm").alias("codec"),
+    )
+    return media.select("media_id", "payload", meta.alias("meta"))
+
+
+def _ppm_feature(pixels: np.ndarray) -> np.ndarray:
+    """16-dim real image feature: per-quadrant channel means (12) +
+    global channel means (3) + global brightness (1), in [0, 1]."""
+    h, w, _ = pixels.shape
+    p = pixels.astype(np.float64) / 255.0
+    quads = [
+        p[: h // 2, : w // 2],
+        p[: h // 2, w // 2 :],
+        p[h // 2 :, : w // 2],
+        p[h // 2 :, w // 2 :],
+    ]
+    feats = [q.mean(axis=(0, 1)) for q in quads]
+    feats.append(p.mean(axis=(0, 1)))
+    return np.concatenate(feats + [[p.mean()]]).astype(np.float32)
+
+
 def decode_stub(
     media: DataFrame, deterministic_fake: bool = False, batch_rows: int = 256
 ) -> DataFrame:
     """Decode payloads into fixed-dim feature vectors via ``mapInPandas``.
 
-    Real decoders (PIL/librosa/ffmpeg) plug into ``_decode_one`` — the
-    Spark plumbing (Arrow batch shape, schema, partition preservation)
-    does not change. Without libraries, ``deterministic_fake`` hashes the
-    payload into a reproducible pseudo-feature so tests exercise the full
-    distributed path.
+    Binary-PPM payloads (P6 magic) decode FOR REAL — pure-numpy parse +
+    quadrant-mean feature extraction (:func:`_ppm_feature`). Compressed
+    formats plug into ``_decode_one`` the same way (PIL/librosa/ffmpeg
+    not in this container); without them, ``deterministic_fake`` hashes
+    the payload into a reproducible pseudo-feature so tests exercise
+    the full distributed path regardless of codec availability.
     """
 
     def _decode_one(payload: bytes) -> np.ndarray:
+        if payload.startswith(PPM_MAGIC):
+            return _ppm_feature(decode_ppm(payload))
         if not deterministic_fake:
             raise NotImplementedError(
-                "media codecs not available in this environment; "
+                "no codec for this payload in this environment; "
                 "pass deterministic_fake=True or plug a real decoder here"
             )
         digest = hashlib.sha256(payload).digest()
@@ -148,3 +263,26 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
             )
 
     return media.select("media_id", "meta").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, out_side: int = 8) -> DataFrame:
+    """REAL image resize on PPM payloads: decode, nearest-neighbor
+    downsample on actual pixels, re-encode PPM — all numpy inside one
+    Arrow-batched ``mapInPandas`` stage. Returns (media_id, payload)
+    with the resized image; the output payloads decode to
+    (out_side, out_side, 3)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                px = decode_ppm(p)
+                h, w, _ = px.shape
+                ys = (np.arange(out_side) * h) // out_side
+                xs = (np.arange(out_side) * w) // out_side
+                outs.append(encode_ppm(px[np.ix_(ys, xs)]))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": outs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        _resize, "media_id bigint, payload binary"
+    )

@@ -615,6 +615,79 @@ def q_join_asof_nearest(spark, sf_dir):
     )
 
 
+PPM_SIDE = 16  # 16×16 RGB → 768 pixel bytes per image
+
+
+@register(
+    "q_multimodal_ppm_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(range(0, {PPM_SIDE * PPM_SIDE * 3})) AS p
+      FROM documents WHERE length(text) > 0
+    ),
+    b AS (
+      SELECT doc_id, CAST(p % 3 AS BIGINT) AS channel,
+             ascii(substr(text, CAST((p % n) + 1 AS INT), 1)) AS byte
+      FROM px JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, channel,
+           CAST(sum(byte) AS BIGINT) AS sum_byte,
+           CAST(min(byte) AS BIGINT) AS min_byte,
+           CAST(max(byte) AS BIGINT) AS max_byte
+    FROM b GROUP BY doc_id, channel
+    """,
+    tags=("batch", "llm", "multimodal"),
+)
+def q_multimodal_ppm_stats(spark, sf_dir):
+    """K8 made REAL: encode each document into a genuine binary-PPM
+    image (utf-8 bytes cycled into a 16×16 RGB raster, distributed
+    ``mapInPandas`` encode), then DECODE THE ACTUAL IMAGE BYTES with the
+    pure-numpy P6 codec and report per-channel pixel statistics. The
+    oracle recomputes every pixel independently from the text (ASCII
+    corpus ⇒ byte == codepoint), so a hash match proves the binary
+    encode → Arrow transfer → header parse → frombuffer decode round
+    trip is bit-exact — no codec library involved, no deterministic
+    fake. Compressed codecs remain the pluggable stub tier.
+
+    Scale shape: two map-only Arrow stages (encode, decode+stats) and
+    one hash aggregate onto 3 rows per image — linear in corpus bytes,
+    payload column pruned for any metadata-only consumer."""
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+    )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    t = tables(spark, sf_dir)
+    media = attach_ppm_media(t.documents, "doc_id", "text", side=PPM_SIDE)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(payload).astype(np.int64)
+                for ch in range(3):
+                    c = px[:, :, ch]
+                    rows.append(
+                        (int(mid), ch, int(c.sum()), int(c.min()), int(c.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channel", "sum_byte", "min_byte", "max_byte"
+                ],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, channel bigint, sum_byte bigint, "
+        "min_byte bigint, max_byte bigint",
+    )
+
+
 RRF_K = 60
 RRF_TOPN = 50
 

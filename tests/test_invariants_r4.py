@@ -135,6 +135,48 @@ def test_grouping_id_levels_consistent(spark):
     assert abs(sum(r.revenue for r in details) - grand[0].revenue) < 1.0
 
 
+def test_ppm_codec_roundtrip_and_real_decode(spark):
+    """The pure-numpy P6 codec must round-trip bit-exactly, decode_stub
+    must take the REAL decode path for PPM payloads (no deterministic
+    fake), and the real resize must equal a numpy nearest-neighbor
+    reference on actual pixels."""
+    import numpy as np
+
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+        decode_stub,
+        encode_ppm,
+        resize_ppm,
+        text_to_pixels,
+    )
+
+    px = text_to_pixels("the quick brown fox jumps over the lazy dog", 16)
+    assert px.shape == (16, 16, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+    t = registry.tables(spark, SF_DIR)
+    docs = t.documents.limit(20)
+    media = attach_ppm_media(docs, "doc_id", "text", side=16)
+    # REAL decode path: deterministic_fake stays False and must not raise
+    feats = {r.media_id: r.feature for r in decode_stub(media).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(texts)
+    for mid, f in feats.items():
+        ref = text_to_pixels(texts[mid], 16).astype(np.float64) / 255.0
+        assert len(f) == 16
+        assert abs(f[15] - ref.mean()) < 1e-6  # global brightness dim
+        assert abs(f[12] - ref[:, :, 0].mean()) < 1e-6  # global R mean
+
+    resized = {r.media_id: r.payload for r in resize_ppm(media, 8).collect()}
+    for mid, payload in resized.items():
+        got = decode_ppm(payload)
+        src = text_to_pixels(texts[mid], 16)
+        ys = (np.arange(8) * 16) // 8
+        assert got.shape == (8, 8, 3)
+        assert np.array_equal(got, src[np.ix_(ys, ys)])
+
+
 def test_rrf_fusion_ordering_and_bounds(spark):
     rows = _run(spark, "q_text_rrf_fusion").collect()
     assert 0 < len(rows) <= 20
