@@ -177,6 +177,17 @@ def test_ppm_codec_roundtrip_and_real_decode(spark):
         assert np.array_equal(got, src[np.ix_(ys, ys)])
 
 
+def test_ppm_codec_rejects_malformed_payloads():
+    import pytest
+
+    from flink_quickstart_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
 def test_rrf_fusion_ordering_and_bounds(spark):
     rows = _run(spark, "q_text_rrf_fusion").collect()
     assert 0 < len(rows) <= 20

@@ -430,6 +430,31 @@ def test_rollup_restart_mid_stream_exactly_once(spark, tmp_path):
     assert _rows(hour_from_tier) == _rows(direct)
 
 
+def test_streaming_ppm_decode_matches_batch(spark):
+    """K8 on a STREAM: the real PPM encode → decode mapInPandas stages
+    run unchanged on a streaming documents source and produce exactly
+    the batch result — multimodal ingest as an incremental pipeline."""
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_stub,
+    )
+    from flink_quickstart_spark.sources.tables import load_table
+    from flink_quickstart_spark.streaming.harness import (
+        run_to_memory,
+        table_stream,
+    )
+
+    def pipeline(docs):
+        media = attach_ppm_media(docs, "doc_id", "text", side=16)
+        return decode_stub(media).select("media_id", "n_bytes", "feature")
+
+    batch = pipeline(load_table(spark, SF_DIR, "documents"))
+    stream = run_to_memory(pipeline(table_stream(spark, SF_DIR, "documents")))
+    b = {r.media_id: (r.n_bytes, tuple(r.feature)) for r in batch.collect()}
+    s = {r.media_id: (r.n_bytes, tuple(r.feature)) for r in stream.collect()}
+    assert b == s and b
+
+
 def test_streaming_exact_dedup_matches_batch(spark):
     """LLM-pipeline op on a STREAM: exact dedup (sha-grouped) over a
     documents file stream in complete mode equals the batch operator —
