@@ -688,6 +688,97 @@ def q_multimodal_ppm_stats(spark, sf_dir):
     )
 
 
+def _dhash_oracle_sql() -> str:
+    """Generate the exact dHash oracle: for each (row r, col c) of the
+    9×8 nearest-neighbor grid over the 16×16 raster, gray = (R+G+B)//3
+    of the cycled text bytes; bit (r*8+c) set iff gray[r][c] >
+    gray[r][c+1]. Two 32-bit words, identical packing to the Spark
+    side. The SQL is mechanical, so it is generated, not hand-written."""
+    side = 16
+    ys = [(r * side) // 8 for r in range(8)]
+    xs = [(c * side) // 9 for c in range(9)]
+
+    def gray(r, c):
+        base = (ys[r] * side + xs[c]) * 3
+        parts = " + ".join(
+            f"ascii(substr(text, CAST(({base + ch} % n) + 1 AS INT), 1))"
+            for ch in range(3)
+        )
+        return f"(({parts}) // 3)"
+
+    def word(lo, hi, shift):
+        terms = []
+        for b in range(lo, hi):
+            r, c = divmod(b, 8)
+            terms.append(
+                f"CASE WHEN {gray(r, c)} > {gray(r, c + 1)} "
+                f"THEN CAST({1 << (b - shift)} AS BIGINT) ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    SELECT doc_id,
+           CAST({word(0, 32, 0)} AS BIGINT) AS w0,
+           CAST({word(32, 64, 32)} AS BIGINT) AS w1
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) > 0)
+    """
+
+
+@register(
+    "q_multimodal_dhash",
+    oracle=_dhash_oracle_sql(),
+    tags=("batch", "llm", "multimodal", "dedup"),
+)
+def q_multimodal_dhash(spark, sf_dir):
+    """K8 dedup tier on REAL pixels: the difference hash (dHash) — the
+    standard perceptual fingerprint for near-identical image detection:
+    nearest-neighbor sample the decoded image to a 9×8 grayscale grid,
+    set bit (r, c) iff the pixel is brighter than its right neighbor,
+    pack 64 bits into two 32-bit words (identical split to
+    q_embed_sign_bits, so every partial sum is exactly representable).
+    Grouping on (w0, w1) — or banding the words for hamming-distance
+    buckets — is the image analog of the text near-dup tiers. The
+    oracle is GENERATED SQL that recomputes every sampled pixel from
+    the source bytes, so the hash match certifies the decode + sampling
+    + packing pipeline end to end.
+
+    Scale shape: one Arrow-batched decode+hash stage (vectorized numpy
+    per batch), output two ints per image — embarrassingly parallel,
+    no shuffle; the dedup group-by downstream is one hash aggregate on
+    an 8-byte key."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+    )
+
+    t = tables(spark, sf_dir)
+    media = attach_ppm_media(t.documents, "doc_id", "text", side=16)
+    ys = (np.arange(8) * 16) // 8
+    xs = (np.arange(9) * 16) // 9
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(payload).astype(np.int64)
+                gray = px.sum(axis=2) // 3
+                grid = gray[np.ix_(ys, xs)]  # 8×9
+                bits = (grid[:, :-1] > grid[:, 1:]).astype(np.int64)
+                flat = bits.reshape(-1)  # bit b = r*8+c
+                w0 = int((flat[:32] << np.arange(32)).sum())
+                w1 = int((flat[32:] << np.arange(32)).sum())
+                out.append((int(mid), w0, w1))
+            yield pd.DataFrame(out, columns=["doc_id", "w0", "w1"])
+
+    return media.mapInPandas(dhash, "doc_id bigint, w0 bigint, w1 bigint")
+
+
 RRF_K = 60
 RRF_TOPN = 50
 
