@@ -688,6 +688,90 @@ def q_multimodal_ppm_stats(spark, sf_dir):
     )
 
 
+WAV_N = 2048  # samples per synthesized clip (operators/multimodal.py)
+
+
+@register(
+    "q_multimodal_wav_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(p AS BIGINT) AS p,
+             ascii(substr(text, CAST((p % length(text)) + 1 AS INT), 1))
+               - 128 AS c
+      FROM (SELECT doc_id, text, unnest(range(0, {WAV_N})) AS p
+            FROM documents WHERE length(text) > 0)
+    ),
+    lagd AS (
+      SELECT doc_id, c,
+             lag(c) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      FROM s
+    )
+    SELECT doc_id,
+           CAST({WAV_N} AS BIGINT) AS n_samples,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN c * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_cross,
+           CAST(max(abs(c)) AS BIGINT) AS peak_abs
+    FROM lagd GROUP BY doc_id
+    """,
+    tags=("batch", "llm", "multimodal"),
+)
+def q_multimodal_wav_stats(spark, sf_dir):
+    """K8 audio tier made REAL: encode each document into a genuine
+    RIFF/WAV 16-bit-mono PCM clip (2048 samples, distributed
+    ``mapInPandas`` encode), DECODE THE ACTUAL CONTAINER — RIFF magic,
+    fmt chunk walk, little-endian frombuffer — and report real audio
+    features: energy (integer-exact sum of squares of the centered
+    samples), zero-crossing count, and peak amplitude. The oracle
+    recomputes every sample from the source bytes, so a hash match
+    certifies the full binary audio round trip with no codec library.
+
+    Scale shape: two map-only Arrow stages and a per-clip O(1) feature
+    row — linear in corpus bytes; the same envelope as the image tier."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_wav_media,
+        decode_wav,
+    )
+
+    t = tables(spark, sf_dir)
+    media = attach_wav_media(t.documents, "doc_id", "text")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = decode_wav(payload)
+                c = samples.astype(np.int64) // 256  # undo ×256 scaling
+                cross = int(((c[1:] * c[:-1]) < 0).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        len(c),
+                        int((c * c).sum()),
+                        cross,
+                        int(np.abs(c).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_sq", "n_zero_cross", "peak_abs"
+                ],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, n_samples bigint, sum_sq bigint, "
+        "n_zero_cross bigint, peak_abs bigint",
+    )
+
+
 def _dhash_oracle_sql() -> str:
     """Generate the exact dHash oracle: for each (row r, col c) of the
     9×8 nearest-neighbor grid over the 16×16 raster, gray = (R+G+B)//3

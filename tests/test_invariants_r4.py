@@ -177,6 +177,25 @@ def test_ppm_codec_roundtrip_and_real_decode(spark):
         assert np.array_equal(got, src[np.ix_(ys, ys)])
 
 
+def test_wav_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from flink_quickstart_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        text_to_samples,
+    )
+
+    s = text_to_samples("hello world this is a pcm test")
+    rate, back = decode_wav(encode_wav(s))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+    assert s.dtype == np.int16 and len(s) == 2048
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"OggS....")
+
+
 def test_ppm_codec_rejects_malformed_payloads():
     import pytest
 
