@@ -772,6 +772,88 @@ def q_multimodal_wav_stats(spark, sf_dir):
     )
 
 
+Y4M_PLANE = 16 * 16  # bytes per plane; frame stride = 3 * plane
+
+
+@register(
+    "q_multimodal_video_frames",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest([0, 2]) AS frame_no
+      FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+      SELECT doc_id, frame_no,
+             ascii(substr(text,
+               CAST(((frame_no * {3 * Y4M_PLANE} + p) % n) + 1 AS INT), 1))
+               AS y
+      FROM fr, unnest(range(0, {Y4M_PLANE})) AS u(p)
+    )
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(sum(y) AS BIGINT) AS luma_sum,
+           CAST(min(y) AS BIGINT) AS luma_min,
+           CAST(max(y) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id, frame_no
+    """,
+    tags=("batch", "llm", "multimodal"),
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """K8 video tier made REAL: encode each document into a genuine
+    YUV4MPEG2 clip (4 frames, 16×16 C444 — the ffmpeg-pipe interchange
+    container), DECODE THE ACTUAL STREAM — header tags, FRAME markers,
+    plane frombuffer — then frame-sample every 2nd frame and report
+    per-frame luma-plane statistics (integer-exact sum/min/max). The
+    oracle recomputes every sampled luma byte from the source text, so
+    the hash match certifies container parse + frame indexing + plane
+    extraction end to end. This upgrades q_multimodal_framesample's
+    metadata-only plan into real frame decode.
+
+    Scale shape: encode and decode+sample are map-only Arrow stages;
+    sampling drops frames BEFORE any per-pixel work, the
+    explode-before-decode discipline at real scale; output is two rows
+    per clip."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_quickstart_spark.operators.multimodal import (
+        attach_y4m_media,
+        decode_y4m,
+    )
+
+    t = tables(spark, sf_dir)
+    media = attach_y4m_media(t.documents, "doc_id", "text")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _fps, frames = decode_y4m(payload)
+                for fno in range(0, frames.shape[0], 2):  # sample stride 2
+                    luma = frames[fno, 0].astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            fno,
+                            int(luma.sum()),
+                            int(luma.min()),
+                            int(luma.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "luma_sum", "luma_min", "luma_max"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "doc_id bigint, frame_no bigint, luma_sum bigint, "
+        "luma_min bigint, luma_max bigint",
+    )
+
+
 def _dhash_oracle_sql() -> str:
     """Generate the exact dHash oracle: for each (row r, col c) of the
     9×8 nearest-neighbor grid over the 16×16 raster, gray = (R+G+B)//3

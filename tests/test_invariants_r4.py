@@ -196,6 +196,25 @@ def test_wav_codec_roundtrip_and_validation():
         decode_wav(b"OggS....")
 
 
+def test_y4m_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from flink_quickstart_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        text_to_frames,
+    )
+
+    frames = text_to_frames("yuv4mpeg codec roundtrip text", 4, 16)
+    fps, back = decode_y4m(encode_y4m(frames))
+    assert fps == 25
+    assert np.array_equal(back, frames)
+    assert frames.shape == (4, 3, 16, 16)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF....\n")
+
+
 def test_ppm_codec_rejects_malformed_payloads():
     import pytest
 
