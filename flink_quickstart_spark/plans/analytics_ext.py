@@ -854,6 +854,95 @@ def q_multimodal_video_frames(spark, sf_dir):
     )
 
 
+@register(
+    "q_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT avg(pre) AS ex, avg(post) AS ey,
+             avg(pre * post) AS exy, avg(pre * pre) AS exx
+      FROM u
+    ),
+    adj AS (
+      SELECT variant, post,
+             post - ((exy - ex * ey) / (exx - ex * ex)) * (pre - ex) AS a
+      FROM u CROSS JOIN g
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(post), 6) AS mean_post,
+           round(avg(a), 6) AS mean_adj,
+           round(avg(post * post) - avg(post) * avg(post), 6) AS var_post,
+           round(avg(a * a) - avg(a) * avg(a), 6) AS var_adj,
+           round(1.0 - (avg(a * a) - avg(a) * avg(a))
+                       / (avg(post * post) - avg(post) * avg(post)), 6)
+             AS var_reduction
+    FROM adj GROUP BY variant
+    """,
+    tags=("batch", "agg", "experiment"),
+)
+def q_ab_cuped(spark, sf_dir):
+    """D-ext: CUPED variance reduction — the standard experimentation
+    technique: regress each user's experiment-period metric on their
+    PRE-period metric (theta = cov(pre, post)/var(pre), pooled across
+    variants), subtract the predictable component, and read out the
+    adjusted means whose variance — and hence the experiment's required
+    sample size — drops by the squared correlation. Identical raw-
+    moment formulas on both engines (population moments written out,
+    no engine covar/var builtins); the mid-month cut is the pre/post
+    boundary and user_id%2 the assignment, both deterministic.
+
+    Scale shape: one hash aggregate to per-user (pre, post), one 1-row
+    global moment aggregate broadcast back (waived scalar cross), one
+    final 2-group aggregate. Linear, two narrow shuffles — the shape a
+    100 TB experiment readout must have."""
+    t = tables(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "pre",
+        "post",
+    )
+    g = u.agg(
+        F.avg("pre").alias("ex"),
+        F.avg("post").alias("ey"),
+        F.avg(F.col("pre") * F.col("post")).alias("exy"),
+        F.avg(F.col("pre") * F.col("pre")).alias("exx"),
+    )
+    theta = (F.col("exy") - F.col("ex") * F.col("ey")) / (
+        F.col("exx") - F.col("ex") * F.col("ex")
+    )
+    a = F.col("post") - theta * (F.col("pre") - F.col("ex"))
+    adj = u.crossJoin(F.broadcast(g)).select("variant", "post", a.alias("a"))
+    pvar = F.avg(F.col("post") * F.col("post")) - F.avg("post") * F.avg("post")
+    avar = F.avg(F.col("a") * F.col("a")) - F.avg("a") * F.avg("a")
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("post"), 6).alias("mean_post"),
+        F.round(F.avg("a"), 6).alias("mean_adj"),
+        F.round(pvar, 6).alias("var_post"),
+        F.round(avar, 6).alias("var_adj"),
+        F.round(F.lit(1.0) - avar / pvar, 6).alias("var_reduction"),
+    )
+
+
 def _dhash_oracle_sql() -> str:
     """Generate the exact dHash oracle: for each (row r, col c) of the
     9×8 nearest-neighbor grid over the 16×16 raster, gray = (R+G+B)//3

@@ -149,6 +149,12 @@ ALLOWED = {
         "run through the two-phase global rank (operators/rank.py), so "
         "the former global-window waiver is gone",
     ),
+    "q_ab_cuped": (
+        "BroadcastNestedLoopJoin",
+        "1-row pooled-moment scalar (theta numerator/denominator) "
+        "crossed onto the per-user aggregate; both wide stages are "
+        "hash aggregates",
+    ),
     "q_dq_benford": (
         "BroadcastNestedLoopJoin",
         "1-row digit-total scalar crossed onto the 9-row digit "
