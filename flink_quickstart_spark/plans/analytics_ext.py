@@ -855,6 +855,46 @@ def q_multimodal_video_frames(spark, sf_dir):
 
 
 @register(
+    "q_fn_datetime_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+           CAST(CAST(o_orderdate AS DATE)
+                + ((7 + 1 - CAST(isodow(o_orderdate) AS INT) - 1)
+                   % 7 + 1) AS DATE) AS next_monday
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("batch", "function"),
+)
+def q_fn_datetime_extended(spark, sf_dir):
+    """H2b: the second date/time tier — calendar arithmetic beyond
+    q_fn_datetime: month-offset with end-of-month clamping (add_months
+    ≡ ``+ INTERVAL``), last_day, quarter, ISO week, day-of-year,
+    quarter truncation, and next-Monday (Spark's ``next_day`` vs an
+    explicit isodow formula on the oracle — the strictly-after
+    convention is asserted equal across engines). All per-row JVM
+    expressions; predicate pushed to the scan.
+
+    Scale shape: pure map — no shuffle, codegen end to end."""
+    t = tables(spark, sf_dir)
+    return t.orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr_start"),
+        F.next_day("o_orderdate", "Mon").alias("next_monday"),
+    )
+
+
+@register(
     "q_ab_cuped",
     oracle="""
     WITH u AS (
