@@ -1,9 +1,14 @@
-"""Round-4 analytics extensions — embedding second-moment statistics,
-PCA projection, a Benford data-quality audit, and reciprocal-rank
-fusion. Reference surface [PK]: none of these exist in the canonical
-Flink quickstart (checkout empty — SURVEY.md §0); they belong to the
-LLM-data-pipeline mandate (BASELINE.json north star) and the DQ tier a
-production corpus pipeline runs alongside it.
+"""Round-4 analytics extensions — embedding second-moment statistics
+(covariance, PCA), retrieval fusion (RRF), data-quality audits
+(Benford), rollup GROUPING_ID, training-example materialization
+(chunk stitching, span corruption), the nearest-direction as-of join,
+CUPED experiment readouts, calendar-function tier two, and the REAL
+multimodal keys (PPM pixel stats, dHash, WAV audio features, y4m
+frame sampling). Reference surface [PK]: none of these exist in the
+canonical Flink quickstart (checkout empty — SURVEY.md §0); they
+belong to the LLM-data-pipeline mandate (BASELINE.json north star)
+and the DQ/experimentation tiers a production corpus pipeline runs
+alongside it.
 
 House rules as everywhere: JVM-side Column expressions in the hot path,
 partial+final aggregation shapes, broadcast for anything dim-sized, and

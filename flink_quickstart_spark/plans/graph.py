@@ -248,3 +248,77 @@ def q_graph_degree_stats(spark, sf_dir):
     ).distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT cust, count(*) AS d FROM edges GROUP BY cust),
+    pairs AS (
+      SELECT a.cust AS c1, b.cust AS c2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM edges a JOIN edges b ON a.supp = b.supp AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+    )
+    SELECT c1, c2, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (d1.d + d2.d - n_common), 6) AS jaccard
+    FROM pairs JOIN deg d1 ON c1 = d1.cust JOIN deg d2 ON c2 = d2.cust
+    WHERE n_common >= 5
+    ORDER BY jaccard DESC, c1, c2 LIMIT 50
+    """,
+    tags=("batch", "graph", "join"),
+)
+def q_graph_common_neighbors(spark, sf_dir):
+    """Graph-ext: common-neighbor link prediction — the classic
+    unsupervised recommender score on a bipartite graph: customer pairs
+    ranked by the Jaccard similarity of their supplier neighborhoods
+    (top-50 with >= 5 shared suppliers, deterministic tiebreak). High
+    scorers are the "customers like you" edges a co-purchase
+    recommender would propose.
+
+    Scale shape: the pair discovery is the INVERTED-INDEX self-join on
+    the shared supplier (one hash shuffle; candidates bounded by
+    Σ deg_supp² — the same wedge bound q_graph_degree_stats monitors,
+    and a df-cap on hub suppliers is the documented guard at true hub
+    skew), then a hash aggregate per pair, two broadcast-sized degree
+    joins, and a TakeOrderedAndProject top-50 — never an all-pairs
+    customer matrix."""
+    t = tables(spark, sf_dir)
+    edges = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select(F.col("cust").alias("c1"), "supp")
+    b = edges.select(F.col("cust").alias("c2"), "supp")
+    pairs = (
+        a.join(b, "supp")
+        .where(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 5)
+    )
+    d1 = deg.select(F.col("cust").alias("c1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("cust").alias("c2"), F.col("d").alias("deg2"))
+    return (
+        pairs.join(d1, "c1")
+        .join(d2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "c1", "c2")
+        .limit(50)
+    )
