@@ -209,6 +209,16 @@ MATERIALIZE_ALLOWED = {
         "1-row max-watermark scalar per micro-batch in the late-side-"
         "output foreachBatch splitter"
     ),
+    "operators/similarity.py:ivf_build_index:toPandas": (
+        "bounded centroid-training sample (limit(sample_rows), default "
+        "20k rows) — k-means training set for the persisted index, "
+        "same envelope as ivf_topk's"
+    ),
+    "operators/similarity.py:ivf_query_index:collect": (
+        "O(n_clusters) centroid-table load (default 16 rows) when "
+        "opening a persisted IVF index — the whole point is that ONLY "
+        "the centroids reach the driver"
+    ),
     "plans/analytics_ext.py:q_embed_pca_project:collect": (
         "two aggregate-sized collects: the O(dims²)=2080-scalar raw-"
         "moment matrix the driver eigendecomposes (reduce-solve-small-"
