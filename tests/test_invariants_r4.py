@@ -268,6 +268,33 @@ def test_ivf_persistent_index_build_then_query(spark, tmp_path):
     assert total > 0 and hits / total >= 0.5
 
 
+def test_asof_nearest_directions_consistent(spark):
+    """On the real events data: backward matches have click <= purchase,
+    forward strictly after; the chosen side is never farther than the
+    registered backward-asof (q_join_asof) match; null direction iff
+    no click exists for the user."""
+    near = {
+        r.purchase_id: r for r in _run(spark, "q_join_asof_nearest").collect()
+    }
+    back = {r.purchase_id: r for r in _run(spark, "q_join_asof").collect()}
+    assert set(near) == set(back)
+    for pid, r in near.items():
+        if r.direction is None:
+            assert r.click_id is None and back[pid].click_id is None
+            continue
+        if r.direction == "backward":
+            assert r.click_ts_us <= r.purchase_ts_us
+            assert r.click_id == back[pid].click_id
+        else:
+            assert r.click_ts_us > r.purchase_ts_us
+            b = back[pid]
+            if b.click_ts_us is not None:
+                # forward was chosen => strictly closer than backward
+                assert (r.click_ts_us - r.purchase_ts_us) < (
+                    r.purchase_ts_us - b.click_ts_us
+                )
+
+
 def test_rrf_fusion_ordering_and_bounds(spark):
     rows = _run(spark, "q_text_rrf_fusion").collect()
     assert 0 < len(rows) <= 20
