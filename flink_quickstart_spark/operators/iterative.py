@@ -96,16 +96,24 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int = 1,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
 
     Fixed iteration count → deterministic output (modulo float summation
     order; consumers should round). Dangling nodes (no out-edges) follow
-    the standard redistribute-to-all treatment via a scalar aggregate of
-    dangling mass per step — one extra cheap reduce, no extra shuffle of
-    the big tables. Returns ``(node, rank)`` with ranks summing to ~1.
+    the standard redistribute-to-all treatment. Returns ``(node, rank)``
+    with ranks summing to ~1.
+
+    Loop shape (the part that matters at 100 TB): the dangling mass is a
+    1-row aggregate folded back in via ``crossJoin(F.broadcast(...))`` —
+    NOT a per-iteration driver ``.collect()`` — so each iteration is a
+    single lazy plan with one action (the eager lineage truncation).
+    Each rank snapshot references the previous one TWICE (dangling
+    branch + contribution branch); without per-iteration truncation the
+    recomputed plan doubles per step, which is why
+    ``checkpoint_interval`` defaults to 1 here.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -116,18 +124,22 @@ def pagerank(
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # Static across iterations: nodes with no out-edges, and the
+    # degree-annotated edge list (inner join drops dangling sources).
+    dangling_nodes = nodes.join(out_deg, "node", "left_anti")
+    edges_deg = edges.join(
+        out_deg, edges.src == out_deg.node
+    ).select("src", "dst", "out_deg")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for i in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
-        # mass of dangling nodes, redistributed uniformly
-        dangling = (
-            with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # 1-row dangling-mass aggregate, broadcast-folded (no collect)
+        dmass = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
         )
         contribs = (
-            edges.join(with_deg.where(F.col("out_deg").isNotNull()), edges.src == F.col("node"))
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -135,14 +147,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("_dmass") / F.lit(float(n_nodes))
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_interval == 0:

@@ -79,14 +79,23 @@ def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
     """A fixed iteration count makes power iteration ANSI-expressible:
     unroll each step into a CTE computing ranks from the previous one
     (contributions via join+sum, dangling mass via scalar subquery).
-    Generated, not hand-written — the loop IS the query plan."""
+    Generated, not hand-written — the loop IS the query plan.
+
+    Every chained CTE is ``AS MATERIALIZED``: each step references the
+    previous rank table twice (dangling branch + contribution branch),
+    so with DuckDB's default CTE *inlining* the plan doubles per step —
+    2^8 copies of the whole chain, which is exactly what made this
+    oracle take ~190 s at sf0.01 in round 4. Materialization makes it
+    linear in the iteration count (<1 s). The dangling-node set is also
+    hoisted out of the loop (it is static — out-degrees don't change)."""
     steps = []
     for i in range(iterations):
         prev = f"r{i}"
         steps.append(f"""
-    d{i} AS (SELECT coalesce(sum(rank), 0.0) AS mass FROM {prev}
-             WHERE node NOT IN (SELECT node FROM deg)),
-    r{i + 1} AS (
+    d{i} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0.0) AS mass
+      FROM {prev} JOIN dang USING (node)),
+    r{i + 1} AS MATERIALIZED (
       SELECT n.node,
              (1 - {damping}) / nn.n + {damping} * (SELECT mass FROM d{i}) / nn.n
              + {damping} * coalesce(m.in_mass, 0.0) AS rank
@@ -101,15 +110,18 @@ def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
     )""")
     return f"""
     WITH
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
             FROM edges GROUP BY src),
-    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nc nn),
+    dang AS MATERIALIZED (
+      SELECT n.node FROM nodes n LEFT JOIN deg g ON n.node = g.node
+      WHERE g.node IS NULL),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nc nn),
     {",".join(steps)}
     SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
     FROM r{iterations}
