@@ -16,6 +16,7 @@ def load_all() -> None:
     from flink_quickstart_spark.plans import (  # noqa: F401
         aggregations,
         analytics_ext,
+        analytics_r5,
         functions_scalar,
         graph,
         joins,

@@ -149,6 +149,13 @@ ALLOWED = {
         "run through the two-phase global rank (operators/rank.py), so "
         "the former global-window waiver is gone",
     ),
+    "q_graph_pagerank": (
+        "BroadcastNestedLoopJoin",
+        "1-row dangling-mass scalar aggregate broadcast-crossed onto "
+        "the rank update each power iteration (replaced the former "
+        "per-iteration driver collect); the contribution pass is a "
+        "hash join + hash aggregate on node id",
+    ),
     "q_ab_cuped": (
         "BroadcastNestedLoopJoin",
         "1-row pooled-moment scalar (theta numerator/denominator) "
@@ -201,9 +208,15 @@ MATERIALIZE_ALLOWED = {
         "bounded centroid-training sample (limit(sample_rows), default "
         "4096 rows) — k-means training set, not the corpus"
     ),
-    "operators/iterative.py:pagerank:collect": (
-        "1-row dangling-mass scalar aggregate per power iteration "
-        "(standard dangling-node redistribution)"
+    "operators/bpe.py:learn_bpe_merges:first": (
+        "1-row top-pair pull per BPE merge iteration over the "
+        "vocabulary-sized pair aggregate — the chosen pair becomes a "
+        "literal in the next iteration's plan (driver-bounded loop, "
+        "same concession as the iterative-loop termination checks)"
+    ),
+    "plans/analytics_r5.py:q_maintenance_zorder:first": (
+        "1-row column-maxima scalar that parameterizes the z-order "
+        "bucket grid and the predicate box"
     ),
     "streaming/harness.py:handle:collect": (
         "1-row max-watermark scalar per micro-batch in the late-side-"
