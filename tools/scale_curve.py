@@ -1,0 +1,127 @@
+"""Scaling-curve measurement: run the headline bench queries plus the
+heaviest registry keys at sf0.1 AND the staged 10× sf1 directory
+(tools/make_sf.py), and report the time ratio per key.
+
+A key passes if its ratio is ≤ ~linear (≤ LINEAR_SLACK × the data
+growth) — at bench scale fixed overheads (job scheduling, broadcast
+builds, parquet footer reads) deflate the ratio well below 10, so the
+interesting signal is any key ABOVE it. Superlinear keys get fixed and
+re-probed (VERDICT r4 item #1; the wedge-rule episode is the precedent).
+
+Run: ``python tools/scale_curve.py [--keys k1,k2] [--json PATH]``
+Writes per-key {sf0.1 sec, sf1 sec, ratio} and flags ratio > threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.plans import load_all, registry
+from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
+
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = str(REPO / ".scale" / "sf1")
+GROWTH = 10.0
+LINEAR_SLACK = 1.5  # ratio must be <= GROWTH * slack
+
+# headline bench set + the heaviest verify keys (VERIFY_r04 timings) +
+# the iterative/graph tier (loop cost is where superlinear hides)
+DEFAULT_KEYS = [
+    "q_agg_group", "q_join_star", "q_window_tumbling", "q_topk_pergroup",
+    "q_window_session", "q_fn_json", "q_llm_knn",
+    "q_graph_pagerank", "q_graph_components", "q_graph_common_neighbors",
+    "q_llm_dedup_groups", "q_agg_approxcd", "q_agg_rfm",
+    "q_llm_neardup_minhash", "q_llm_ann_ivf", "q_fn_math",
+    "q_cogroup_stats", "q_embed_pca_project", "q_llm_pack_sequences",
+    "q_llm_simhash", "q_llm_bpe_merges", "q_maintenance_zorder",
+    "q_llm_tfidf_cosine", "q_llm_winnowing",
+]
+
+
+def best_of(builder, spark, sf, runs=2):
+    builder(spark, sf).collect()  # warm-up
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        builder(spark, sf).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    load_all()
+    keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
+    parts = shuffle_partitions_for_bytes(dir_bytes(SF_BIG))
+    spark = get_spark(app_name="scale-curve", shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"shuffle_partitions={parts} (sized for sf1 = {dir_bytes(SF_BIG)/1e6:.0f} MB)")
+
+    results: dict[str, dict] = {}
+    n_flag = 0
+    for key in keys:
+        b = registry.REGISTRY[key].builder
+        try:
+            t_small = best_of(b, spark, SF_SMALL, args.runs)
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP {key}: sf0.1 error {type(e).__name__}: {e}")
+            results[key] = {"status": "error_small", "err": str(e)[:200]}
+            continue
+        try:
+            t_big = best_of(b, spark, SF_BIG, args.runs)
+        except Exception as e:  # noqa: BLE001
+            # budget-guarded ops are DESIGNED to refuse past their
+            # envelope — record, don't fail the probe
+            print(f"GUARDED {key}: sf1 refused: {type(e).__name__}: {str(e)[:160]}")
+            results[key] = {
+                "status": "guarded",
+                "sf0.1_sec": round(t_small, 3),
+                "err": str(e)[:200],
+            }
+            continue
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        flag = ratio > GROWTH * LINEAR_SLACK
+        n_flag += flag
+        results[key] = {
+            "status": "superlinear" if flag else "ok",
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(ratio, 2),
+        }
+        marker = " <-- SUPERLINEAR" if flag else ""
+        print(f"{key}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x{marker}")
+
+    print(f"\n== {len(results)} keys probed, {n_flag} superlinear (threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x data) ==")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "growth": GROWTH,
+                    "threshold_ratio": GROWTH * LINEAR_SLACK,
+                    "method": "min-of-N warm collect() per key per sf; "
+                    "shuffle partitions sized for sf1",
+                    "keys": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
+    return 1 if n_flag else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
