@@ -147,14 +147,17 @@ def _bucket_expr(df: DataFrame, bucket_col: str, asc: bool, buckets: int) -> Col
     if not boundaries:
         return F.lit(0)
     v = F.col(bucket_col)
-    barr = F.array(*[F.lit(b) for b in boundaries])
-    if asc:
-        return F.aggregate(
-            barr, F.lit(0), lambda acc, b: acc + F.when(v > b, 1).otherwise(0)
-        )
-    return F.aggregate(
-        barr, F.lit(0), lambda acc, b: acc + F.when(v < b, 1).otherwise(0)
-    )
+    # Unrolled sum-of-whens rather than F.aggregate over a boundary
+    # array: the boundaries are driver-side constants anyway, the
+    # unrolled form stays inside whole-stage codegen, and the HOF
+    # lambda trips a Spark 4.1 Union constraint-rewrite crash
+    # ("key not found: <attr>") when the bucketed frame is a union
+    # (operators/theta.py r6 discovery).
+    expr = F.lit(0)
+    for b in boundaries:
+        cond = (v > F.lit(b)) if asc else (v < F.lit(b))
+        expr = expr + F.when(cond, 1).otherwise(0)
+    return expr
 
 
 def global_running_sum(

@@ -152,11 +152,18 @@ def q_maintenance_zorder(spark, sf_dir):
     mx = t.events.agg(
         F.max("user_id").alias("mu"), F.max("event_id").alias("me")
     ).first()
+    if mx is None or mx["mu"] is None:
+        raise ValueError("q_maintenance_zorder: events table is empty")
     umax, emax = int(mx["mu"]), int(mx["me"])
     u_bucket = F.floor(F.col("user_id") * 1024 / (umax + 1)).cast("long")
     v_bucket = F.floor(F.col("event_id") * 1024 / (emax + 1)).cast("long")
+    # per-application scratch dir: concurrent runs on the same sf
+    # (verify gate vs bench/scale_curve) must not overwrite each
+    # other's clustered copy mid-footer-read (r5 ADVICE)
     out = os.path.join(
-        tempfile.gettempdir(), "fqs_scratch", "zorder", os.path.basename(sf_dir)
+        tempfile.gettempdir(), "fqs_scratch",
+        f"zorder_{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir),
     )
     (
         t.events.select("event_id", "user_id", "event_type", "value")

@@ -202,16 +202,31 @@ def q_join_cross(spark, sf_dir):
     tags=("batch", "join"),
 )
 def q_join_theta(spark, sf_dir):
-    """C8: theta/non-equi join → BroadcastNestedLoopJoin. Tolerable only
-    because supplier is a broadcastable dim; for fact-fact inequality
-    joins, bin the predicate into ranges first (turns it into an equi join
-    on the bin key)."""
+    """C8: theta/non-equi join whose consumer is a per-row COUNT —
+    evaluated as a merge-count (operators/theta.py) instead of the
+    BroadcastNestedLoopJoin the naive form plans to (the r3-r5 waived
+    shape). ``count(c_acctbal < s_acctbal)`` is s_acctbal's position in
+    the sorted customer balances: union probes (weight 0) with values
+    (weight 1), distributed prefix-sum, read each probe's running
+    total. Linear in |supplier| + |customer|, one hash shuffle,
+    partitioned windows only — survives fact-sized BOTH sides, where
+    the BNLJ form needed a broadcastable dim. Inner-join semantics
+    (suppliers with zero poorer customers drop) via ``n > 0``.
+    Band predicates with pair-level output still route through
+    q_join_range_binned's binned equi-join."""
+    from flink_quickstart_spark.operators.theta import theta_count_below
+
     t = tables(spark, sf_dir)
-    return (
-        F.broadcast(t.supplier)
-        .join(t.customer, F.col("s_acctbal") > F.col("c_acctbal"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("n_poorer_customers"))
+    counted = theta_count_below(
+        t.supplier.select("s_suppkey", "s_name", "s_acctbal"),
+        t.customer.select("c_acctbal"),
+        "s_acctbal",
+        "c_acctbal",
+        out_col="n_poorer_customers",
+        strict=True,
+    )
+    return counted.where(F.col("n_poorer_customers") > 0).select(
+        "s_suppkey", "s_name", "n_poorer_customers"
     )
 
 

@@ -63,19 +63,19 @@ def register(
     return deco
 
 
-# Round-5 driver priority. The driver samples ~50 keys per round in
-# dict order, so queries() yields highest-evidence-value keys first.
+# Driver priority (r5, updated r6). The driver samples ~50 keys per
+# round in dict order, so queries() yields highest-evidence-value keys
+# first.
 #
-# As of round 5, every registered key is green in the repo's stricter
-# exact-value gate (VERIFY_r04: 236/236), but only 130 keys have EVER
-# appeared in a driver-side CORRECTNESS_r*.json row — the union over
-# rounds 1-4, frozen below. Verdict r4 ("What's wrong" #3) flags the
-# gap as the one evidence-provenance weakness, so the ordering rule is
-# now simply: never-driver-sampled keys first, NEWEST REGISTRATION
-# LAST-IN-FIRST-OUT within that tier (new keys have zero evidence of
-# any kind and judge attention lands on them; older unsampled keys
-# carry local-gate history), then the ever-sampled keys in
-# registration order. Two rounds of ~50-key samples cover the backlog.
+# Every registered key is green in the repo's stricter exact-value
+# gate; the frozen set below is the union of keys that have EVER
+# appeared in a driver-side CORRECTNESS_r*.json row (rounds 1-5 →
+# 180/238). Ordering rule: never-driver-sampled keys first — round-4/5
+# module additions ahead of the older backlog, REGISTRATION (FIFO)
+# order within each tier (r5 ADVICE: the old comment claimed LIFO; the
+# code always did FIFO and tier 0 fits one sample anyway) — then the
+# ever-sampled keys in registration order. The r6 sample drains the
+# 58-key backlog to ~230/238.
 _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
     {
         "q_agg_approx_percentile", "q_agg_approxcd", "q_agg_bool",
@@ -119,7 +119,28 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         "q_wf_distribution", "q_wf_firstlast", "q_wf_laglead",
         "q_wf_nth", "q_wf_rangeframe", "q_wf_rank", "q_wf_running",
         "q_wf_trailing_7d", "q_window_session", "q_window_sliding",
-        "q_window_tumbling"
+        "q_window_tumbling",
+        # round-5 driver sample (CORRECTNESS_r05.json, 50 keys, all
+        # first-time green) — frozen r6; cumulative coverage 180/238
+        "q_ab_cuped", "q_ab_welch_ttest", "q_agg_argminmax",
+        "q_agg_bitops", "q_agg_cohort_ltv", "q_agg_entropy",
+        "q_agg_hll_rollup", "q_agg_moments", "q_agg_pareto",
+        "q_agg_quantile_rollup", "q_agg_regression", "q_agg_rfm",
+        "q_agg_skew_audit", "q_dq_benford", "q_dq_constraints",
+        "q_dq_referential_integrity", "q_embed_centroid",
+        "q_embed_covariance", "q_embed_norm", "q_embed_pca_project",
+        "q_embed_quantize_int8", "q_fn_bitwise",
+        "q_fn_datetime_extended", "q_fn_string_extended", "q_fn_trig",
+        "q_fn_try_safe", "q_fn_url", "q_graph_common_neighbors",
+        "q_graph_degree_stats", "q_graph_triangles",
+        "q_join_asof_nearest", "q_join_asof_tolerance",
+        "q_join_nullsafe", "q_join_pit_features", "q_join_skew_salted",
+        "q_llm_bm25", "q_llm_bpe_merges", "q_llm_chunk_stitch",
+        "q_llm_ingest_dedup", "q_llm_minhash_signatures",
+        "q_llm_span_mask", "q_llm_xent_unigram", "q_maintenance_zorder",
+        "q_multimodal_dhash", "q_multimodal_ppm_stats",
+        "q_multimodal_video_frames", "q_multimodal_wav_stats",
+        "q_sql_grouping_id", "q_text_rrf_fusion", "q_udf_sql_registered",
     }
 )
 

@@ -35,6 +35,8 @@ def _full_rounds():
     rounds = {}
     for path in sorted(glob.glob(str(REPO / "VERIFY_r*.json"))):
         m = re.search(r"VERIFY_r(\d+)\.json$", path)
+        if not m:  # e.g. VERIFY_rX.json — skip, mirroring tools/bench_trend.py
+            continue
         data = json.loads(Path(path).read_text())
         secs = {
             k: v["secs"]

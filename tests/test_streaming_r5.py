@@ -110,8 +110,10 @@ def test_stream_rate_anomaly_equivalence(spark):
     batch = _batch(spark, "q_window_rate_anomaly")
     assert _rows(composed.select(batch.columns)) == _rows(batch)
     # the anomaly set must be non-trivial for the equivalence to mean
-    # anything (guard against a vacuously-empty comparison)
-    assert batch.count() > 0 or composed.count() == 0
+    # anything — sf0.1 events DO contain >3σ hourly spikes, so an empty
+    # batch side means the query (not the data) went vacuous (r5 ADVICE:
+    # the old `or composed.count() == 0` form was tautological)
+    assert batch.count() > 0
 
 
 def test_stream_funnel_equivalence(spark):

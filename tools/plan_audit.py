@@ -38,11 +38,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 # key -> (pattern, reason) waivers for DOCUMENTED trade-offs.
 ALLOWED = {
-    "q_join_theta": (
-        "BroadcastNestedLoopJoin",
-        "dim-side-only theta join; scale path is q_join_range_binned "
-        "(plans/joins.py docstring)",
-    ),
     "q_join_cross": (
         "CartesianProduct|BroadcastNestedLoopJoin",
         "explicit dim×dim cross join (C7) — bounded by dim sizes",
