@@ -27,6 +27,11 @@ def load_all() -> None:
         timeseries,
         window_functions,
     )
+    # r6+ modules import LAST so their keys REGISTER last: the driver
+    # sample order (registry._driver_order) walks never-sampled keys in
+    # registration order, and the round-5/6 plan is to drain the old
+    # backlog before fresh keys join the queue.
+    from flink_quickstart_spark.plans import analytics_r6  # noqa: F401
 
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql", "load_all"]

@@ -51,6 +51,11 @@ ALLOWED = {
         "1-row scalar broadcasts (corpus size, avgdl) — a single-row BNLJ "
         "is a linear per-partition column concat, not a quadratic probe",
     ),
+    "q_join_theta_pctile": (
+        "BroadcastNestedLoopJoin",
+        "1-row scalar broadcast (customer count) normalizing the "
+        "merge-count percentile — single-row BNLJ, not a quadratic probe",
+    ),
     "q_llm_xent_unigram": (
         "BroadcastNestedLoopJoin",
         "corpus-total scalar folded into the vocab side (1-row × vocab); "
