@@ -177,22 +177,27 @@ def global_running_sum(
     every stage is parallel across ``buckets`` tasks.
 
     ``order_by`` must be a unique total ordering (include a tiebreak key)
-    so the prefix sum is well-defined row-by-row.
+    so the prefix sum is well-defined row-by-row. Integer value columns
+    prefix-sum in long arithmetic (exact); float columns in double —
+    bucket offsets then carry the usual summation-order caveat, so
+    consumers round their outputs like every other double aggregate.
     """
     asc = _is_ascending(order_by[0])
     bucketed = df.withColumn(_GB, _bucket_expr(df, bucket_col, asc, buckets))
 
+    is_float = dict(df.dtypes).get(value_col) in ("double", "float")
     sums = {
         r[_GB]: r["s"]
         for r in bucketed.groupBy(_GB).agg(F.sum(value_col).alias("s")).collect()
     }
-    total, offsets = 0, []
+    total, offsets = 0.0 if is_float else 0, []
     for bid in sorted(sums):
         offsets.append((bid, total))
         total += sums[bid] or 0
 
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, f"{_GB} int, {_OFF} long")
+    off_type = "double" if is_float else "long"
+    off_df = spark.createDataFrame(offsets, f"{_GB} int, {_OFF} {off_type}")
 
     w = (
         Window.partitionBy(_GB)
@@ -201,7 +206,10 @@ def global_running_sum(
     )
     return (
         bucketed.join(F.broadcast(off_df), _GB)
-        .withColumn(out_col, (F.col(_OFF) + F.sum(value_col).over(w)).cast("long"))
+        .withColumn(
+            out_col,
+            (F.col(_OFF) + F.sum(value_col).over(w)).cast(off_type),
+        )
         .drop(_GB, _OFF)
     )
 

@@ -54,3 +54,53 @@ def q_join_theta_pctile(spark, sf_dir):
             F.col("_n_below").cast("double") / F.col("_n_cust"), 6
         ).alias("pctile"),
     )
+
+
+@register(
+    "q_join_theta_sum",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_poorer,
+           round(sum(c_acctbal), 2) AS sum_poorer
+    FROM supplier JOIN customer ON s_acctbal > c_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("batch", "join", "theta"),
+)
+def q_join_theta_sum(spark, sf_dir):
+    """C8-ext: theta SUM join — total balance held by the customers
+    strictly poorer than each supplier, plus their count. Two passes of
+    the merge-count/merge-sum machinery (operators/theta.py), chained:
+    the count output is the sum pass's probe payload, so the whole
+    thing is two hash shuffles and zero pair materialization (the
+    oracle's JOIN would build |pairs| rows first). Inner-join semantics
+    via ``n_poorer > 0`` — the count, not the sum, carries the
+    existence test (a poorer-customer balance sum could legitimately be
+    0.00 with negative balances in range). Double prefix-sums round to
+    2 like every float aggregate (summation-order convention)."""
+    from flink_quickstart_spark.operators.theta import (
+        theta_count_below,
+        theta_sum_below,
+    )
+
+    t = tables(spark, sf_dir)
+    counted = theta_count_below(
+        t.supplier.select("s_suppkey", "s_name", "s_acctbal"),
+        t.customer.select("c_acctbal"),
+        "s_acctbal",
+        "c_acctbal",
+        out_col="n_poorer",
+    )
+    summed = theta_sum_below(
+        counted,
+        t.customer.select("c_acctbal"),
+        "s_acctbal",
+        "c_acctbal",
+        out_col="_sum_below",
+    )
+    return summed.where(F.col("n_poorer") > 0).select(
+        "s_suppkey",
+        "s_name",
+        "n_poorer",
+        F.round(F.col("_sum_below"), 2).alias("sum_poorer"),
+    )

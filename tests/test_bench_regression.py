@@ -28,7 +28,15 @@ REGRESSION_MAX = 3.0
 MIN_LATEST_SEC = 1.0
 
 # key -> reason, for deliberate cost increases
-WAIVED: dict[str, str] = {}
+WAIVED: dict[str, str] = {
+    "q_join_theta": (
+        "r6 rewrite: BroadcastNestedLoopJoin (quadratic, toy-fast at "
+        "sf0.01) replaced by the merge-count prefix-sum "
+        "(operators/theta.py) — pays a quantile probe + two shuffles at "
+        "gate scale, linear instead of O(|L|*|R|) at 100 TB; sf1 probe "
+        "in SCALE_CURVE_r6.json certifies the scaling"
+    ),
+}
 
 
 def _full_rounds():

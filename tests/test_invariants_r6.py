@@ -80,6 +80,31 @@ def test_theta_count_below_ties_strictness_nulls(spark):
     assert loose == {1: 3, 2: 4, 3: 0}
 
 
+def test_theta_sum_below_matches_count_semantics(spark):
+    """Merge-sum mirrors merge-count on the same micro-table: the sum of
+    values strictly below each probe, null weights contributing 0."""
+    from flink_quickstart_spark.operators.theta import theta_sum_below
+
+    probes = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 1.0)], "pid long, pv double"
+    )
+    values = spark.createDataFrame(
+        [(5.0,), (5.0,), (3.0,), (7.0,), (None,)], "vv double"
+    )
+    got = {
+        r.pid: r.sum_below
+        for r in theta_sum_below(probes, values, "pv", "vv").collect()
+    }
+    assert got == {1: 3.0, 2: 13.0, 3: 0.0}
+    loose = {
+        r.pid: r.sum_below
+        for r in theta_sum_below(
+            probes, values, "pv", "vv", strict=False
+        ).collect()
+    }
+    assert loose == {1: 13.0, 2: 20.0, 3: 0.0}
+
+
 @pytest.mark.parametrize("sf_dir", SCALE_DIRS)
 def test_ivf_recall_floor_holds_as_index_grows(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -48,6 +48,8 @@ DEFAULT_KEYS = [
     "q_llm_source_overlap", "q_llm_dedup_cascade", "q_llm_decontaminate",
     "q_graph_triangles", "q_multimodal_ppm_stats", "q_multimodal_wav_stats",
     "q_multimodal_video_frames", "q_multimodal_dhash",
+    # r6 theta family (merge-count/merge-sum prefix-sum rewrites)
+    "q_join_theta", "q_join_theta_pctile", "q_join_theta_sum",
 ]
 
 
