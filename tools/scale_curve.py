@@ -8,8 +8,21 @@ builds, parquet footer reads) deflate the ratio well below 10, so the
 interesting signal is any key ABOVE it. Superlinear keys get fixed and
 re-probed (VERDICT r4 item #1; the wedge-rule episode is the precedent).
 
-Run: ``python tools/scale_curve.py [--keys k1,k2] [--json PATH]``
+Run: ``python tools/scale_curve.py [--keys k1,k2] [--json PATH] [--fit]``
 Writes per-key {sf0.1 sec, sf1 sec, ratio} and flags ratio > threshold.
+
+``--fit`` adds a THIRD measurement point (sf0.01) and the
+ratio-of-ratios detector for overhead-masked superlinearity — the class
+the single ratio threshold provably cannot catch (judge caveat, r5):
+for ANY cost law t = a + b·n^e with e ≤ 1, the acceleration
+accel = r12/r01 (where r01 = t(sf0.1)/t(sf0.01), r12 = t(sf1)/t(sf0.1))
+is bounded: at e = 1 it is [(x+100)(x+1)]/(x+10)² over overhead share
+x = a/(b·n₀), maximized at x = 10 giving 3.03; sublinear laws bound
+lower. So accel > ACCEL_MAX (3.5, noise headroom over 3.03) certifies
+an asymptotically superlinear term EVEN when every pairwise ratio looks
+tame — exactly the overhead-masked quadratic signature (a fully
+amortized quadratic instead shows r12 ≈ 100 and trips the plain ratio
+threshold; the two detectors are complementary).
 """
 
 from __future__ import annotations
@@ -27,10 +40,22 @@ from flink_quickstart_spark import get_spark
 from flink_quickstart_spark.plans import load_all, registry
 from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
 
+SF_TINY = "/root/testdata/sf0.01"
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = str(REPO / ".scale" / "sf1")
 GROWTH = 10.0
 LINEAR_SLACK = 1.5  # ratio must be <= GROWTH * slack
+ACCEL_MAX = 3.5  # r12/r01 bound for any t = a + b*n^e, e <= 1 (3.03) + noise
+
+# key -> reason: superlinear by DESIGN, with a documented scale contract
+# (recorded as superlinear_documented; does not fail the probe)
+DOCUMENTED_SUPERLINEAR = {
+    "q_llm_knn": (
+        "brute-force kNN is inherently quadratic in pairs; the scale "
+        "contract is the fail-fast broadcast budget guard "
+        "(operators/similarity.py) + the IVF/LSH tiers, not the ratio"
+    ),
+}
 
 # headline bench set + the heaviest verify keys (VERIFY_r04 timings) +
 # the iterative/graph tier (loop cost is where superlinear hides)
@@ -68,6 +93,11 @@ def main() -> int:
     ap.add_argument("--keys", default=None)
     ap.add_argument("--json", default=None)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--fit", action="store_true",
+        help="3-point mode: also measure sf0.01 and flag accelerating "
+        "ratio-of-ratios (overhead-masked superlinearity)",
+    )
     args = ap.parse_args()
 
     load_all()
@@ -117,14 +147,42 @@ def main() -> int:
             continue
         ratio = t_big / t_small if t_small > 0 else float("inf")
         flag = ratio > GROWTH * LINEAR_SLACK
-        n_flag += flag
-        results[key] = {
+        rec = {
             "status": "superlinear" if flag else "ok",
             "sf0.1_sec": round(t_small, 3),
             "sf1_sec": round(t_big, 3),
             "ratio": round(ratio, 2),
         }
         marker = " <-- SUPERLINEAR" if flag else ""
+        if args.fit:
+            try:
+                t_tiny = best_of(b, spark, SF_TINY, args.runs)
+            except Exception as e:  # noqa: BLE001
+                rec["fit"] = {"err": str(e)[:200]}
+                t_tiny = None
+            if t_tiny:
+                r01 = t_small / t_tiny
+                r12 = t_big / t_small
+                accel = r12 / r01 if r01 > 0 else float("inf")
+                accelerating = accel > ACCEL_MAX
+                flag = flag or accelerating
+                rec["fit"] = {
+                    "sf0.01_sec": round(t_tiny, 3),
+                    "r01": round(r01, 2),
+                    "r12": round(r12, 2),
+                    "accel": round(accel, 2),
+                    "accelerating": accelerating,
+                }
+                if accelerating:
+                    rec["status"] = "superlinear"
+                    marker = f" <-- ACCELERATING (accel {accel:.1f})"
+        if flag and key in DOCUMENTED_SUPERLINEAR:
+            rec["status"] = "superlinear_documented"
+            rec["waiver"] = DOCUMENTED_SUPERLINEAR[key]
+            marker += " [documented]"
+            flag = False
+        n_flag += flag
+        results[key] = rec
         print(f"{key}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x{marker}")
 
     print(f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed (threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x data) ==")
