@@ -65,8 +65,10 @@ def _bipartite_edges(spark, sf_dir):
 )
 def q_graph_components(spark, sf_dir):
     """Connected components by min-label propagation: component sizes.
-    Lineage checkpointed every 5 iterations; converges in O(diameter)
-    steps (hub suppliers keep it small here)."""
+    Edge table materialized once, labels lineage-truncated every
+    iteration (r6 — the per-iteration convergence count otherwise
+    recomputes the fact-fact edge join each step); converges in
+    O(diameter) steps (hub suppliers keep it small here)."""
     labels = connected_components(_bipartite_edges(spark, sf_dir), max_iter=20)
     return (
         labels.groupBy("component")
