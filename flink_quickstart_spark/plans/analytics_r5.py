@@ -23,13 +23,12 @@ from flink_quickstart_spark.plans.registry import register, tables
 _N_MERGES = 16
 
 
-def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
-    """Unrolled BPE training in SQL: each step's top pair and merged
-    word table are chained MATERIALIZED CTEs (DuckDB would otherwise
-    inline the chain and the plan grows exponentially — the PageRank
-    oracle lesson, plans/graph.py). The greedy merge is a literal
-    ``replace`` over the ``(sym)(sym)`` wrapped form — byte-identical
-    semantics to the Spark side (operators/bpe.py docstring)."""
+def _bpe_training_ctes(n_merges: int = _N_MERGES) -> tuple[str, list[str]]:
+    """Shared CTE body for the unrolled BPE training chain — used by
+    the training oracle here and the tokenizer-application oracle in
+    plans/analytics_r6.py. Returns (with_body, per-step top selects);
+    the final merged vocabulary table is ``w{n_merges}`` and each
+    step's winning pair is the 1-row ``p{k}``."""
     steps, tops = [], []
     for k in range(1, n_merges + 1):
         prev = f"w{k - 1}"
@@ -52,8 +51,7 @@ def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
         tops.append(
             f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM p{k}"
         )
-    return f"""
-    WITH
+    body = f"""
     vocab AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -64,7 +62,21 @@ def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
     w0 AS MATERIALIZED (
       SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM vocab
     ),
-    {",".join(steps)}
+    {",".join(steps)}"""
+    return body, tops
+
+
+def _bpe_oracle(n_merges: int = _N_MERGES) -> str:
+    """Unrolled BPE training in SQL: each step's top pair and merged
+    word table are chained MATERIALIZED CTEs (DuckDB would otherwise
+    inline the chain and the plan grows exponentially — the PageRank
+    oracle lesson, plans/graph.py). The greedy merge is a literal
+    ``replace`` over the ``(sym)(sym)`` wrapped form — byte-identical
+    semantics to the Spark side (operators/bpe.py docstring)."""
+    body, tops = _bpe_training_ctes(n_merges)
+    return f"""
+    WITH
+    {body}
     SELECT CAST(step AS INT) AS step, lhs, rhs, merged, pair_count
     FROM ({" UNION ALL ".join(tops)})
     """

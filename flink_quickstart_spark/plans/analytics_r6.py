@@ -1,15 +1,23 @@
-"""Round-6 additions: the order-theta aggregate family.
+"""Round-6 additions: the order-theta aggregate family and BPE
+tokenizer APPLICATION.
 
 `operators/theta.py` (new this round) evaluates inequality-join COUNT
 consumers as a merge-count over the distributed prefix-sum — this
 module registers the keys that exercise it beyond `q_join_theta`'s
-rewrite.
+rewrite. `q_llm_bpe_encode` closes the tokenizer loop opened by round
+5's merge TRAINING (K24): the learned merge table is replayed over the
+corpus and per-document token counts come out — the step every LLM
+data pipeline runs after vocabulary induction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_quickstart_spark.plans.analytics_r5 import (
+    _N_MERGES,
+    _bpe_training_ctes,
+)
 from flink_quickstart_spark.plans.registry import register, tables
 
 
@@ -103,4 +111,108 @@ def q_join_theta_sum(spark, sf_dir):
         "s_name",
         "n_poorer",
         F.round(F.col("_sum_below"), 2).alias("sum_poorer"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = _N_MERGES) -> str:
+    """Tokenizer application as SQL: the shared unrolled training chain
+    (plans/analytics_r5._bpe_training_ctes) learns the merge table,
+    then the per-document word list is wrapped and run through the same
+    16 literal replaces IN MERGE ORDER — each application step a
+    MATERIALIZED CTE pulling its pair from the 1-row ``p{k}``. Token
+    count per word = symbols remaining after the replay."""
+    body, _tops = _bpe_training_ctes(n_merges)
+    apply_steps = []
+    for k in range(1, n_merges + 1):
+        prev = f"e{k - 1}"
+        apply_steps.append(f"""
+    e{k} AS MATERIALIZED (
+      SELECT doc_id, n_letters,
+             replace(s, (SELECT '(' || lhs || ')(' || rhs || ')' FROM p{k}),
+                     (SELECT '(' || lhs || rhs || ')' FROM p{k})) AS s
+      FROM {prev}
+    )""")
+    return f"""
+    WITH
+    {body},
+    dw AS MATERIALIZED (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      WHERE length(word) >= 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT doc_id, length(word) AS n_letters,
+             regexp_replace(word, '(.)', '(\\1)', 'g') AS s
+      FROM dw
+    ),
+    {",".join(apply_steps)}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(substring(s, 2, length(s) - 2),
+                                     ')('))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_letters) AS BIGINT) AS n_letters
+    FROM e{n_merges}
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "q_llm_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("batch", "llm", "text", "iterative"),
+)
+def q_llm_bpe_encode(spark, sf_dir):
+    """K25: BPE tokenizer APPLICATION — replay the 16 merges learned by
+    K24's training loop over the corpus and report per-document
+    (word count, post-merge token count, letter count). The token/letter
+    gap is the compression the learned vocabulary buys.
+
+    Scale shape: training runs on the vocabulary-sized word-frequency
+    table (operators/bpe.py — corpus read once); the learned merge
+    table is an O(n_merges) driver pull (16 rows — the merge table is
+    driver-sized BY DEFINITION, it ships to every tokenizer worker as
+    literals) unrolled into a chain of 16 ``F.replace`` column
+    expressions, so the encode pass is a single explode + pure-map +
+    hash-agg pipeline over the corpus: one shuffle (doc_id), zero
+    Python, whole-stage codegen end to end."""
+    from flink_quickstart_spark.operators.bpe import learn_bpe_merges
+
+    t = tables(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded O(n_merges) pull: the merge table becomes replace literals
+    # (plan-audit waiver; same concession as the training loop's top-1)
+    merges = sorted(
+        learn_bpe_merges(spark, words, _N_MERGES).collect(),
+        key=lambda r: r["step"],
+    )
+
+    doc_words = t.documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).where(F.length("word") >= 2)
+    s = F.regexp_replace("word", "(.)", r"($1)")
+    for m in merges:
+        s = F.replace(
+            s, F.lit(f"({m['lhs']})({m['rhs']})"), F.lit(f"({m['lhs']}{m['rhs']})")
+        )
+    toks = F.size(
+        F.split(F.expr("substring(_s, 2, length(_s) - 2)"), r"\)\(")
+    )
+    return (
+        doc_words.withColumn("_s", s)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(toks).alias("n_tokens"),
+            F.sum(F.length("word")).alias("n_letters"),
+        )
     )

@@ -80,6 +80,45 @@ def test_theta_count_below_ties_strictness_nulls(spark):
     assert loose == {1: 3, 2: 4, 3: 0}
 
 
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_theta_below_matches_bruteforce_on_random_tables(spark, seed):
+    """Randomized cross-check: merge-count/merge-sum vs the O(n²)
+    pairwise reference, including duplicated values and probe-value
+    collisions (rng draws from a small lattice so ties are frequent)."""
+    import random
+
+    from flink_quickstart_spark.operators.theta import (
+        theta_count_below,
+        theta_sum_below,
+    )
+
+    rng = random.Random(seed)
+    pvals = [rng.randrange(0, 20) / 2.0 for _ in range(40)]
+    vvals = [rng.randrange(0, 20) / 2.0 for _ in range(60)]
+    probes = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pvals)], "pid long, pv double"
+    )
+    values = spark.createDataFrame([(v,) for v in vvals], "vv double")
+
+    for strict in (True, False):
+        got_n = {
+            r.pid: r.n_below
+            for r in theta_count_below(
+                probes, values, "pv", "vv", strict=strict
+            ).collect()
+        }
+        got_s = {
+            r.pid: r.sum_below
+            for r in theta_sum_below(
+                probes, values, "pv", "vv", strict=strict
+            ).collect()
+        }
+        for i, p in enumerate(pvals):
+            below = [v for v in vvals if (v < p if strict else v <= p)]
+            assert got_n[i] == len(below), (seed, strict, i)
+            assert abs(got_s[i] - sum(below)) < 1e-9, (seed, strict, i)
+
+
 def test_theta_sum_below_matches_count_semantics(spark):
     """Merge-sum mirrors merge-count on the same micro-table: the sum of
     values strictly below each probe, null weights contributing 0."""

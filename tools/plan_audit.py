@@ -208,6 +208,11 @@ MATERIALIZE_ALLOWED = {
         "bounded centroid-training sample (limit(sample_rows), default "
         "4096 rows) — k-means training set, not the corpus"
     ),
+    "plans/analytics_r6.py:q_llm_bpe_encode:collect": (
+        "O(n_merges) pull of the learned merge table (16 rows) — the "
+        "merge table is driver-sized by definition; it unrolls into "
+        "literal replace expressions for the codegen encode pass"
+    ),
     "operators/bpe.py:learn_bpe_merges:first": (
         "1-row top-pair pull per BPE merge iteration over the "
         "vocabulary-sized pair aggregate — the chosen pair becomes a "
