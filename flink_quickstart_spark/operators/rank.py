@@ -182,36 +182,65 @@ def global_running_sum(
     bucket offsets then carry the usual summation-order caveat, so
     consumers round their outputs like every other double aggregate.
     """
+    return global_running_sums(
+        df, [value_col], order_by, bucket_col, [out_col], buckets
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    value_cols: list[str],
+    order_by: list[Column],
+    bucket_col: str,
+    out_cols: list[str],
+    buckets: int = 64,
+) -> DataFrame:
+    """N-column variant of :func:`global_running_sum`: one bucket pass,
+    one per-bucket aggregate (N sums in the same tiny job), ONE
+    partitioned window evaluating all N running sums — callers needing
+    several prefix statistics over the same ordering (e.g. the theta
+    count+sum join) pay a single shuffle instead of one per statistic.
+    """
+    assert len(value_cols) == len(out_cols) and value_cols
     asc = _is_ascending(order_by[0])
     bucketed = df.withColumn(_GB, _bucket_expr(df, bucket_col, asc, buckets))
 
-    is_float = dict(df.dtypes).get(value_col) in ("double", "float")
-    sums = {
-        r[_GB]: r["s"]
-        for r in bucketed.groupBy(_GB).agg(F.sum(value_col).alias("s")).collect()
-    }
-    total, offsets = 0.0 if is_float else 0, []
+    dtypes = dict(df.dtypes)
+    kinds = [
+        "double" if dtypes.get(c) in ("double", "float") else "long"
+        for c in value_cols
+    ]
+    rows = (
+        bucketed.groupBy(_GB)
+        .agg(*[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)])
+        .collect()
+    )
+    sums = {r[_GB]: [r[f"s{i}"] for i in range(len(value_cols))] for r in rows}
+    totals = [0.0 if k == "double" else 0 for k in kinds]
+    offsets = []
     for bid in sorted(sums):
-        offsets.append((bid, total))
-        total += sums[bid] or 0
+        offsets.append((bid, *totals))
+        totals = [
+            t + (s or 0) for t, s in zip(totals, sums[bid])
+        ]
 
     spark = df.sparkSession
-    off_type = "double" if is_float else "long"
-    off_df = spark.createDataFrame(offsets, f"{_GB} int, {_OFF} {off_type}")
+    off_fields = ", ".join(
+        f"{_OFF}{i} {k}" for i, k in enumerate(kinds)
+    )
+    off_df = spark.createDataFrame(offsets, f"{_GB} int, {off_fields}")
 
     w = (
         Window.partitionBy(_GB)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        bucketed.join(F.broadcast(off_df), _GB)
-        .withColumn(
-            out_col,
-            (F.col(_OFF) + F.sum(value_col).over(w)).cast(off_type),
+    out = bucketed.join(F.broadcast(off_df), _GB)
+    for i, (c, o, k) in enumerate(zip(value_cols, out_cols, kinds)):
+        out = out.withColumn(
+            o, (F.col(f"{_OFF}{i}") + F.sum(c).over(w)).cast(k)
         )
-        .drop(_GB, _OFF)
-    )
+    return out.drop(_GB, *[f"{_OFF}{i}" for i in range(len(value_cols))])
 
 
 def _is_ascending(col: Column) -> bool:

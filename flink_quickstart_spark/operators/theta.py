@@ -35,13 +35,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .rank import global_running_sum
+from .rank import global_running_sum, global_running_sums
 
 _V = "_theta_v"
 _W = "_theta_w"
+_W2 = "_theta_w2"
 _SIDE = "_theta_side"
 _PROBE = "_theta_probe"
 _NB = "_theta_nb"
+_NB2 = "_theta_nb2"
 
 
 def _running_below(
@@ -159,4 +161,67 @@ def theta_sum_below(
     return (
         running.withColumn(out_col, F.col(_NB).cast("double"))
         .drop(_V, _W, _SIDE, _PROBE, _NB)
+    )
+
+
+def theta_below_stats(
+    probes: DataFrame,
+    values: DataFrame,
+    probe_col: str,
+    value_col: str,
+    sum_col: str | None = None,
+    count_col: str = "n_below",
+    out_sum_col: str = "sum_below",
+    strict: bool = True,
+    buckets: int = 64,
+) -> DataFrame:
+    """COUNT and SUM below each probe in ONE pass: a single union /
+    bucket assignment / partitioned window evaluates both running
+    statistics (rank.global_running_sums), so consumers needing both —
+    the `q_join_theta_sum` shape, or any avg-below — pay one shuffle
+    instead of two full passes."""
+    probe_side = 0 if strict else 1
+    wc = sum_col or value_col
+    payload = list(probes.columns)
+    payload_types = dict(probes.dtypes)
+    # identical union-side schemas, no filter below the window — see
+    # _running_below for the Catalyst constraint-rewrite rationale
+    p = probes.select(
+        *payload,
+        F.col(probe_col).cast("double").alias(_V),
+        F.lit(0).cast("long").alias(_W),
+        F.lit(0.0).alias(_W2),
+        F.lit(probe_side).alias(_SIDE),
+        F.lit(True).alias(_PROBE),
+    )
+    v = values.select(
+        *[F.lit(None).cast(payload_types[c]).alias(c) for c in payload],
+        F.col(value_col).cast("double").alias(_V),
+        F.when(F.col(value_col).isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias(_W),
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.coalesce(F.col(wc), F.lit(0)),
+        )
+        .otherwise(0)
+        .cast("double")
+        .alias(_W2),
+        F.lit(1 - probe_side).alias(_SIDE),
+        F.lit(False).alias(_PROBE),
+    )
+    running = global_running_sums(
+        p.unionByName(v),
+        [_W, _W2],
+        order_by=[F.col(_V).asc(), F.col(_SIDE).asc()],
+        bucket_col=_V,
+        out_cols=[_NB, _NB2],
+        buckets=buckets,
+    )
+    return (
+        running.where(F.col(_PROBE) & F.col(_V).isNotNull())
+        .withColumn(count_col, F.col(_NB).cast("long"))
+        .withColumn(out_sum_col, F.col(_NB2).cast("double"))
+        .drop(_V, _W, _W2, _SIDE, _PROBE, _NB, _NB2)
     )

@@ -77,36 +77,28 @@ def q_join_theta_pctile(spark, sf_dir):
 )
 def q_join_theta_sum(spark, sf_dir):
     """C8-ext: theta SUM join — total balance held by the customers
-    strictly poorer than each supplier, plus their count. Two passes of
-    the merge-count/merge-sum machinery (operators/theta.py), chained:
-    the count output is the sum pass's probe payload, so the whole
-    thing is two hash shuffles and zero pair materialization (the
-    oracle's JOIN would build |pairs| rows first). Inner-join semantics
-    via ``n_poorer > 0`` — the count, not the sum, carries the
-    existence test (a poorer-customer balance sum could legitimately be
-    0.00 with negative balances in range). Double prefix-sums round to
-    2 like every float aggregate (summation-order convention)."""
-    from flink_quickstart_spark.operators.theta import (
-        theta_count_below,
-        theta_sum_below,
-    )
+    strictly poorer than each supplier, plus their count. ONE pass of
+    the merge machinery (operators/theta.py theta_below_stats): a
+    single union / bucket assignment / partitioned window evaluates
+    BOTH running statistics, so the key is one hash shuffle and zero
+    pair materialization (the oracle's JOIN would build |pairs| rows
+    first). Inner-join semantics via ``n_poorer > 0`` — the count, not
+    the sum, carries the existence test (a poorer-customer balance sum
+    could legitimately be 0.00 with negative balances in range).
+    Double prefix-sums round to 2 like every float aggregate
+    (summation-order convention)."""
+    from flink_quickstart_spark.operators.theta import theta_below_stats
 
     t = tables(spark, sf_dir)
-    counted = theta_count_below(
+    stats = theta_below_stats(
         t.supplier.select("s_suppkey", "s_name", "s_acctbal"),
         t.customer.select("c_acctbal"),
         "s_acctbal",
         "c_acctbal",
-        out_col="n_poorer",
+        count_col="n_poorer",
+        out_sum_col="_sum_below",
     )
-    summed = theta_sum_below(
-        counted,
-        t.customer.select("c_acctbal"),
-        "s_acctbal",
-        "c_acctbal",
-        out_col="_sum_below",
-    )
-    return summed.where(F.col("n_poorer") > 0).select(
+    return stats.where(F.col("n_poorer") > 0).select(
         "s_suppkey",
         "s_name",
         "n_poorer",

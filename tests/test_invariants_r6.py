@@ -119,6 +119,43 @@ def test_theta_below_matches_bruteforce_on_random_tables(spark, seed):
             assert abs(got_s[i] - sum(below)) < 1e-9, (seed, strict, i)
 
 
+def test_theta_below_stats_single_pass_matches_two_pass(spark):
+    """The fused count+sum pass must agree column-for-column with the
+    two single-statistic operators on a tie-heavy table."""
+    import random
+
+    from flink_quickstart_spark.operators.theta import (
+        theta_below_stats,
+        theta_count_below,
+        theta_sum_below,
+    )
+
+    rng = random.Random(5)
+    probes = spark.createDataFrame(
+        [(i, rng.randrange(0, 12) / 2.0) for i in range(25)],
+        "pid long, pv double",
+    )
+    values = spark.createDataFrame(
+        [(rng.randrange(0, 12) / 2.0,) for _ in range(40)], "vv double"
+    )
+    fused = {
+        r.pid: (r.n_below, r.sum_below)
+        for r in theta_below_stats(probes, values, "pv", "vv").collect()
+    }
+    counts = {
+        r.pid: r.n_below
+        for r in theta_count_below(probes, values, "pv", "vv").collect()
+    }
+    sums = {
+        r.pid: r.sum_below
+        for r in theta_sum_below(probes, values, "pv", "vv").collect()
+    }
+    assert set(fused) == set(counts) == set(sums)
+    for pid, (n, s) in fused.items():
+        assert n == counts[pid]
+        assert abs(s - sums[pid]) < 1e-9
+
+
 def test_theta_sum_below_matches_count_semantics(spark):
     """Merge-sum mirrors merge-count on the same micro-table: the sum of
     values strictly below each probe, null weights contributing 0."""
