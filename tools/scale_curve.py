@@ -75,6 +75,8 @@ DEFAULT_KEYS = [
     "q_multimodal_video_frames", "q_multimodal_dhash",
     # r6 theta family (merge-count/merge-sum prefix-sum rewrites)
     "q_join_theta", "q_join_theta_pctile", "q_join_theta_sum",
+    # r6 tokenizer application (K25)
+    "q_llm_bpe_encode",
 ]
 
 
