@@ -192,9 +192,9 @@ MATERIALIZE_ALLOWED = {
         "O(buckets) per-bucket counts (≤ 64 rows) for the two-phase "
         "rank's offset vector — the documented driver-side concession"
     ),
-    "operators/rank.py:global_running_sum:collect": (
-        "O(buckets) per-bucket sums (≤ 64 rows) for the distributed "
-        "prefix-sum offsets"
+    "operators/rank.py:global_running_sums:collect": (
+        "O(buckets) per-bucket sums (≤ 64 rows, N columns in one job) "
+        "for the distributed prefix-sum offsets"
     ),
     "operators/similarity.py:_collect_corpus:first": (
         "1-row probe to learn the embedding dimension before the "
