@@ -16,6 +16,7 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from flink_quickstart_spark.operators.similarity import ivf_topk
 from flink_quickstart_spark.sources.tables import load_table
@@ -179,6 +180,57 @@ def test_theta_sum_below_matches_count_semantics(spark):
         ).collect()
     }
     assert loose == {1: 13.0, 2: 20.0, 3: 0.0}
+
+
+def test_bpe_encode_token_bounds_and_merge_monotonicity(spark):
+    """Data-independent invariants the SQL twin can't express: every
+    document's token count lies in [n_words, n_letters] (each word is
+    at least one symbol; merges only ever reduce symbols), and applying
+    MORE merges never increases the corpus token count."""
+    from flink_quickstart_spark.operators.bpe import learn_bpe_merges
+    from flink_quickstart_spark.plans import load_all
+    from flink_quickstart_spark.plans.registry import REGISTRY, tables
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["q_llm_bpe_encode"].builder(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_tokens <= r.n_letters, r
+
+    # monotonicity: re-encode with a PREFIX of the merge list
+    t = tables(spark, sf)
+    words = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = sorted(
+        learn_bpe_merges(spark, words, 16).collect(), key=lambda r: r["step"]
+    )
+
+    def corpus_tokens(n_apply: int) -> int:
+        dw = t.documents.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        ).where(F.length("word") >= 2)
+        s = F.regexp_replace("word", "(.)", r"($1)")
+        for m in merges[:n_apply]:
+            s = F.replace(
+                s,
+                F.lit(f"({m['lhs']})({m['rhs']})"),
+                F.lit(f"({m['lhs']}{m['rhs']})"),
+            )
+        toks = F.size(
+            F.split(F.expr("substring(_s, 2, length(_s) - 2)"), r"\)\(")
+        )
+        return dw.withColumn("_s", s).agg(F.sum(toks)).first()[0]
+
+    counts = [corpus_tokens(n) for n in (0, 4, 16)]
+    assert counts[0] >= counts[1] >= counts[2], counts
+    assert counts[0] > counts[2], "16 merges must compress the corpus"
 
 
 @pytest.mark.parametrize("sf_dir", SCALE_DIRS)

@@ -1,0 +1,99 @@
+"""Full-registry completion sweep at the staged 10× scale factor.
+
+The scaling-curve probe (tools/scale_curve.py) measures ratios for the
+heavy tier; this sweep answers a broader, binary question for EVERY
+registered key: does it COMPLETE at sf1 — no broadcast OOM, no analysis
+error, no budget surprise — and how long does it take once, warm-free.
+A key that only ever ran at gate scale can hide a scale-killer (the r5
+minhash broadcast was exactly that); a 241/241 completion record
+removes that blind spot for the whole surface.
+
+Classification mirrors the probe: the similarity module's fail-fast
+broadcast-budget ValueError is a DESIGNED refusal ("guarded"); any
+other exception is a failure and flips the exit code.
+
+Run: ``python tools/sweep_sf1.py [--json PATH] [--sf DIR]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.plans import load_all, registry
+from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
+
+SF_DEFAULT = str(REPO / ".scale" / "sf1")
+
+
+def classify_exception(e: Exception) -> str:
+    if isinstance(e, ValueError) and "broadcast budget" in str(e):
+        return "guarded"
+    return "error"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=SF_DEFAULT)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    load_all()
+    parts = shuffle_partitions_for_bytes(dir_bytes(args.sf))
+    spark = get_spark(app_name="sweep-sf1", shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    n_ok = n_guarded = n_err = 0
+    for key, spec in registry.REGISTRY.items():
+        t0 = time.time()
+        try:
+            rows = len(spec.builder(spark, args.sf).collect())
+        except Exception as e:  # noqa: BLE001
+            status = classify_exception(e)
+            if status == "guarded":
+                n_guarded += 1
+                print(f"GUARDED {key}: {str(e)[:120]}")
+            else:
+                n_err += 1
+                print(f"FAIL {key}: {type(e).__name__}: {str(e)[:160]}")
+            results[key] = {"status": status, "err": str(e)[:200]}
+            continue
+        secs = round(time.time() - t0, 2)
+        n_ok += 1
+        results[key] = {"status": "ok", "rows": rows, "secs": secs}
+        print(f"ok {key}: {rows} rows ({secs}s)")
+
+    print(
+        f"\n== sf1 sweep: {n_ok} ok, {n_guarded} guarded, {n_err} failed "
+        f"(of {len(results)} keys, sf={args.sf}) =="
+    )
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "n_ok": n_ok,
+                    "n_guarded": n_guarded,
+                    "n_err": n_err,
+                    "method": "single cold collect() per key, shuffle "
+                    "partitions sized for the sweep dir",
+                    "keys": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
