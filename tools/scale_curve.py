@@ -55,6 +55,14 @@ DOCUMENTED_SUPERLINEAR = {
         "contract is the fail-fast broadcast budget guard "
         "(operators/similarity.py) + the IVF/LSH tiers, not the ratio"
     ),
+    "q_text_fuzzy_match": (
+        "OUTPUT-bound: the matching-pair count itself grows "
+        "superlinearly in this name distribution (165× rows for 10× "
+        "data at sf1 — the fixed name-pattern space densifies); the "
+        "scan side is linear after the r6 deletion-neighborhood "
+        "blocking rewrite, and any exact algorithm's cost is "
+        "Ω(#matching pairs)"
+    ),
 }
 
 # headline bench set + the heaviest verify keys (VERIFY_r04 timings) +
@@ -77,6 +85,9 @@ DEFAULT_KEYS = [
     "q_join_theta", "q_join_theta_pctile", "q_join_theta_sum",
     # r6 tokenizer application (K25)
     "q_llm_bpe_encode",
+    # r6 deletion-neighborhood rewrite (old nation-block form was a
+    # disguised corpus-quadratic, caught by the sf1 sweep)
+    "q_text_fuzzy_match",
 ]
 
 

@@ -43,6 +43,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=SF_DEFAULT)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--keys", default=None,
+        help="comma-separated subset to re-sweep; with --json, existing "
+        "entries for other keys are preserved (spot re-measure)",
+    )
     args = ap.parse_args()
 
     load_all()
@@ -51,8 +56,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict] = {}
+    if args.keys and args.json and Path(args.json).exists():
+        results = json.loads(Path(args.json).read_text()).get("keys", {})
+    keys = args.keys.split(",") if args.keys else list(registry.REGISTRY)
     n_ok = n_guarded = n_err = 0
-    for key, spec in registry.REGISTRY.items():
+    for key in keys:
+        spec = registry.REGISTRY[key]
         t0 = time.time()
         try:
             rows = len(spec.builder(spark, args.sf).collect())
@@ -71,6 +80,11 @@ def main() -> int:
         results[key] = {"status": "ok", "rows": rows, "secs": secs}
         print(f"ok {key}: {rows} rows ({secs}s)")
 
+    # counts over the MERGED result set, so a --keys spot re-run reports
+    # (and records) totals for the whole file, not just the subset
+    n_ok = sum(v["status"] == "ok" for v in results.values())
+    n_guarded = sum(v["status"] == "guarded" for v in results.values())
+    n_err = sum(v["status"] == "error" for v in results.values())
     print(
         f"\n== sf1 sweep: {n_ok} ok, {n_guarded} guarded, {n_err} failed "
         f"(of {len(results)} keys, sf={args.sf}) =="
