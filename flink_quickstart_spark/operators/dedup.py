@@ -127,9 +127,10 @@ def minhash_lsh_pairs(
 
     Shingle → HashingTF (sparse binary vector) → MinHashLSH with a fixed
     seed → approxSimilarityJoin on Jaccard *distance*. Randomized by
-    design → declared rows-only in the oracle contract. This is the 100 TB
-    path: candidates come from band-bucket joins, never the full pair
-    matrix.
+    design → its registry key carries a CONTRACT oracle (LSH-generate +
+    exact-verify pair-recall predicate), not a value-identity one. This
+    is the 100 TB path: candidates come from band-bucket joins, never
+    the full pair matrix.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 

@@ -206,8 +206,20 @@ def global_running_sums(
     bucketed = df.withColumn(_GB, _bucket_expr(df, bucket_col, asc, buckets))
 
     dtypes = dict(df.dtypes)
+    _FLOAT = ("double", "float")
+    _INT = ("bigint", "int", "smallint", "tinyint", "boolean")
+    for c in value_cols:
+        if dtypes.get(c) not in _FLOAT + _INT:
+            raise ValueError(
+                f"global_running_sums: unsupported dtype "
+                f"{dtypes.get(c)!r} for value column {c!r} — prefix "
+                f"sums are defined for integral (exact long "
+                f"arithmetic) and float/double (double arithmetic) "
+                f"columns only; cast decimals/strings explicitly so "
+                f"the offset schema is chosen deliberately"
+            )
     kinds = [
-        "double" if dtypes.get(c) in ("double", "float") else "long"
+        "double" if dtypes.get(c) in _FLOAT else "long"
         for c in value_cols
     ]
     rows = (

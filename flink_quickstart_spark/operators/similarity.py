@@ -193,8 +193,9 @@ def ivf_topk(
        candidates (≤ n_probe·k rows per query reach the final window).
 
     Approximate (recall < 1 when the true neighbor lives outside probed
-    clusters) → rows-only in the oracle contract; recall vs brute force
-    is asserted in tests.
+    clusters) → its registry key carries a recall-CONTRACT oracle
+    (recall@3 ≥ 0.5 vs the exact answer, evaluated in SQL); recall vs
+    brute force is additionally asserted in tests.
     """
     spark = df.sparkSession
     sample = df.select(id_col, vec_col).limit(sample_rows).toPandas()
@@ -450,9 +451,10 @@ def lsh_ann_buckets(
     """ANN candidate pairs via random-projection LSH (pyspark.ml).
 
     Returns (d1, d2, dist) for pairs within ``threshold`` euclidean
-    distance among bucket-colliding candidates. Randomized → rows-only in
-    the oracle contract; the recall/cost trade is tuned by
-    (bucket_length, num_tables).
+    distance among bucket-colliding candidates. Randomized → its
+    registry key carries a pair-recall CONTRACT oracle (≥ 0.85 of the
+    exact close pairs must be found, evaluated in SQL); the recall/cost
+    trade is tuned by (bucket_length, num_tables).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector

@@ -29,6 +29,7 @@ from flink_quickstart_spark.plans.registry import register, tables
                        WHERE c.c_acctbal < s.s_acctbal) AS DOUBLE)
                  / (SELECT count(*) FROM customer), 6) AS pctile
     FROM supplier s
+    WHERE s_acctbal IS NOT NULL
     """,
     tags=("batch", "join", "theta"),
 )
@@ -43,7 +44,10 @@ def q_join_theta_pctile(spark, sf_dir):
     scalar (broadcast; the waived single-row BNLJ pattern). Unlike
     `q_join_theta`, zero-count suppliers stay (left-style semantics:
     percentile 0.0), so the key also pins the operator's behavior for
-    probes below every value."""
+    probes below every value. NULL-probe rows are dropped on BOTH
+    sides by construction (theta_count_below discards null probes; the
+    oracle filters ``s_acctbal IS NOT NULL``) — a NULL balance has no
+    position in the order, so no percentile."""
     from flink_quickstart_spark.operators.theta import theta_count_below
 
     t = tables(spark, sf_dir)

@@ -6,12 +6,12 @@ components and PageRank. Both run here as driver-side loops over
 DataFrame steps (operators/iterative.py) on a deterministic
 customer–supplier bipartite graph derived from orders⋈lineitem.
 
-Iteration cannot be expressed in a single ANSI query (recursive CTEs
-over 10⁴+-edge graphs blow up as transitive closure), so both keys are
-declared rows-only — the driver contract's sanctioned path for
-iterative algorithms — and their VALUE checks are exact single-machine
-references in tests/test_iterative.py (union-find; dense power
-iteration).
+Iteration cannot be expressed efficiently in a single ANSI query
+(recursive CTEs over 10⁴+-edge graphs blow up as transitive closure),
+but both keys still carry full sql oracles (DuckDB recursive-CTE /
+fixed-iteration twins over the same edge set, converted round 3); their
+VALUE checks are additionally pinned by exact single-machine references
+in tests/test_iterative.py (union-find; dense power iteration).
 """
 
 from __future__ import annotations

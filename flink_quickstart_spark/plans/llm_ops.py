@@ -4,8 +4,10 @@ reference surface — these are first-class operators for a 100 TB
 training-data pipeline.
 
 Randomized ops (MinHash LSH, random-projection ANN) are seeded for
-reproducibility but remain engine-specific → declared rows-only. Every
-exact op carries a full DuckDB oracle.
+reproducibility but remain engine-specific, so they register
+deterministic CONTRACT oracles (recall / candidate-set predicates the
+SQL side can evaluate) rather than value-identity ones. Every exact op
+carries a full value-identity DuckDB oracle; no key is rows-only.
 """
 
 from __future__ import annotations

@@ -8,8 +8,12 @@ value-hashing), every floating aggregate is ROUNDed on both sides (double
 summation order differs between engines), and ``events.ts``-derived outputs
 are emitted as epoch-microsecond bigints (exact on both engines).
 
-Keys with ``oracle=None`` are declared rows-only (approx/randomized ops the
-driver checks by row count alone).
+``oracle=None`` would declare a key rows-only (the driver's weaker
+row-count-only check). The registry carries ZERO such keys since round 3 —
+randomized/approximate ops instead register deterministic CONTRACT oracles
+(recall/error-bound predicates evaluated in SQL), and both the pytest gate
+and tools/verify_local.py fail loudly on a missing oracle rather than
+demoting the check.
 """
 
 from __future__ import annotations

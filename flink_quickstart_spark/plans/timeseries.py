@@ -15,9 +15,10 @@ regressor is epoch seconds computed identically on both engines as
 
 ``q_ts_znorm_match`` is the shape tier over
 ``operators.timeseries.sliding_znorm_distance`` — NumPy strided windows
-per key via ``applyInPandas``. Exact but engine-specific output shape →
-declared rows-only, with a NumPy-reference equivalence test in
-tests/test_timeseries.py standing in for the value check.
+per key via ``applyInPandas``. Fully sql-oracled since round 3 (the
+DuckDB twin recomputes the z-normalized distances with window
+aggregates); a NumPy-reference equivalence test in
+tests/test_timeseries.py additionally pins the operator itself.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 from flink_quickstart_spark.operators.timeseries import sliding_znorm_distance
 from flink_quickstart_spark.plans.registry import register, tables
 
-# Fixed query shape for the rows-only match key: rise-then-fall pulse.
+# Fixed query shape for the znorm match key: rise-then-fall pulse.
 ZNORM_PATTERN = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
 
 

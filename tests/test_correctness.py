@@ -21,11 +21,17 @@ ALL_KEYS = sorted(registry.REGISTRY)
 @pytest.mark.parametrize("key", ALL_KEYS)
 def test_query_matches_oracle(key, spark, duck):
     spec = registry.REGISTRY[key]
+    # The registry has been 100% sql-oracled since round 3; a missing
+    # oracle is a REGRESSION (an accidentally dropped oracle must fail
+    # the gate loudly, not silently weaken it to a rows-only check —
+    # VERDICT r6 #3).
+    assert spec.oracle is not None, (
+        f"{key} has no sql oracle — every registered key requires one; "
+        "genuinely non-SQL-expressible ops must be argued in the "
+        "registry spec, not defaulted"
+    )
     sdf = spec.builder(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
-    if spec.oracle is None:
-        assert len(srows) >= 0  # rows-only keys: builder runs and collects
-        return
     cur = duck.execute(spec.oracle)
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()

@@ -174,7 +174,17 @@ def main() -> int:
             try:
                 t_tiny = best_of(b, spark, SF_TINY, args.runs)
             except Exception as e:  # noqa: BLE001
+                # a key that crashes at the TINY scale loses its
+                # acceleration check entirely — that must count as a
+                # probe failure, not vanish into a fit.err footnote
+                # (ADVICE r6)
+                print(
+                    f"FAIL {key}: sf0.01 error (fit point lost): "
+                    f"{type(e).__name__}: {str(e)[:160]}"
+                )
                 rec["fit"] = {"err": str(e)[:200]}
+                rec["status"] = "error_tiny"
+                n_fail += 1
                 t_tiny = None
             if t_tiny:
                 r01 = t_small / t_tiny

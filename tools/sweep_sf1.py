@@ -26,6 +26,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+from pyspark.sql import functions as F
+
 from flink_quickstart_spark import get_spark
 from flink_quickstart_spark.plans import load_all, registry
 from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
@@ -58,13 +60,40 @@ def main() -> int:
     results: dict[str, dict] = {}
     if args.keys and args.json and Path(args.json).exists():
         results = json.loads(Path(args.json).read_text()).get("keys", {})
+        # a spot re-run merges into the existing file — drop entries for
+        # keys no longer registered so stale rows can't inflate totals
+        # (ADVICE r6)
+        results = {k: v for k, v in results.items() if k in registry.REGISTRY}
     keys = args.keys.split(",") if args.keys else list(registry.REGISTRY)
+    unknown = [k for k in keys if k not in registry.REGISTRY]
+    if unknown:
+        ap.error(f"unknown --keys (not in registry): {','.join(unknown)}")
     n_ok = n_guarded = n_err = 0
     for key in keys:
         spec = registry.REGISTRY[key]
         t0 = time.time()
         try:
-            rows = len(spec.builder(spark, args.sf).collect())
+            # Consume engine-side: count + an xxhash64 fold over every
+            # column (cast to string so complex/binary types hash
+            # uniformly). A full collect() made 6 M-row map keys
+            # measure DRIVER materialization (q_cast_types read 25 s at
+            # sf1), not plan cost — the sweep grades the engine, so the
+            # consumer must stay in the JVM (VERDICT r6 #4).
+            df = spec.builder(spark, args.sf)
+            row = df.agg(
+                F.count(F.lit(1)).alias("_n"),
+                # pmod before the sum keeps the fold inside long range
+                # under ANSI arithmetic (raw xxhash64 sums overflow)
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(
+                            *[F.col(c).cast("string") for c in df.columns]
+                        ),
+                        F.lit(1_000_000_007),
+                    )
+                ).alias("_h"),
+            ).collect()[0]
+            rows = row["_n"]
         except Exception as e:  # noqa: BLE001
             status = classify_exception(e)
             if status == "guarded":
@@ -97,8 +126,10 @@ def main() -> int:
                     "n_ok": n_ok,
                     "n_guarded": n_guarded,
                     "n_err": n_err,
-                    "method": "single cold collect() per key, shuffle "
-                    "partitions sized for the sweep dir",
+                    "method": "single cold run per key, consumed "
+                    "engine-side via agg(count, sum(xxhash64(*cols "
+                    "cast string))) — no driver materialization; "
+                    "shuffle partitions sized for the sweep dir",
                     "keys": results,
                 },
                 fh,
