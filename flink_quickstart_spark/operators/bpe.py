@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_quickstart_spark.operators.iterative import _release
+
 MERGE_SCHEMA = T.StructType(
     [
         T.StructField("step", T.IntegerType(), False),
@@ -105,10 +107,16 @@ def learn_bpe_merges(
             break
         lhs, rhs, n = top["lhs"], top["rhs"], top["pair_count"]
         merges.append((step, lhs, rhs, lhs + rhs, n))
+        prev = w
         w = w.select(
             F.replace(
                 F.col("s"), F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})")
             ).alias("s"),
             "cnt",
         ).localCheckpoint(eager=True)
+        # the new snapshot is self-contained — release the superseded
+        # one (r7: superseded localCheckpoints leak heap until session
+        # end; see operators/iterative._release)
+        _release(prev)
+    _release(w)
     return spark.createDataFrame(merges, MERGE_SCHEMA)

@@ -37,6 +37,36 @@ def _truncate_lineage(df: DataFrame, use_reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _release(df: DataFrame | None) -> None:
+    """Free a SUPERSEDED checkpoint's storage blocks.
+
+    localCheckpoint blocks live in the block manager until session end
+    — a loop that truncates lineage every iteration without releasing
+    the previous snapshot accumulates O(iterations) copies of the state
+    table, and repeated calls in one session stack further. That is a
+    slow heap leak the r7 sf3 probe turned into a real OOM (8 g heap,
+    ~12 pagerank+components executions: the 'read-ahead' parquet thread
+    died allocating while storage held every superseded rank snapshot).
+    Safe to call ONLY on a snapshot no live DataFrame depends on — i.e.
+    after the NEXT eager checkpoint has materialized (its blocks are
+    self-contained; a released localCheckpoint cannot be recomputed).
+    """
+    if df is None:
+        return
+    try:
+        # Dataset.unpersist() only clears cache-manager entries;
+        # localCheckpoint blocks belong to the LogicalRDD's underlying
+        # RDD (measured: getRDDStorageInfo only shrinks via
+        # analyzed().rdd().unpersist()).
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+        else:
+            df.unpersist()
+    except Exception:  # noqa: BLE001 — best-effort on a dying session
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
@@ -76,6 +106,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
+    last_ckpt = None  # the checkpointed object itself (unpersist target)
     for i in range(max_iter):
         # neighbor's current label, per edge
         neighbor_min = (
@@ -96,12 +127,22 @@ def connected_components(
                 ),
             )
         )
+        prev_ckpt = None
         if (i + 1) % checkpoint_interval == 0:
             new_labels = _truncate_lineage(new_labels, reliable_checkpoint)
+            prev_ckpt, last_ckpt = last_ckpt, new_labels
         changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
+        # the new snapshot is materialized (eager) — the one before it
+        # is now unreferenced; free its blocks (r7 sf3-OOM leak fix)
+        _release(prev_ckpt)
         if changed == 0:
             break
+    # sym may be released only if the returned labels are self-contained
+    # (i.e. the final iteration checkpointed); with interval > 1 the
+    # tail iterations still read sym lazily
+    if last_ckpt is not None and checkpoint_interval == 1:
+        _release(sym)
     return labels
 
 
@@ -154,6 +195,7 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
+    last_ckpt = None  # superseded-snapshot release (r7 sf3-OOM leak fix)
     for i in range(iterations):
         # 1-row dangling-mass aggregate, broadcast-folded (no collect)
         dmass = (
@@ -183,4 +225,12 @@ def pagerank(
         )
         if (i + 1) % checkpoint_interval == 0:
             ranks = _truncate_lineage(ranks, reliable_checkpoint)
+            _release(last_ckpt)
+            last_ckpt = ranks
+    # the final ranks snapshot stays live for the caller; the
+    # loop-static inputs may be released only if that snapshot is
+    # self-contained (final iteration checkpointed)
+    if iterations > 0 and iterations % checkpoint_interval == 0:
+        _release(dangling_nodes)
+        _release(edges_deg)
     return ranks

@@ -32,6 +32,7 @@ def load_all() -> None:
     # registration order, and the round-5/6 plan is to drain the old
     # backlog before fresh keys join the queue.
     from flink_quickstart_spark.plans import analytics_r6  # noqa: F401
+    from flink_quickstart_spark.plans import analytics_r7  # noqa: F401
 
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql", "load_all"]

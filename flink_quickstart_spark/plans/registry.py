@@ -145,6 +145,33 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         "q_multimodal_dhash", "q_multimodal_ppm_stats",
         "q_multimodal_video_frames", "q_multimodal_wav_stats",
         "q_sql_grouping_id", "q_text_rrf_fusion", "q_udf_sql_registered",
+        # round-6 driver sample (CORRECTNESS_r06.json, 50 keys, all
+        # green) — frozen r7; cumulative coverage 230/241. The 11
+        # remaining never-sampled keys (7 q_ts_*, q_wf_streaks, the r6
+        # theta pair, q_llm_bpe_encode) now sort FIRST so the r7 sample
+        # closes driver coverage at 100%.
+        "q_agg_stickiness", "q_anon_kanonymity",
+        "q_dq_sequence_gaps", "q_embed_dim_stats",
+        "q_embed_sign_bits", "q_join_dpp", "q_llm_cooccur_pmi",
+        "q_llm_dedup_cascade", "q_llm_dedup_paragraph",
+        "q_llm_dedup_prefix", "q_llm_domain_budget",
+        "q_llm_global_shuffle", "q_llm_heavy_hitters",
+        "q_llm_mix_datasets", "q_llm_novelty", "q_llm_shard_assign",
+        "q_llm_source_overlap", "q_llm_tfidf_cosine",
+        "q_llm_token_len_hist", "q_llm_vocab_growth",
+        "q_llm_winnowing", "q_llm_xent_bigram",
+        "q_maintenance_compact", "q_multimodal_resize",
+        "q_pattern_timeout", "q_pattern_transitions",
+        "q_sample_group_topk_hash", "q_sample_importance",
+        "q_sample_temperature", "q_scan_merge_schema",
+        "q_scan_partitioned_roundtrip", "q_scan_text_roundtrip",
+        "q_session_stats", "q_sql_division", "q_sql_q11",
+        "q_sql_q12", "q_sql_q16", "q_sql_q2", "q_sql_q20",
+        "q_sql_q21", "q_sql_q22", "q_sql_q9",
+        "q_text_halves_overlap", "q_text_repetition", "q_ts_ewma",
+        "q_ts_resample_interp", "q_window_distinct_users",
+        "q_window_ohlc", "q_window_rate_anomaly",
+        "q_window_topk_types",
     }
 )
 

@@ -767,3 +767,37 @@ def q_sql_division(spark, sf_dir):
     the fact scan — linear, one shuffle on user_id."""
     register_views(spark, sf_dir)
     return spark.sql(_DIVISION_SQL)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_sql_q4",
+    oracle=_Q4_SQL,
+    tags=("batch", "sql"),
+)
+def q_sql_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking), completing the
+    22-query set (Q1 is the flagship ``q_agg_group``). The testdata's
+    lineitem carries no commit/receipt dates, so the correlated EXISTS
+    predicate is ``l_shipdate > o_orderdate`` (shipped after ordering)
+    — same plan shape as the reference query: a date-range scan over
+    orders LEFT-SEMI-joined to lineitem on the order key, then a tiny
+    5-group aggregate. Catalyst rewrites the EXISTS to a semi-join, so
+    no per-row subquery ever executes; at 100 TB both scans prune to
+    the quarter via min/max row-group stats and the semi-join shuffles
+    only matching keys (r7)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)

@@ -128,3 +128,35 @@ def test_dedup_groups_cluster_properties(spark):
         assert canon == want_canon, (doc, canon, want_canon)
         assert size == size_of.get(want_canon, 1)
         assert is_canon == (1 if canon == doc else 0)
+
+
+def test_iterative_loops_release_superseded_checkpoints(spark):
+    """r7 regression (sf3-probe OOM): every iteration localCheckpoints a
+    snapshot; without releasing the superseded one, storage grows by
+    O(iterations) blocks per CALL and stacks across calls in a session
+    until the heap dies. After the fix, repeated calls must leave the
+    persisted-RDD count bounded (the final snapshot + loop statics),
+    not grow linearly with call count."""
+    from flink_quickstart_spark.operators.iterative import (
+        connected_components,
+        pagerank,
+    )
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    counts = []
+    for _ in range(3):
+        connected_components(edges).collect()
+        pagerank(edges, iterations=5).collect()
+        counts.append(n_persisted())
+    # each round may leave its FINAL snapshots live (the caller holds
+    # them transiently), but growth must not be per-iteration: three
+    # rounds of (components ~41-iter-capped + 5-iter pagerank) would
+    # leak dozens of snapshots unfixed. Allow the bounded residue.
+    assert counts[-1] - counts[0] <= 4, counts
+    assert counts[-1] <= 12, counts
