@@ -142,13 +142,15 @@ def minhash_lsh_pairs(
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feat = tf.transform(sh)
+    # localCheckpoint so the A=B self-join reuses the materialized
+    # transform instead of recomputing shingle→TF→minhash twice.
+    feat = tf.transform(sh).localCheckpoint(eager=True)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="dist")
-    return (
+    cand_lazy = (
         pairs.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(
             F.col(f"datasetA.{id_col}").alias("d1"),
@@ -156,6 +158,28 @@ def minhash_lsh_pairs(
             F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
         )
     )
+    # Execute the band join with broadcasts OFF (r7 sf3 probe finding):
+    # ml's approxSimilarityJoin plans an explode + equi-join whose
+    # build-side SIZE ESTIMATE is the pre-explode scan, so at the scale
+    # window where the scan fits the broadcast threshold but the
+    # exploded hash-entry table is GBs, static planning picks a doomed
+    # broadcast ("Cannot broadcast the table that is larger than
+    # 8.0 GiB: 9.3 GiB") — unreachable by join hints inside ml, and
+    # localCheckpoint no longer hides stats (Spark preserves origin
+    # stats through LogicalRDD). The candidate stage therefore
+    # materializes eagerly under autoBroadcastJoinThreshold=-1 (every
+    # join inside it goes sort-merge/shuffle — correct at any scale);
+    # the conf is restored before the caller's plan is built, so
+    # downstream joins keep their normal runtime freedom. Materialized
+    # size is O(candidates) — the stage's actual working set.
+    spark = df.sparkSession
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        return cand_lazy.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, old)
 
 
 def minhash_lsh_verified_pairs(
@@ -184,10 +208,19 @@ def minhash_lsh_verified_pairs(
     The candidate set GROWS WITH THE CORPUS, so the verify join must NOT
     be force-broadcast (r5 judge finding: a forced ``F.broadcast(cand)``
     OOM'd at 10× data — "Not enough memory to build and broadcast the
-    table"). Both verify joins shuffle on their equi-keys (``d1``, then
-    ``(d2, shingle)``); AQE still broadcasts while the candidate side is
-    genuinely small and switches to shuffle-hash/sort-merge as it grows
-    — the decision belongs to the runtime, not a hint.
+    table"). The r6 fix left the strategy to the runtime; the r7 sf3
+    probe found the hole in that stance: Catalyst's size estimate for
+    an EXPLODED table is its pre-explode child (a 18 MB parquet scan
+    hides a multi-GB shingle table), so STATIC planning picks
+    BroadcastHashJoin with the full shingle table as build side and
+    dies at execution on the 8 GiB broadcast hard cap ("Cannot
+    broadcast the table that is larger than 8.0 GiB: 9.3 GiB") — AQE
+    never gets to veto it because the bad estimate survives to the
+    first plan. The verify joins therefore pin ``SHUFFLE_HASH`` with
+    the CANDIDATE side as build: per-partition build size is
+    |candidates|/partitions — the provably smaller side, sharded, and
+    it scales with partition count; the corpus-mass shingle table is
+    never a build candidate regardless of what the estimator thinks.
     """
     cand = minhash_lsh_pairs(
         df, id_col, text_col,
@@ -198,8 +231,9 @@ def minhash_lsh_verified_pairs(
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
     common = (
-        cand
+        cand.hint("shuffle_hash")
         .join(a, "d1")
+        .hint("shuffle_hash")
         .join(b, ["d2", "shingle"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -54,3 +54,72 @@ def q_cogroup_stats_agg(spark, sf_dir):
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
     )
+
+
+@register(
+    "q_llm_dedup_semantic",
+    # Exact cosine pair graph (the deterministic tier — the oracle can
+    # recompute it), closed into clusters by the same recursive
+    # min-label transitive closure as q_llm_dedup_groups.
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.4),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT x.vec_id,
+           CAST(coalesce(c.component, x.vec_id) AS BIGINT) AS canon_id,
+           CAST(coalesce(s.cluster_size, 1) AS BIGINT)     AS cluster_size,
+           CAST(CASE WHEN coalesce(c.component, x.vec_id) = x.vec_id
+                THEN 1 ELSE 0 END AS INT)                  AS is_canonical
+    FROM embeddings x
+    LEFT JOIN comp c  ON x.vec_id = c.node
+    LEFT JOIN csize s ON c.component = s.component
+    """,
+    tags=("batch", "llm", "dedup", "similarity"),
+)
+def q_llm_dedup_semantic(spark, sf_dir):
+    """K2e (r7): SEMANTIC dedup clusters — the embedding-tier
+    completion of the dedup family. Cosine near-dup pairs (exact
+    broadcast-numpy tier, ≥ 0.4) close into clusters via connected
+    components (min-label propagation, operators/iterative.py), and
+    every vector gets its canonical representative + cluster size —
+    the keep/drop decision row of a semantic dedup pass (SemDeDup-style
+    pipelines [PK: Abbas et al. 2023, arXiv:2303.09540]; shingle-tier
+    analog is q_llm_dedup_groups).
+
+    Scale shape: the pair tier here is the EXACT generator (needed for
+    the deterministic oracle) behind its fail-fast broadcast budget
+    guard; at 100 TB swap in `lsh_ann_buckets` candidates verified by
+    exact re-score — the CC stage is identical either way, shuffles on
+    node id only, and singleton vectors never enter the iteration."""
+    from flink_quickstart_spark.operators.iterative import connected_components
+    from flink_quickstart_spark.operators.similarity import cosine_neardup_pairs
+
+    t = tables(spark, sf_dir)
+    pairs = cosine_neardup_pairs(t.embeddings, threshold=0.4)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    canon = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        t.embeddings.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .join(sizes, "component", "left")
+        .select(
+            "vec_id",
+            canon.cast("long").alias("canon_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.when(canon == F.col("vec_id"), 1).otherwise(0).cast("int").alias("is_canonical"),
+        )
+    )

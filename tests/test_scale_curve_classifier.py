@@ -65,3 +65,23 @@ def test_message_alone_cannot_fake_the_guard():
         )
         == "error_big"
     )
+
+
+def test_probe_config_is_coherent():
+    """r7: every documented-superlinear waiver must actually be probed
+    (a waiver on an unprobed key is dead evidence), and component-probe
+    names must not shadow registry keys (the main loop resolves
+    COMPONENT_PROBES first)."""
+    sc = _load_scale_curve()
+    from flink_quickstart_spark.plans import load_all, registry
+
+    load_all()
+    probed = set(sc.DEFAULT_KEYS)
+    for key in sc.DOCUMENTED_SUPERLINEAR:
+        assert key in probed, f"waiver for unprobed key: {key}"
+    for name in sc.COMPONENT_PROBES:
+        assert name not in registry.REGISTRY, f"component probe shadows registry key: {name}"
+        assert name in probed, f"component probe not in DEFAULT_KEYS: {name}"
+    # registry keys in the probe set must exist
+    for key in probed - set(sc.COMPONENT_PROBES):
+        assert key in registry.REGISTRY, f"probe references unknown key: {key}"
