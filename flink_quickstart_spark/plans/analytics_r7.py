@@ -13,6 +13,9 @@ tests/test_invariants_r7.py cross-checks both shapes row-for-row.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.plans.registry import register, tables
@@ -53,6 +56,61 @@ def q_cogroup_stats_agg(spark, sf_dir):
         F.col("k").alias("custkey"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "q_llm_ann_query",
+    # Deterministic contract oracle (seeded k-means, fixed query batch):
+    # every query in the fixed batch must be answered, and probe-4-of-16
+    # recall@3 vs the probe-ALL (exact) search through the same index
+    # must hold ≥ 0.5 — a recall collapse flips the boolean.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 64)
+    """,
+    tags=("batch", "llm", "similarity", "approx"),
+)
+def q_llm_ann_query(spark, sf_dir):
+    """K4c (r7): the PRODUCTION ANN shape as a registered key — a fixed
+    64-query batch against a PERSISTED IVF index (build-once under the
+    scratch dir, probe 4 of 16 clusters; operators/similarity.py
+    ivf_build_index/ivf_query_index). The contract keys q_llm_ann_ivf /
+    q_llm_ann_lsh grade recall but query ALL n vectors, so their cost is
+    Θ(n²)-shaped by construction; THIS key is the amortized shape a
+    100 TB corpus actually runs — pay the index build once (members
+    parquet PARTITIONED BY cluster_id, so the probe physically reads
+    p/k of the corpus), then each query session scans only the probed
+    partitions. Scale curve: ann_ivf_query_fixed (flat: r12 1.11,
+    e23 0.41). Truth side for the recall contract is the SAME index
+    probed with n_probe = n_clusters — an exact search, deterministic
+    end-to-end, so the contract isolates exactly what pruning costs."""
+    from flink_quickstart_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    t = tables(spark, sf_dir)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "fqs_scratch",
+        "ivf_index",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.exists(os.path.join(idx, "centroids")):
+        ivf_build_index(t.embeddings, idx, n_clusters=16)
+    queries = t.embeddings.orderBy("vec_id").limit(64)
+    exact = ivf_query_index(spark, idx, queries, k=3, n_probe=16).select(
+        "query_id", "nbr_id"
+    )
+    approx = ivf_query_index(spark, idx, queries, k=3, n_probe=4).select(
+        "query_id", "nbr_id", F.lit(1).alias("hit")
+    )
+    return exact.join(approx, ["query_id", "nbr_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.5
+        ).alias("recall_ok"),
     )
 
 

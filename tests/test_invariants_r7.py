@@ -32,6 +32,36 @@ def test_cogroup_twins_agree(spark):
     )
 
 
+def test_ann_query_contract_and_index_reuse(spark, tmp_path):
+    """q_llm_ann_query: the fixed-batch persisted-index path must (a)
+    answer every query in the batch, (b) hold the probe-4-of-16 recall
+    contract vs the probe-all exact search, and (c) actually REUSE the
+    on-disk index — the second build call must be a no-op (build-once
+    is the operator's whole point at 100 TB)."""
+    import os
+    import tempfile
+
+    row = REGISTRY["q_llm_ann_query"].builder(spark, SF_DIR).collect()[0]
+    assert row.n_queries > 0 and row.recall_ok
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "fqs_scratch",
+        "ivf_index",
+        os.path.basename(SF_DIR.rstrip("/")),
+    )
+    cent_dir = os.path.join(idx, "centroids")
+    assert os.path.exists(cent_dir)
+    mtime = max(
+        os.path.getmtime(os.path.join(cent_dir, f)) for f in os.listdir(cent_dir)
+    )
+    REGISTRY["q_llm_ann_query"].builder(spark, SF_DIR)  # plan build only
+    mtime2 = max(
+        os.path.getmtime(os.path.join(cent_dir, f)) for f in os.listdir(cent_dir)
+    )
+    assert mtime2 == mtime, "index was rebuilt — build-once contract broken"
+
+
 def test_cogroup_jvm_twin_is_python_free(spark):
     plan = (
         REGISTRY["q_cogroup_stats_agg"]

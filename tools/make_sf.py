@@ -22,7 +22,16 @@ self-join outputs quadratically. Specifics:
   per-copy rotation-free perturbation on dim 0 (+i * 1e-4) so exact-dup
   neighbor structure isn't planted 10-fold.
 
-Run: ``python tools/make_sf.py [N=10] [out=/root/repo/.scale/sf1]``
+Run: ``python tools/make_sf.py [N=10] [out=/root/repo/.scale/sf1]
+[tables=csv] [fill_from=dir]``
+
+``tables=`` stages only the named tables at N× (r7b: the text-decade
+point — ``make_sf.py 100 .scale/sf10text documents,embeddings
+fill_from=.scale/sf1`` gives the text/embedding tier a TRUE 10× decade
+above sf1, where fixed overhead is negligible); the remaining tables
+are symlinked from ``fill_from`` so ``load_tables``'s eager footer
+reads still resolve — only probe keys that touch the N× tables are
+meaningful against such a directory.
 """
 
 from __future__ import annotations
@@ -72,17 +81,30 @@ def main() -> None:
     out_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
         __file__
     ).resolve().parents[1] / ".scale" / "sf1"
+    only: set[str] | None = None
+    fill_from: Path | None = None
+    for arg in sys.argv[3:]:
+        if arg.startswith("fill_from="):
+            fill_from = Path(arg.split("=", 1)[1]).resolve()
+        else:
+            only = set(arg.removeprefix("tables=").split(","))
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="make-sf")
     spark.sparkContext.setLogLevel("ERROR")
     t = load_tables(spark, SF_DIR)
 
+    def wanted(name: str) -> bool:
+        return only is None or name in only
+
     t0 = time.time()
     for name in ("region", "nation"):
-        getattr(t, name).write.mode("overwrite").parquet(
-            str(out_dir / f"{name}.parquet")
-        )
+        if wanted(name):
+            getattr(t, name).write.mode("overwrite").parquet(
+                str(out_dir / f"{name}.parquet")
+            )
     for name, keys in SHIFT_KEYS.items():
+        if not wanted(name):
+            continue
         if name == "embeddings":
             df = replicate_embeddings(t.embeddings, n)
         else:
@@ -90,10 +112,24 @@ def main() -> None:
         df.write.mode("overwrite").parquet(str(out_dir / f"{name}.parquet"))
         print(f"{name}: written ({time.time() - t0:.1f}s)")
 
-    docs = disjoint_documents(t.documents, n)
-    docs.write.mode("overwrite").parquet(str(out_dir / "documents.parquet"))
-    print(f"documents: written ({time.time() - t0:.1f}s)")
-    print(f"staged {n}x replica of {SF_DIR} at {out_dir}")
+    if wanted("documents"):
+        docs = disjoint_documents(t.documents, n)
+        docs.write.mode("overwrite").parquet(str(out_dir / "documents.parquet"))
+        print(f"documents: written ({time.time() - t0:.1f}s)")
+
+    if only is not None and fill_from is not None:
+        import os
+
+        for name in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            dst = out_dir / f"{name}.parquet"
+            src = fill_from / f"{name}.parquet"
+            if name not in only and not dst.exists() and src.exists():
+                os.symlink(src, dst)
+                print(f"{name}: symlinked from {src}")
+    print(f"staged {n}x replica of {SF_DIR} at {out_dir}" + (f" (tables={sorted(only)})" if only else ""))
 
 
 def replicate_embeddings(emb: DataFrame, n: int) -> DataFrame:

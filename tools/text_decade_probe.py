@@ -1,0 +1,156 @@
+"""Text-tier TRUE-decade probe (r7b): sf1 → sf10text.
+
+The 4-point curve (tools/scale_curve.py) tops out at sf3, so its last
+segment measures a 3× step — enough to expose e23, but the heavy text
+tier deserves a full decade at the top end where fixed overhead is
+noise. This probe measures the documents/embeddings keys against a
+directory whose TEXT tables are staged at 100× sf0.1 (= 10× sf1):
+
+    python tools/make_sf.py 100 .scale/sf10text documents,embeddings \
+        fill_from=/root/repo/.scale/sf1
+
+Only keys that touch documents/embeddings are eligible (the other
+tables in sf10text are symlinks to sf1 — meaningless to time). The
+probe records r_decade = t(sf10text)/t(sf1) and the growth exponent
+e = log10(r); flags e above the same slack the main tool uses, with
+the same documented-superlinear waiver table.
+
+Run: ``python tools/text_decade_probe.py [--keys k1,k2] [--json PATH]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import scale_curve as sc  # noqa: E402  (reuses best_of / waivers / probes)
+
+from flink_quickstart_spark import get_spark  # noqa: E402
+from flink_quickstart_spark.plans import load_all, registry  # noqa: E402
+from flink_quickstart_spark.session import (  # noqa: E402
+    dir_bytes,
+    shuffle_partitions_for_bytes,
+)
+
+SF_BASE = str(REPO / ".scale" / "sf1")
+SF_DECADE = str(REPO / ".scale" / "sf10text")
+GROWTH = 10.0
+LINEAR_SLACK = 1.5
+
+# documents/embeddings-only keys (verified via builder source scan) —
+# the heavy text tier plus the ANN component probes.
+DEFAULT_KEYS = [
+    "q_llm_neardup_minhash",
+    "q_llm_dedup_groups",
+    "q_llm_minhash_signatures",
+    "q_llm_dedup_spans",
+    "q_llm_winnowing",
+    "q_llm_decontaminate",
+    "q_llm_bpe_encode",
+    "q_text_langid_ngram",
+    "ann_ivf_build",
+    "ann_ivf_query_fixed",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    load_all()
+    keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
+    unknown = [k for k in keys if k not in registry.REGISTRY and k not in sc.COMPONENT_PROBES]
+    if unknown:
+        print(f"unknown keys: {unknown}")
+        return 2
+    parts = shuffle_partitions_for_bytes(dir_bytes(SF_DECADE))
+    spark = get_spark(app_name="text-decade-probe", shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"shuffle_partitions={parts} (sized for {SF_DECADE} = {dir_bytes(SF_DECADE)/1e6:.0f} MB)")
+
+    results: dict[str, dict] = {}
+    n_flag = n_fail = 0
+    for key in keys:
+        if key in sc.COMPONENT_PROBES:
+            prep, b = sc.COMPONENT_PROBES[key]
+            if prep is not None:
+                for sfd in (SF_BASE, SF_DECADE):
+                    prep(spark, sfd)
+        else:
+            b = registry.REGISTRY[key].builder
+        try:
+            t_base = sc.best_of(b, spark, SF_BASE, args.runs)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {key}: sf1 error {type(e).__name__}: {str(e)[:160]}")
+            results[key] = {"status": "error_base", "err": str(e)[:200]}
+            n_fail += 1
+            continue
+        try:
+            t_dec = sc.best_of(b, spark, SF_DECADE, args.runs)
+        except Exception as e:  # noqa: BLE001
+            status = sc.classify_big_sf_exception(e)
+            if status != "guarded":
+                n_fail += 1
+                status = "error_decade"
+            print(f"{'GUARDED' if status == 'guarded' else 'FAIL'} {key}: sf10text: {str(e)[:160]}")
+            results[key] = {
+                "status": status,
+                "sf1_sec": round(t_base, 3),
+                "err": str(e)[:200],
+            }
+            continue
+        r = t_dec / t_base if t_base > 0 else float("inf")
+        e_dec = math.log(max(r, 1e-9)) / math.log(GROWTH)
+        flag = r > GROWTH * LINEAR_SLACK
+        rec = {
+            "status": "superlinear" if flag else "ok",
+            "sf1_sec": round(t_base, 3),
+            "sf10text_sec": round(t_dec, 3),
+            "r_decade": round(r, 2),
+            "e_decade": round(e_dec, 2),
+        }
+        marker = f" <-- SUPERLINEAR (e {e_dec:.2f})" if flag else ""
+        if flag and key in sc.DOCUMENTED_SUPERLINEAR:
+            rec["status"] = "superlinear_documented"
+            rec["waiver"] = sc.DOCUMENTED_SUPERLINEAR[key]
+            marker += " [documented]"
+            flag = False
+        n_flag += flag
+        results[key] = rec
+        print(f"{key}: {t_base:.2f}s -> {t_dec:.2f}s  r {r:.1f}x  e {e_dec:.2f}{marker}")
+
+    print(
+        f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed "
+        f"(threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x text data) =="
+    )
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "growth": GROWTH,
+                    "threshold_ratio": GROWTH * LINEAR_SLACK,
+                    "method": "min-of-N warm collect() per key per sf; "
+                    "text tables at 100x sf0.1, others symlinked to sf1; "
+                    "shuffle partitions sized for sf10text",
+                    "keys": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
+    return 1 if (n_flag or n_fail) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
