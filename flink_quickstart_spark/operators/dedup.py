@@ -93,8 +93,19 @@ def jaccard_neardup_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    # Join strategy pinned (r7 sf10text probe finding — the same
+    # explode-underestimate law as the minhash band join): Catalyst
+    # sizes BOTH exploded sides at their pre-explode parquet scan, so at
+    # the scale window where the scan estimate fits the broadcast
+    # threshold, static planning broadcasts the ENTIRE inverted index
+    # (measured: executor OOM building a multi-GB HashedRelation of
+    # shingle strings at 100× documents). Both sides are corpus-mass →
+    # MERGE; the doc-sized ``sizes`` aggregates are also explode-derived
+    # (same lying estimate) and grow linearly with the corpus →
+    # SHUFFLE_HASH with the size table as the sharded build side, never
+    # a broadcast candidate.
     common = (
-        a.join(b, ["shingle"])
+        a.join(b.hint("merge"), ["shingle"])
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -102,8 +113,8 @@ def jaccard_neardup_pairs(
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
     return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
+        common.join(s1.hint("shuffle_hash"), "d1")
+        .join(s2.hint("shuffle_hash"), "d2")
         .withColumn(
             "jaccard",
             F.round(
@@ -122,6 +133,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 16,
     seed: int = 42,
+    num_features: int | None = None,
 ) -> DataFrame:
     """K2 (sublinear flavor): MinHash LSH candidate pairs via pyspark.ml.
 
@@ -131,16 +143,34 @@ def minhash_lsh_pairs(
     exact-verify pair-recall predicate), not a value-identity one. This
     is the 100 TB path: candidates come from band-bucket joins, never
     the full pair matrix.
+
+    ``num_features`` is the minhash UNIVERSE, not a tuning detail
+    (r7 text-decade finding): Spark's MinHashLSH takes the min over TF
+    *slot indices*, so when the corpus's distinct-shingle count
+    saturates the slot space, DISJOINT documents start sharing slots
+    and their min-hashes collide by chance at a rate ∝ m²/num_features
+    per pair — an O(n²) spurious-candidate term that made the band join
+    superlinear at 100× documents (measured e≈1.3; candidate count grew
+    ~20× for 10× data). Default ``None`` auto-sizes the slot space to
+    ~32× the corpus's approx distinct-shingle count (one cheap HLL agg,
+    clamped to [2^18, 2^26], rounded up to a power of two) — sparse
+    vectors make width free per-row, and the spurious rate stays
+    O(m²/32·vocab) → the true minhash law (candidates ∝ near-dup pairs)
+    holds at any corpus size. Pass an explicit power of two to pin the
+    universe (e.g. reproducing a prior signature table).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = (
-        word_shingles(df, id_col, text_col, 3)
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("shingles"))
-    )
+    shingles = word_shingles(df, id_col, text_col, 3)
+    if num_features is None:
+        vocab = shingles.agg(
+            F.approx_count_distinct("shingle").alias("d")
+        ).first()["d"]
+        num_features = 1 << max(18, min(26, (32 * max(vocab, 1) - 1).bit_length()))
+    sh = shingles.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
     tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+        inputCol="shingles", outputCol="features",
+        numFeatures=num_features, binary=True,
     )
     # localCheckpoint so the A=B self-join reuses the materialized
     # transform instead of recomputing shingle→TF→minhash twice.

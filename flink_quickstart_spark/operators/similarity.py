@@ -283,6 +283,97 @@ def ivf_topk(
     )
 
 
+def ivf_semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    target_cluster_rows: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 20_000,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Within-cluster cosine pairs with the cluster count scaled to the
+    corpus — the SemDeDup shape [PK: Abbas et al. 2023,
+    arXiv:2303.09540] and the LINEAR-by-construction production path
+    for semantic dedup.
+
+    Every pair generator over a fixed radius is Ω(#pairs), and both the
+    exact tier (``cosine_neardup_pairs``) and the LSH tier
+    (``lsh_ann_buckets``) densify quadratically on a fixed distribution
+    (r7 probes). This operator bounds the work structurally instead:
+    ``n_clusters = n / target_cluster_rows`` grows WITH the corpus, each
+    vector is compared only within its cluster, so total pair work is
+    Σ bᵢ² ≈ n·target_cluster_rows — linear in n at a constant per-row
+    cost, regardless of radius. The price is recall: pairs straddling a
+    cluster boundary are missed (SemDeDup's documented trade; measured
+    in tests/test_invariants_r7.py). Emitted pairs carry EXACT cosine
+    (each cluster does one local BLAS matmul), so the output is a
+    subset of the exact pair set by construction.
+
+    Driver state is O(n_clusters·dim) for the centroid broadcast
+    (k-means on a bounded sample, deterministic seed); at corpus sizes
+    where that broadcast itself is data-sized, train hierarchically
+    (coarse quantizer → per-cell k-means) — the per-cluster stage is
+    unchanged.
+    """
+    spark = df.sparkSession
+    n = df.count()
+    n_clusters = max(4, -(-n // target_cluster_rows))
+    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_clusters = min(n_clusters, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=n_clusters, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf_b in batches:
+            v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.argmax(v @ cents.T, axis=1).astype(np.int32),
+                    id_col: pdf_b[id_col],
+                    vec_col: pdf_b[vec_col],
+                }
+            )
+
+    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    members = df.select(id_col, vec_col).mapInPandas(assign_members, schema)
+
+    def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"d1": [], "d2": [], "sim": []})
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        sims = (v @ v.T) / (norms[:, None] * norms[None, :])
+        ids = pdf[id_col].to_numpy()
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        i, j = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "d1": ids[i].astype(np.int64),
+                "d2": ids[j].astype(np.int64),
+                "sim": np.round(sims[i, j], sim_decimals),
+            }
+        )
+
+    return members.groupBy("cluster_id").applyInPandas(
+        local_pairs, "d1 bigint, d2 bigint, sim double"
+    )
+
+
 def ivf_build_index(
     df: DataFrame,
     path: str,

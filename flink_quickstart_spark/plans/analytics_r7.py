@@ -158,7 +158,11 @@ def q_llm_dedup_semantic(spark, sf_dir):
     the deterministic oracle) behind its fail-fast broadcast budget
     guard; at 100 TB swap in `lsh_ann_buckets` candidates verified by
     exact re-score — the CC stage is identical either way, shuffles on
-    node id only, and singleton vectors never enter the iteration."""
+    node id only, and singleton vectors never enter the iteration. The
+    swap-in is executable and measured: tools/scale_curve.py
+    `semantic_lsh_cc` (same radius — output-bound, Ω(#pairs)) and
+    `semantic_lsh_cc_sparse` (cosine ≥ 0.9, the production-sparse
+    regime — ~linear; SCALE_CURVE_r7.json)."""
     from flink_quickstart_spark.operators.iterative import connected_components
     from flink_quickstart_spark.operators.similarity import cosine_neardup_pairs
 

@@ -1215,7 +1215,16 @@ def q_llm_dedup_spans(spark, sf_dir):
     the filter signal behind 'remove documents that are mostly
     boilerplate'. Two shuffles total (shingle DF agg + join back on
     shingle), both on the shingle key; the DISTINCT per (doc, shingle)
-    bounds inverted-index fanout exactly as the Jaccard tier does."""
+    bounds inverted-index fanout exactly as the Jaccard tier does.
+
+    The join-back pins SHUFFLE_HASH with the frequency table as the
+    sharded build side (r7 sf10text probe finding): ``dfreq`` is
+    vocabulary-sized (it grows with the corpus) but Catalyst sizes the
+    aggregate off the pre-explode parquet scan, so static planning
+    chose a doomed broadcast of the whole distinct-shingle table at
+    100× documents ("Not enough memory to build and broadcast") — and
+    the agg already hash-partitions dfreq on shingle, so SHJ reuses
+    that exchange."""
     t = tables(spark, sf_dir)
     sh = word_shingles(t.documents, "doc_id", "text", n=5)
     # d counts DOCUMENTS per shingle (sh is distinct per doc), so d >= 2
@@ -1223,7 +1232,7 @@ def q_llm_dedup_spans(spark, sf_dir):
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
     dup = F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
     return (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),

@@ -62,6 +62,35 @@ def test_ann_query_contract_and_index_reuse(spark, tmp_path):
     assert mtime2 == mtime, "index was rebuilt — build-once contract broken"
 
 
+def test_ivf_semantic_pairs_subset_and_recall(spark):
+    """The SemDeDup-shaped pair stage (ivf_semantic_pairs) must emit a
+    SUBSET of the exact cosine pairs (within-cluster pairs carry exact
+    sims — no false positives by construction) and recover a usable
+    fraction of them (pairs straddling cluster boundaries are the
+    documented miss class). Near-dup pairs are concentrated, so single
+    assignment keeps most of them co-clustered."""
+    from flink_quickstart_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_semantic_pairs,
+    )
+    from flink_quickstart_spark.plans.registry import tables
+
+    emb = tables(spark, SF_DIR).embeddings
+    exact = {
+        (r.d1, r.d2) for r in cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.d1, r.d2)
+        for r in ivf_semantic_pairs(
+            emb, threshold=0.4, target_cluster_rows=100
+        ).collect()
+    }
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    assert exact, "test needs a non-empty exact pair set"
+    recall = len(got) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f} below floor"
+
+
 def test_cogroup_jvm_twin_is_python_free(spark):
     plan = (
         REGISTRY["q_cogroup_stats_agg"]

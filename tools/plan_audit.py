@@ -200,6 +200,15 @@ MATERIALIZE_ALLOWED = {
         "1-row probe to learn the embedding dimension before the "
         "budget check"
     ),
+    "operators/dedup.py:minhash_lsh_pairs:first": (
+        "1-row HLL aggregate (approx distinct-shingle count) that "
+        "sizes the minhash slot universe — r7 fix for the TF-slot "
+        "saturation superlinearity at 100× documents"
+    ),
+    "operators/similarity.py:ivf_semantic_pairs:toPandas": (
+        "bounded centroid-training sample (limit(sample_rows)) — "
+        "k-means training set, not the corpus"
+    ),
     "operators/similarity.py:_collect_corpus:toPandas": (
         "the broadcast-corpus pull, AFTER the fail-fast size estimate "
         "(plan-stats budget guard at the top of _collect_corpus)"

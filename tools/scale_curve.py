@@ -102,10 +102,18 @@ DOCUMENTED_SUPERLINEAR = {
         "the pair tier is the EXACT cosine generator (required so the "
         "recursive-CTE oracle can recompute the clusters) — same "
         "quadratic law and fail-fast broadcast budget guard as "
-        "q_llm_knn; the production swap-in is lsh_ann_buckets "
-        "candidates + exact re-score (measured by ann_lsh_candidates) "
-        "feeding the IDENTICAL connected-components stage (measured by "
-        "q_llm_dedup_groups, ~linear)"
+        "q_llm_knn; the production swap-in is EXECUTABLE and measured: "
+        "semantic_lsh_cc (same cosine 0.4 radius — output-bound like "
+        "every generator at that radius, but cheaper than the exact "
+        "tier) and semantic_lsh_cc_sparse (cosine ≥ 0.9, the "
+        "production-sparse regime — ~linear)"
+    ),
+    "semantic_lsh_cc": (
+        "output-bound at the test radius: cosine ≥ 0.4 pair count IS "
+        "the CC edge set and grows ~quadratically as the fixed "
+        "embedding distribution densifies (same Ω(#pairs) law as "
+        "ann_lsh_candidates); semantic_lsh_cc_sparse measures the "
+        "production-sparse radius and must stay ~linear"
     ),
 }
 
@@ -146,6 +154,11 @@ DEFAULT_KEYS = [
     "q_llm_dedup_semantic", "q_llm_minhash_signatures",
     "q_llm_dedup_spans", "q_llm_neardup", "q_text_langid_ngram",
     "q_ts_znorm_match", "q_agg_global",
+    # r7b: the semantic-dedup production swap-in, executable — LSH
+    # candidates closed by the same CC stage, at the test radius
+    # (dense, waived output-bound) and the production radius (sparse,
+    # must stay ~linear)
+    "semantic_lsh_cc", "semantic_lsh_cc_sparse", "semantic_ivf_cc",
 ]
 
 
@@ -175,6 +188,51 @@ def _probe_lsh_candidates(spark, sf):
 
     return lsh_ann_buckets(_embeddings(spark, sf), threshold=1.2).agg(
         F.count(F.lit(1)).alias("n_candidates")
+    )
+
+
+def _semantic_lsh_cc(spark, sf, dist_threshold):
+    # q_llm_dedup_semantic's production swap-in: LSH bucket-join
+    # candidates within the euclidean radius equivalent to the cosine
+    # threshold (unit vectors: dist = sqrt(2·(1−cos)); the join's
+    # distCol filter is the EXACT re-score on candidates), closed by
+    # the identical connected-components stage the registered key uses.
+    from flink_quickstart_spark.operators.iterative import connected_components
+    from flink_quickstart_spark.operators.similarity import lsh_ann_buckets
+
+    pairs = lsh_ann_buckets(_embeddings(spark, sf), threshold=dist_threshold)
+    comp = connected_components(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("component").alias("n_clusters"),
+    )
+
+
+def _probe_semantic_lsh_cc(spark, sf):
+    return _semantic_lsh_cc(spark, sf, 1.0954)  # cosine >= 0.4 (test radius)
+
+
+def _probe_semantic_lsh_cc_sparse(spark, sf):
+    return _semantic_lsh_cc(spark, sf, 0.4472)  # cosine >= 0.9 (production)
+
+
+def _probe_semantic_ivf_cc(spark, sf):
+    # the LINEAR-by-construction production shape (SemDeDup): cluster
+    # count scales with the corpus, pairs only within clusters, so pair
+    # work is n·target_cluster_rows at ANY radius — probed at the same
+    # test radius (cosine 0.4) the output-bound tiers choke on.
+    from flink_quickstart_spark.operators.iterative import connected_components
+    from flink_quickstart_spark.operators.similarity import ivf_semantic_pairs
+
+    pairs = ivf_semantic_pairs(_embeddings(spark, sf), threshold=0.4)
+    comp = connected_components(
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    )
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("component").alias("n_clusters"),
     )
 
 
@@ -214,6 +272,9 @@ def _probe_ivf_query_fixed(spark, sf):
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
+    "semantic_lsh_cc": (None, _probe_semantic_lsh_cc),
+    "semantic_lsh_cc_sparse": (None, _probe_semantic_lsh_cc_sparse),
+    "semantic_ivf_cc": (None, _probe_semantic_ivf_cc),
     "ann_ivf_build": (None, _probe_ivf_build),
     "ann_ivf_probe": (_prepare_ivf_index, _probe_ivf_query),
     "ann_ivf_query_fixed": (_prepare_ivf_index, _probe_ivf_query_fixed),

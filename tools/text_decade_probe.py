@@ -65,6 +65,11 @@ def main() -> int:
     ap.add_argument("--keys", default=None)
     ap.add_argument("--json", default=None)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument(
+        "--merge-json", action="store_true",
+        help="with --json and --keys: preload the existing JSON and "
+        "merge this run's entries into it (targeted re-probe)",
+    )
     args = ap.parse_args()
 
     load_all()
@@ -79,6 +84,13 @@ def main() -> int:
     print(f"shuffle_partitions={parts} (sized for {SF_DECADE} = {dir_bytes(SF_DECADE)/1e6:.0f} MB)")
 
     results: dict[str, dict] = {}
+    if args.merge_json and args.json and args.keys and Path(args.json).exists():
+        prior = json.loads(Path(args.json).read_text()).get("keys", {})
+        results = {
+            k: v
+            for k, v in prior.items()
+            if k in registry.REGISTRY or k in sc.COMPONENT_PROBES
+        }
     n_flag = n_fail = 0
     for key in keys:
         if key in sc.COMPONENT_PROBES:
