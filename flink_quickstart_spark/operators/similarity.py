@@ -293,6 +293,7 @@ def ivf_semantic_pairs(
     kmeans_iters: int = 5,
     sample_rows: int = 20_000,
     sim_decimals: int = 6,
+    n_assign: int = 2,
 ) -> DataFrame:
     """Within-cluster cosine pairs with the cluster count scaled to the
     corpus — the SemDeDup shape [PK: Abbas et al. 2023,
@@ -308,9 +309,12 @@ def ivf_semantic_pairs(
     Σ bᵢ² ≈ n·target_cluster_rows — linear in n at a constant per-row
     cost, regardless of radius. The price is recall: pairs straddling a
     cluster boundary are missed (SemDeDup's documented trade; measured
-    in tests/test_invariants_r7.py). Emitted pairs carry EXACT cosine
-    (each cluster does one local BLAS matmul), so the output is a
-    subset of the exact pair set by construction.
+    in tests/test_invariants_r7.py). ``n_assign`` soft-assigns each
+    vector to its top-N centroids (multi-probe), recovering boundary
+    pairs that share ANY of the assigned cells at an N× work constant —
+    still linear; duplicate emissions are dropped on (d1, d2). Emitted
+    pairs carry EXACT cosine (each cluster does one local BLAS matmul),
+    so the output is a subset of the exact pair set by construction.
 
     Driver state is O(n_clusters·dim) for the centroid broadcast
     (k-means on a bounded sample, deterministic seed); at corpus sizes
@@ -336,16 +340,23 @@ def ivf_semantic_pairs(
         centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(centroids)
 
+    n_soft = max(1, min(n_assign, n_clusters))
+
     def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
         for pdf_b in batches:
             v = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            order = np.argsort(-(v @ cents.T), axis=1)[:, :n_soft]
+            nrows = len(pdf_b)
             yield pd.DataFrame(
                 {
-                    "cluster_id": np.argmax(v @ cents.T, axis=1).astype(np.int32),
-                    id_col: pdf_b[id_col],
-                    vec_col: pdf_b[vec_col],
+                    "cluster_id": order.reshape(-1).astype(np.int32),
+                    id_col: np.repeat(pdf_b[id_col].to_numpy(), n_soft),
+                    vec_col: [
+                        pdf_b[vec_col].iloc[i]
+                        for i in np.repeat(np.arange(nrows), n_soft)
+                    ],
                 }
             )
 
@@ -369,9 +380,12 @@ def ivf_semantic_pairs(
             }
         )
 
-    return members.groupBy("cluster_id").applyInPandas(
+    pairs = members.groupBy("cluster_id").applyInPandas(
         local_pairs, "d1 bigint, d2 bigint, sim double"
     )
+    # soft assignment can emit the same pair from up to n_soft shared
+    # cells; sims are exact so duplicates are identical rows
+    return pairs.dropDuplicates(["d1", "d2"]) if n_soft > 1 else pairs
 
 
 def ivf_build_index(

@@ -115,6 +115,62 @@ def q_llm_ann_query(spark, sf_dir):
 
 
 @register(
+    "q_llm_dedup_semantic_ivf",
+    # Contract oracle (deterministic: seeded k-means, fixed data): the
+    # IVF pair stage must emit a SUBSET of the exact cosine pairs (its
+    # sims are exact within-cluster — no false positives possible) and
+    # recover ≥ 30% of them on this unclustered random data (real
+    # corpora with cluster structure recall far higher; SemDeDup's
+    # documented trade is boundary-straddling pairs).
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+    tags=("batch", "llm", "dedup", "similarity", "approx"),
+)
+def q_llm_dedup_semantic_ivf(spark, sf_dir):
+    """K2e-prod (r7): the SemDeDup production pair stage as a
+    registered key — within-cluster cosine pairs with the cluster count
+    scaled to the corpus (operators/similarity.py ivf_semantic_pairs),
+    LINEAR by construction at any radius (pair work = n·target_rows;
+    scale probe `semantic_ivf_cc`). The exact tier (q_llm_dedup_semantic)
+    is the oracle-recomputable generator; THIS key carries the shape a
+    100 TB corpus runs, graded by its accuracy contract: emitted pairs
+    must be a subset of the exact pair set (exact sims within clusters —
+    the oracle's subset_ok) with recall ≥ 0.3 (recall_ok; boundary-
+    straddling pairs are the documented miss class)."""
+    from flink_quickstart_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_semantic_pairs,
+    )
+
+    t = tables(spark, sf_dir)
+    truth = cosine_neardup_pairs(t.embeddings, threshold=0.4).select(
+        "d1", "d2", F.lit(1).alias("is_true")
+    )
+    got = ivf_semantic_pairs(
+        t.embeddings, threshold=0.4, target_cluster_rows=100
+    ).select("d1", "d2", F.lit(1).alias("hit"))
+    joined = truth.join(got, ["d1", "d2"], "full_outer")
+    n_true = F.sum(F.coalesce("is_true", F.lit(0)))
+    matched = F.sum(
+        F.when(F.col("is_true").isNotNull() & F.col("hit").isNotNull(), 1).otherwise(0)
+    )
+    extra = F.sum(
+        F.when(F.col("is_true").isNull() & F.col("hit").isNotNull(), 1).otherwise(0)
+    )
+    return joined.agg(
+        n_true.cast("long").alias("n_true_pairs"),
+        (extra == 0).alias("subset_ok"),
+        ((matched / n_true) >= 0.3).alias("recall_ok"),
+    )
+
+
+@register(
     "q_llm_dedup_semantic",
     # Exact cosine pair graph (the deterministic tier — the oracle can
     # recompute it), closed into clusters by the same recursive

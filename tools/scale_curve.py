@@ -115,6 +115,14 @@ DOCUMENTED_SUPERLINEAR = {
         "ann_lsh_candidates); semantic_lsh_cc_sparse measures the "
         "production-sparse radius and must stay ~linear"
     ),
+    "q_llm_dedup_semantic_ivf": (
+        "CONTRACT key: computes the exact brute-force pair set as the "
+        "truth side of its subset/recall predicate, so it is "
+        "Θ(n²)-shaped by construction no matter how linear the IVF "
+        "stage is; the production component alone is measured by "
+        "semantic_ivf_cc (linear by construction: pair work = "
+        "n·target_cluster_rows)"
+    ),
 }
 
 # headline bench set + the heaviest verify keys (VERIFY_r04 timings) +
@@ -159,6 +167,13 @@ DEFAULT_KEYS = [
     # (dense, waived output-bound) and the production radius (sparse,
     # must stay ~linear)
     "semantic_lsh_cc", "semantic_lsh_cc_sparse", "semantic_ivf_cc",
+    "q_llm_dedup_semantic_ivf",
+    # r7b sweep follow-up: every remaining key above ~4 s at sf1 with
+    # no curve entry (q_llm_ann_query is the new registered production
+    # shape — its fixed 64-query batch + probe-all truth side must stay
+    # ~linear in the corpus, no waiver expected)
+    "q_llm_ann_query", "q_grouped_map_zscore", "q_graph_degree_stats",
+    "q_sql_q21", "q_udaf_wavg",
 ]
 
 

@@ -57,6 +57,7 @@ DEFAULT_KEYS = [
     "q_text_langid_ngram",
     "ann_ivf_build",
     "ann_ivf_query_fixed",
+    "semantic_ivf_cc",
 ]
 
 
