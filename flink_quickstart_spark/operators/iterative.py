@@ -37,6 +37,26 @@ def _truncate_lineage(df: DataFrame, use_reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _materialize_static(df: DataFrame) -> DataFrame:
+    """Materialize a LOOP-STATIC input once, via columnar cache.
+
+    Static inputs (the symmetrized edge table, degree-annotated edges,
+    node/dangling sets) need REUSE, not lineage truncation — their
+    plans don't grow with the iteration count. localCheckpoint was the
+    wrong tool for the corpus-mass ones (r7 sf10 decade finding): it
+    stores a deserialized InternalRow RDD, ~10× the footprint of the
+    compressed-columnar DataFrame cache, and at 100× data the 32 M-row
+    symmetrized edge snapshot exhausted execution memory mid-build
+    (UNABLE_TO_ACQUIRE_MEMORY). MEMORY_AND_DISK cache stores compressed
+    column batches, spills (never recomputes) under pressure, and
+    unpersists via the normal cache manager."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def _release(df: DataFrame | None) -> None:
     """Free a SUPERSEDED checkpoint's storage blocks.
 
@@ -99,7 +119,11 @@ def connected_components(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = _truncate_lineage(sym, reliable_checkpoint)
+    sym = (
+        _truncate_lineage(sym, True)
+        if reliable_checkpoint
+        else _materialize_static(sym)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -108,15 +132,21 @@ def connected_components(
 
     last_ckpt = None  # the checkpointed object itself (unpersist target)
     for i in range(max_iter):
-        # neighbor's current label, per edge
+        # Per-iteration joins pin SHUFFLE_HASH with the node-sized side
+        # as the sharded build (r7 sf10 decade finding): the label table
+        # grows with the corpus, but localCheckpoint preserves the
+        # origin's (underestimated) stats, so static planning broadcast
+        # a multi-million-row label table EVERY iteration and died at
+        # 100× ("Not enough memory to build and broadcast"). A
+        # node-population table is never a broadcast candidate.
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
+            sym.join(labels.hint("shuffle_hash"), sym.dst == labels.node)
             .select(sym.src.alias("node"), F.col("component"))
             .groupBy("node")
             .agg(F.min("component").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -177,21 +207,35 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = _truncate_lineage(nodes, reliable_checkpoint)
+    nodes = (
+        _truncate_lineage(nodes, True)
+        if reliable_checkpoint
+        else _materialize_static(nodes)
+    )
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     # Static across iterations: nodes with no out-edges, and the
     # degree-annotated edge list (inner join drops dangling sources).
-    dangling_nodes = _truncate_lineage(
-        nodes.join(out_deg, "node", "left_anti"), reliable_checkpoint
+    # node-sized sides SHUFFLE_HASH-pinned, same law as the CC loop:
+    # checkpointed snapshots carry underestimated origin stats, and a
+    # node/degree table grows with the corpus — broadcasting it at 100×
+    # is a designed OOM
+    def _static(df: DataFrame) -> DataFrame:
+        return (
+            _truncate_lineage(df, True)
+            if reliable_checkpoint
+            else _materialize_static(df)
+        )
+
+    dangling_nodes = _static(
+        nodes.join(out_deg.hint("shuffle_hash"), "node", "left_anti")
     )
-    edges_deg = _truncate_lineage(
-        edges.join(out_deg, edges.src == out_deg.node).select(
-            "src", "dst", "out_deg"
-        ),
-        reliable_checkpoint,
+    edges_deg = _static(
+        edges.join(
+            out_deg.hint("shuffle_hash"), edges.src == out_deg.node
+        ).select("src", "dst", "out_deg")
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
@@ -199,11 +243,11 @@ def pagerank(
     for i in range(iterations):
         # 1-row dangling-mass aggregate, broadcast-folded (no collect)
         dmass = (
-            ranks.join(dangling_nodes, "node", "left_semi")
+            ranks.join(dangling_nodes.hint("shuffle_hash"), "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
         )
         contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(ranks.hint("shuffle_hash"), edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -212,7 +256,7 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "node",

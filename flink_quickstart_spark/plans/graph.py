@@ -24,10 +24,19 @@ from flink_quickstart_spark.plans.registry import register, tables
 
 def _bipartite_edges(spark, sf_dir):
     """customer —bought-from— supplier edges; supplier ids offset into
-    their own namespace. Distinct edge list, one shuffle."""
+    their own namespace. Distinct edge list, one shuffle.
+
+    The fact-fact join pins MERGE (r7 sf10 decade finding): a 2-column
+    orders projection prunes to a few MB of parquet estimate even when
+    the table is tens of millions of rows, so static planning chose to
+    BROADCAST a fact side at 100× ("Not enough memory to build and
+    broadcast"). A fact table is never a broadcast candidate no matter
+    what the pruned-scan estimate says."""
     t = tables(spark, sf_dir)
     return (
-        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        t.orders.join(
+            t.lineitem.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .select(
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
@@ -195,8 +204,12 @@ def q_graph_triangles(spark, sf_dir):
     projection here is deliberately small so the oracle's cubic check
     stays cheap while the Spark plan is the real distributed one."""
     t = tables(spark, sf_dir)
+    # fact-fact join MERGE-pinned (same pruned-scan-estimate law as
+    # _bipartite_edges); the dim joins after it stay broadcastable
     raw = (
-        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        t.orders.join(
+            t.lineitem.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
@@ -314,8 +327,12 @@ def q_graph_common_neighbors(spark, sf_dir):
     from pyspark.sql import Window
 
     t = tables(spark, sf_dir)
+    # fact-fact join: MERGE pinned for the same reason as
+    # _bipartite_edges (pruned-scan estimate under-sizes a fact side)
     edges = (
-        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        t.orders.join(
+            t.lineitem.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
     )
@@ -335,11 +352,13 @@ def q_graph_common_neighbors(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= 20)
     )
+    # degree tables grow with the supplier population — SHUFFLE_HASH
+    # with them as the sharded build side, not a broadcast candidate
     d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("deg1"))
     d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("deg2"))
     return (
-        pairs.join(d1, "s1")
-        .join(d2, "s2")
+        pairs.join(d1.hint("shuffle_hash"), "s1")
+        .join(d2.hint("shuffle_hash"), "s2")
         .select(
             "s1",
             "s2",

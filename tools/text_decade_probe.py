@@ -15,7 +15,12 @@ probe records r_decade = t(sf10text)/t(sf1) and the growth exponent
 e = log10(r); flags e above the same slack the main tool uses, with
 the same documented-superlinear waiver table.
 
-Run: ``python tools/text_decade_probe.py [--keys k1,k2] [--json PATH]``
+``--set relational`` probes the join/agg/window/graph tier instead,
+against a FULL 100× staging (``make_sf.py 100 .scale/sf10``) — the
+decade the text-only staging cannot exercise.
+
+Run: ``python tools/text_decade_probe.py [--set text|relational]
+[--keys k1,k2] [--json PATH]``
 """
 
 from __future__ import annotations
@@ -60,6 +65,28 @@ DEFAULT_KEYS = [
     "semantic_ivf_cc",
 ]
 
+# the relational/graph tier for a FULL sf10 decade (--set relational,
+# staged plain `make_sf.py 100 .scale/sf10`): the heaviest join / agg /
+# window / theta / iterative keys — the tiers the text decade can't see
+RELATIONAL_KEYS = [
+    "q_agg_group",
+    "q_join_star",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_topk_pergroup",
+    "q_fn_json",
+    "q_agg_rfm",
+    "q_agg_approxcd",
+    "q_cogroup_stats_agg",
+    "q_sql_q21",
+    "q_join_theta",
+    "q_graph_pagerank",
+    "q_graph_components",
+    "q_graph_common_neighbors",
+    "q_sessionize_gaps_islands",
+    "q_merge_upsert",
+]
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -71,10 +98,26 @@ def main() -> int:
         help="with --json and --keys: preload the existing JSON and "
         "merge this run's entries into it (targeted re-probe)",
     )
+    ap.add_argument(
+        "--set", default="text", choices=("text", "relational"),
+        help="default key set: 'text' (documents/embeddings tier vs "
+        "sf10text) or 'relational' (join/agg/window tier vs a full "
+        "sf10 staging)",
+    )
+    ap.add_argument("--decade-dir", default=None,
+                    help="override the 10x directory (default: sf10text "
+                    "for --set text, .scale/sf10 for --set relational)")
     args = ap.parse_args()
 
+    global SF_DECADE
+    if args.decade_dir:
+        SF_DECADE = args.decade_dir
+    elif args.set == "relational":
+        SF_DECADE = str(REPO / ".scale" / "sf10")
+
     load_all()
-    keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
+    default = DEFAULT_KEYS if args.set == "text" else RELATIONAL_KEYS
+    keys = args.keys.split(",") if args.keys else default
     unknown = [k for k in keys if k not in registry.REGISTRY and k not in sc.COMPONENT_PROBES]
     if unknown:
         print(f"unknown keys: {unknown}")
