@@ -275,6 +275,7 @@ def pagerank(
     # loop-static inputs may be released only if that snapshot is
     # self-contained (final iteration checkpointed)
     if iterations > 0 and iterations % checkpoint_interval == 0:
+        _release(nodes)
         _release(dangling_nodes)
         _release(edges_deg)
     return ranks

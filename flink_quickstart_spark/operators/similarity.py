@@ -168,6 +168,53 @@ def cosine_neardup_pairs(
     return df.select(id_col, vec_col).mapInPandas(pairs, "d1 bigint, d2 bigint, sim double")
 
 
+def _train_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    kmeans_iters: int,
+    sample_rows: int,
+) -> np.ndarray:
+    """Deterministic bounded-sample k-means (driver-side numpy) shared
+    by every IVF tier.
+
+    The training sample is the top-``sample_rows`` rows by id: Catalyst
+    executes orderBy+limit as TakeOrderedAndProject (per-partition heap
+    + driver merge — one linear scan, NO full sort), so the sample is
+    order-stable across runs, partitionings, and AQE decisions. A bare
+    ``limit()`` on a distributed scan is not deterministic (r7 ADVICE),
+    which would silently break the deterministic-seed contract the
+    registry oracles grade against. Returns unit-normalized centroids.
+    """
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_clusters = min(n_clusters, len(mat))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=n_clusters, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def _member_schema(df: DataFrame, id_col: str, vec_col: str) -> str:
+    """Derive the (cluster_id, id, vec) mapInPandas schema from the
+    input frame — a hardcoded ``bigint``/``array<float>`` fails string
+    ids and silently narrows double vectors (r7 ADVICE)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    return f"cluster_id int, {id_col} {id_t}, {vec_col} {vec_t}"
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -198,18 +245,9 @@ def ivf_topk(
     brute force is additionally asserted in tests.
     """
     spark = df.sparkSession
-    sample = df.select(id_col, vec_col).limit(sample_rows).toPandas()
-    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = _train_centroids(
+        df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
+    )
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -240,7 +278,7 @@ def ivf_topk(
                 }
             )
 
-    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    schema = _member_schema(df, id_col, vec_col)
     members = df.select(id_col, vec_col).mapInPandas(assign_members, schema)
     probes = df.select(id_col, vec_col).mapInPandas(assign_probes, schema)
 
@@ -325,19 +363,10 @@ def ivf_semantic_pairs(
     spark = df.sparkSession
     n = df.count()
     n_clusters = max(4, -(-n // target_cluster_rows))
-    sample = df.select(vec_col).limit(sample_rows).toPandas()
-    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    n_clusters = min(n_clusters, len(mat))
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=n_clusters, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(n_clusters):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = _train_centroids(
+        df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
+    )
+    n_clusters = len(centroids)
     bc = spark.sparkContext.broadcast(centroids)
 
     n_soft = max(1, min(n_assign, n_clusters))
@@ -360,7 +389,7 @@ def ivf_semantic_pairs(
                 }
             )
 
-    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    schema = _member_schema(df, id_col, vec_col)
     members = df.select(id_col, vec_col).mapInPandas(assign_members, schema)
 
     def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -374,14 +403,15 @@ def ivf_semantic_pairs(
         i, j = np.nonzero(mask)
         return pd.DataFrame(
             {
-                "d1": ids[i].astype(np.int64),
-                "d2": ids[j].astype(np.int64),
+                "d1": ids[i],
+                "d2": ids[j],
                 "sim": np.round(sims[i, j], sim_decimals),
             }
         )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     pairs = members.groupBy("cluster_id").applyInPandas(
-        local_pairs, "d1 bigint, d2 bigint, sim double"
+        local_pairs, f"d1 {id_t}, d2 {id_t}, sim double"
     )
     # soft assignment can emit the same pair from up to n_soft shared
     # cells; sims are exact so duplicates are identical rows
@@ -410,20 +440,9 @@ def ivf_build_index(
     needs: training cost is paid once, every query session afterwards
     loads |centroids| floats and prunes the member scan."""
     spark = df.sparkSession
-    sample = df.select(id_col, vec_col).limit(sample_rows).toPandas()
-    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    centroids = mat[
-        rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
-    ]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = _train_centroids(
+        df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
+    )
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,7 +458,7 @@ def ivf_build_index(
                 }
             )
 
-    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    schema = _member_schema(df, id_col, vec_col)
     (
         df.select(id_col, vec_col)
         .mapInPandas(assign_members, schema)
@@ -451,6 +470,60 @@ def ivf_build_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def source_fingerprint(path: str) -> str:
+    """Cheap metadata-only identity of a parquet file/dir: sha256 over
+    sorted (relative name, size, mtime_ns) of every data file. Used to
+    INVALIDATE persisted indexes — a build-once index keyed only on the
+    source path silently serves stale vectors after the source is
+    re-staged in place (r7 ADVICE, medium)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def ensure_ivf_index(
+    df: DataFrame,
+    path: str,
+    source_path: str,
+    n_clusters: int = 16,
+    **build_kwargs,
+) -> bool:
+    """Build-or-reuse guard for a persisted IVF index: rebuild when the
+    index is absent OR its recorded source fingerprint no longer matches
+    ``source_path`` (re-staged data, or two source dirs hashing to the
+    same index path). Returns True when a (re)build ran.
+
+    The fingerprint is file metadata only (names/sizes/mtimes — no data
+    scan), written atomically AFTER a successful build so a crashed
+    build can never pass the check."""
+    import os
+
+    fp = source_fingerprint(source_path)
+    marker = os.path.join(path, "_source_fingerprint")
+    if os.path.exists(os.path.join(path, "centroids")) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return False
+    ivf_build_index(df, path, n_clusters=n_clusters, **build_kwargs)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(fp)
+    os.replace(tmp, marker)
+    return True
 
 
 def ivf_query_index(
@@ -493,7 +566,7 @@ def ivf_query_index(
                 }
             )
 
-    schema = f"cluster_id int, {id_col} bigint, {vec_col} array<float>"
+    schema = _member_schema(queries, id_col, vec_col)
     probes = queries.select(id_col, vec_col).mapInPandas(assign_probes, schema)
     members = spark.read.parquet(f"{path}/members").join(
         F.broadcast(probes.select("cluster_id").distinct()),

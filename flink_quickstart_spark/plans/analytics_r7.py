@@ -86,7 +86,7 @@ def q_llm_ann_query(spark, sf_dir):
     probed with n_probe = n_clusters — an exact search, deterministic
     end-to-end, so the contract isolates exactly what pruning costs."""
     from flink_quickstart_spark.operators.similarity import (
-        ivf_build_index,
+        ensure_ivf_index,
         ivf_query_index,
     )
 
@@ -97,8 +97,15 @@ def q_llm_ann_query(spark, sf_dir):
         "ivf_index",
         os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.exists(os.path.join(idx, "centroids")):
-        ivf_build_index(t.embeddings, idx, n_clusters=16)
+    # fingerprint-guarded build-or-reuse (r8, ADVICE r7 medium): a
+    # basename-keyed cache alone silently serves a stale index after the
+    # source is re-staged in place or when two sf dirs share a basename
+    ensure_ivf_index(
+        t.embeddings,
+        idx,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        n_clusters=16,
+    )
     queries = t.embeddings.orderBy("vec_id").limit(64)
     exact = ivf_query_index(spark, idx, queries, k=3, n_probe=16).select(
         "query_id", "nbr_id"

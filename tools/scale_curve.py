@@ -259,8 +259,16 @@ def _probe_ivf_build(spark, sf):
 
 
 def _prepare_ivf_index(spark, sf):
-    if not (Path(_ivf_index_path(sf)) / "centroids").exists():
-        _probe_ivf_build(spark, sf)
+    # fingerprint-guarded (r8): rebuilds when the staged embeddings
+    # change under an unchanged sf name (make_sf.py overwrites in place)
+    from flink_quickstart_spark.operators.similarity import ensure_ivf_index
+
+    ensure_ivf_index(
+        _embeddings(spark, sf),
+        _ivf_index_path(sf),
+        str(Path(sf) / "embeddings.parquet"),
+        n_clusters=16,
+    )
 
 
 def _probe_ivf_query(spark, sf):

@@ -171,7 +171,7 @@ def main() -> int:
         rec = {
             "status": "superlinear" if flag else "ok",
             "sf1_sec": round(t_base, 3),
-            "sf10text_sec": round(t_dec, 3),
+            "decade_sec": round(t_dec, 3),
             "r_decade": round(r, 2),
             "e_decade": round(e_dec, 2),
         }
@@ -190,14 +190,26 @@ def main() -> int:
         f"(threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x text data) =="
     )
     if args.json:
+        # derive the staging description from the ACTUAL decade dir —
+        # the r7 relational artifact copy-pasted the text-tier recipe
+        # and misdescribed its own (full, no-symlink) sf10 staging
+        if args.set == "text" and not args.decade_dir:
+            staging = (
+                "text tables (documents/embeddings) at 100x sf0.1, "
+                "others symlinked to sf1"
+            )
+        else:
+            staging = f"full staging at {SF_DECADE} (no symlinks)"
         with open(args.json, "w") as fh:
             json.dump(
                 {
                     "growth": GROWTH,
                     "threshold_ratio": GROWTH * LINEAR_SLACK,
+                    "set": args.set,
+                    "decade_dir": SF_DECADE,
                     "method": "min-of-N warm collect() per key per sf; "
-                    "text tables at 100x sf0.1, others symlinked to sf1; "
-                    "shuffle partitions sized for sf10text",
+                    f"{staging}; shuffle partitions sized for the "
+                    "decade dir",
                     "keys": results,
                 },
                 fh,
