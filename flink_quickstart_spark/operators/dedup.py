@@ -166,7 +166,12 @@ def minhash_lsh_pairs(
         vocab = shingles.agg(
             F.approx_count_distinct("shingle").alias("d")
         ).first()["d"]
-        num_features = 1 << max(18, min(26, (32 * max(vocab, 1) - 1).bit_length()))
+        # clamp ceiling 2^28 (r8; was 2^26, which bit at the sf10text
+        # decade: 2.6 M distinct shingles × 32 = 84 M > 2^26 — the slot
+        # space must OUTGROW the vocab or spurious collisions return at
+        # the next decade; min-hash cost is ∝ nnz, not slot count, so a
+        # wide sparse universe is free)
+        num_features = 1 << max(18, min(28, (32 * max(vocab, 1) - 1).bit_length()))
     sh = shingles.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features",

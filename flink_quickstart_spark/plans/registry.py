@@ -172,6 +172,24 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         "q_ts_resample_interp", "q_window_distinct_users",
         "q_window_ohlc", "q_window_rate_anomaly",
         "q_window_topk_types",
+        # round-7 driver sample (CORRECTNESS_r07.json, 50 keys, all
+        # green) — frozen r8; cumulative coverage 246/246. New r8 keys
+        # are the only never-sampled tier and sort first.
+        "q_ab_welch_ttest", "q_agg_approx_percentile",
+        "q_agg_argminmax", "q_agg_bitops", "q_agg_bool",
+        "q_agg_cohort_ltv", "q_agg_collect", "q_agg_countdistinct",
+        "q_agg_cube", "q_agg_entropy", "q_agg_global", "q_agg_group",
+        "q_agg_groupingsets", "q_agg_having", "q_agg_histogram",
+        "q_agg_hll_rollup", "q_agg_moments", "q_agg_pareto",
+        "q_agg_percentile", "q_agg_quantile_rollup",
+        "q_agg_regression", "q_agg_rollup", "q_agg_salted",
+        "q_agg_skew_audit", "q_agg_stats_family", "q_cogroup_stats_agg",
+        "q_dq_benford", "q_embed_covariance", "q_join_theta_pctile",
+        "q_join_theta_sum", "q_llm_ann_query", "q_llm_bpe_encode",
+        "q_llm_dedup_semantic", "q_llm_dedup_semantic_ivf", "q_sql_q4",
+        "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
+        "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",
+        "q_ts_seasonal_profile", "q_wf_streaks",
     }
 )
 
@@ -186,20 +204,64 @@ _NEWEST_MODULES = (
 )
 _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 
+# r8 (VERDICT r7 #6): cumulative coverage hit 246/246 in r7, so the new
+# axis is RECENCY — keys whose last driver sample predates later
+# rewrites of their dependency files. tools/staleness_report.py computes
+# the set (last sample ≥3 rounds old AND a dep file changed since, from
+# CORRECTNESS_r*.json × git history); this frozen ordering (stalest
+# first — last-sample round ascending, name within) drains the backlog
+# right after any never-sampled keys. Regenerate at round close:
+#   python tools/staleness_report.py --json STALENESS_r{N}.json
+_STALE_PRIORITY: tuple[str, ...] = (
+    "q_cogroup_stats", "q_fn_array", "q_fn_conditional", "q_fn_datetime",
+    "q_fn_hash", "q_fn_json", "q_fn_map", "q_fn_math", "q_fn_string",
+    "q_graph_components", "q_graph_pagerank", "q_grouped_map_zscore",
+    "q_join_anti", "q_join_asof", "q_join_broadcast", "q_join_cross",
+    "q_join_interval", "q_join_orders_customer", "q_join_outer",
+    "q_join_range_binned", "q_join_semi", "q_join_star", "q_join_theta",
+    "q_llm_dedup_exact", "q_llm_knn", "q_llm_langstats",
+    "q_llm_lexicon_score", "q_llm_neardup", "q_llm_neardup_cosine",
+    "q_llm_tfidf", "q_llm_wordcount", "q_udf_scalar", "q_udtf_split",
+    "q_cast_types", "q_count_window", "q_except", "q_flatmap_tokenize",
+    "q_funnel", "q_intersect", "q_limit_topn", "q_llm_simhash",
+    "q_multimodal_decode", "q_profile_columns", "q_sample_split",
+    "q_sample_stratified", "q_scan_csv_roundtrip", "q_sort",
+    "q_sql_corr_subquery", "q_sql_q10", "q_sql_q14", "q_sql_q3",
+    "q_sql_q6", "q_sql_window", "q_text_fingerprint", "q_text_langid",
+    "q_text_langid_ngram", "q_text_quality", "q_text_tokens",
+    "q_topk_pergroup", "q_ts_znorm_match", "q_union", "q_wf_distribution",
+    "q_wf_firstlast", "q_wf_rangeframe", "q_wf_rank", "q_wf_running",
+    "q_wf_trailing_7d", "q_filter_pred", "q_join_bucketed",
+    "q_llm_ann_ivf", "q_llm_ann_lsh", "q_llm_chunk",
+    "q_llm_decontaminate", "q_llm_dedup_groups", "q_llm_dedup_spans",
+    "q_llm_neardup_minhash", "q_llm_pack_sequences",
+    "q_llm_sample_balanced", "q_multimodal_framesample",
+    "q_project_arith", "q_scan_json_corrupt", "q_scan_orc_roundtrip",
+    "q_sql_cte_topk", "q_sql_exists", "q_sql_q13", "q_sql_q15",
+    "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
+    "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
+    "q_text_pii_scrub", "q_ts_features", "q_ts_ffill", "q_wf_laglead",
+    "q_wf_nth",
+)
+_STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
+
 
 def _driver_order(names) -> list[str]:
     """Never-driver-sampled keys first — round-4/5 additions ahead of
-    the older backlog — then ever-sampled keys, registration order
-    within each tier."""
+    the older backlog — then evidence-STALE keys (stalest first, the r8
+    recency backlog), then the rest in registration order."""
     names = list(names)
 
-    def tier(n: str) -> int:
-        if n in _EVER_DRIVER_SAMPLED:
-            return 2
-        mod = REGISTRY[n].builder.__module__
-        return 0 if (mod in _NEWEST_MODULES or n in _NEWEST_EXTRA) else 1
+    def tier(n: str):
+        if n not in _EVER_DRIVER_SAMPLED:
+            mod = REGISTRY[n].builder.__module__
+            t = 0 if (mod in _NEWEST_MODULES or n in _NEWEST_EXTRA) else 1
+            return (t, names.index(n))
+        if n in _STALE_RANK:
+            return (2, _STALE_RANK[n])
+        return (3, names.index(n))
 
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+    return sorted(names, key=tier)
 
 
 def queries() -> dict[str, Builder]:

@@ -1,0 +1,159 @@
+"""Round-8 invariants: the persisted LSH index (the capped fixed-batch
+ANN production shape, VERDICT r7 #1) and the fingerprint-guarded
+index-reuse machinery (ADVICE r7, medium).
+
+- lsh_query_index results must be EXACT on whatever it returns (a
+  subset of the true within-radius matches — the rescore is exact, so
+  zero false positives), with recall vs the linear radius_search truth
+  ≥ the registered contract bound.
+- The posting cap must bound output deterministically and keep the
+  subset property.
+- ensure_*_index must rebuild exactly when the source fingerprint
+  changes and no-op otherwise.
+- The r8 determinism fix: k-means training samples are order-stable,
+  so two builds from the same data give identical centroids.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans import load_all
+from flink_quickstart_spark.plans.registry import REGISTRY, tables
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def _pairs(df):
+    return {(r.query_id, r.nbr_id) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark, tmp_path_factory):
+    from flink_quickstart_spark.operators.similarity import ensure_lsh_index
+
+    idx = str(tmp_path_factory.mktemp("lsh") / "idx")
+    emb = tables(spark, SF_DIR).embeddings
+    built = ensure_lsh_index(emb, idx, f"{SF_DIR}/embeddings.parquet")
+    assert built is True
+    return idx
+
+
+def test_lsh_query_subset_and_recall(spark, lsh_index):
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_query_index,
+        radius_search,
+    )
+
+    emb = tables(spark, SF_DIR).embeddings
+    queries = emb.orderBy("vec_id").limit(64)
+    got = lsh_query_index(spark, lsh_index, queries, radius=1.2)
+    truth = radius_search(emb, queries, radius=1.2)
+    got_p, truth_p = _pairs(got), _pairs(truth)
+    assert got_p, "LSH search returned nothing at the test radius"
+    assert got_p <= truth_p, "LSH emitted a pair outside the radius"
+    recall = len(got_p) / len(truth_p)
+    assert recall >= 0.85, f"recall {recall:.3f} below the contract bound"
+    # exact rescore: every returned dist must equal the truth dist
+    joined = got.alias("g").join(
+        truth.alias("t"), ["query_id", "nbr_id"]
+    ).where(F.col("g.dist") != F.col("t.dist"))
+    assert joined.count() == 0
+
+
+def test_lsh_posting_cap_bounds_and_subset(spark, lsh_index):
+    from flink_quickstart_spark.operators.similarity import lsh_query_index
+
+    emb = tables(spark, SF_DIR).embeddings
+    queries = emb.orderBy("vec_id").limit(16)
+    full = _pairs(lsh_query_index(spark, lsh_index, queries, radius=1.2))
+    capped = lsh_query_index(
+        spark, lsh_index, queries, radius=1.2, cap_per_bucket=8
+    )
+    capped_p = _pairs(capped)
+    assert capped_p <= full, "capping must only REMOVE candidates"
+    assert len(capped_p) < len(full), (
+        "cap_per_bucket=8 should bite on 500 vectors spread over few buckets"
+    )
+    # deterministic: the capped result is stable across runs
+    again = _pairs(
+        lsh_query_index(spark, lsh_index, queries, radius=1.2, cap_per_bucket=8)
+    )
+    assert again == capped_p
+
+
+def test_lsh_max_matches_per_query(spark, lsh_index):
+    from flink_quickstart_spark.operators.similarity import lsh_query_index
+
+    emb = tables(spark, SF_DIR).embeddings
+    queries = emb.orderBy("vec_id").limit(16)
+    out = lsh_query_index(
+        spark, lsh_index, queries, radius=1.2, max_matches_per_query=2
+    )
+    per_q = out.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= 2
+    # nearest-first: the kept rows are the minimum dists per query
+    full = lsh_query_index(spark, lsh_index, queries, radius=1.2)
+    for q, kept in (
+        out.groupBy("query_id").agg(F.max("dist").alias("kept_max")).collect()
+    ):
+        dists = sorted(
+            r.dist for r in full.where(F.col("query_id") == q).collect()
+        )
+        assert kept == pytest.approx(dists[:2][-1])
+
+
+def test_ensure_index_fingerprint_invalidation(spark, tmp_path):
+    import os
+    import shutil
+
+    from flink_quickstart_spark.operators.similarity import ensure_lsh_index
+
+    emb = tables(spark, SF_DIR).embeddings
+    src = str(tmp_path / "emb_src.parquet")
+    shutil.copyfile(f"{SF_DIR}/embeddings.parquet", src)
+    idx = str(tmp_path / "idx")
+    assert ensure_lsh_index(emb, idx, src) is True
+    assert ensure_lsh_index(emb, idx, src) is False, "unchanged source must no-op"
+    os.utime(src)  # re-staged in place: same path, new mtime
+    assert ensure_lsh_index(emb, idx, src) is True, (
+        "changed fingerprint must rebuild"
+    )
+
+
+def test_kmeans_training_sample_is_deterministic(spark):
+    from flink_quickstart_spark.operators.similarity import _train_centroids
+
+    emb = tables(spark, SF_DIR).embeddings
+    a = _train_centroids(emb, "vec_id", "embedding", 8, 42, 3, 20_000)
+    # shuffle the input partitioning — the orderBy+limit sample must not care
+    b = _train_centroids(
+        emb.repartition(7), "vec_id", "embedding", 8, 42, 3, 20_000
+    )
+    assert (a == b).all()
+
+
+def test_registered_lsh_query_key(spark):
+    rows = REGISTRY["q_llm_ann_lsh_query"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    assert rows[0].n_queries == 64
+    assert rows[0].recall_ok is True
+
+
+def test_ivf_semantic_pairs_string_ids(spark):
+    """r8 schema-derivation fix: ivf_semantic_pairs must work with
+    string ids and double vectors (previously hardcoded bigint /
+    array<float>)."""
+    from flink_quickstart_spark.operators.similarity import ivf_semantic_pairs
+
+    emb = tables(spark, SF_DIR).embeddings.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 6, "0")).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pairs = ivf_semantic_pairs(emb, threshold=0.4, target_cluster_rows=100)
+    rows = pairs.collect()
+    assert rows, "expected some within-cluster pairs at cosine 0.4"
+    assert all(isinstance(r.d1, str) and r.d1.startswith("doc-") for r in rows[:5])
+    assert all(r.d1 < r.d2 for r in rows)

@@ -76,9 +76,12 @@ DOCUMENTED_SUPERLINEAR = {
         "~quadratically as the fixed embedding distribution densifies "
         "(22 k pairs at sf0.1 → 2.3 M at sf1, invariant across bucket "
         "settings — bucket_length 0.1–0.5 × 4–8 tables all land within "
-        "25%), so any ≥0.85-recall candidate generator is Ω(#pairs). "
-        "At production scale output stays sparse by tightening the "
-        "radius or sharding by band key (docs/SCALE_DESIGN.md §ANN)"
+        "25%), so any ≥0.85-recall ALL-PAIRS candidate generator is "
+        "Ω(#pairs). The capped fixed-batch production twin is "
+        "q_llm_ann_lsh_query / ann_lsh_query_fixed (r8): persisted "
+        "pos-capped posting lists bound per-query work by construction, "
+        "measured on the curve — this key remains only as the all-pairs "
+        "recall-contract generator"
     ),
     "ann_lsh_candidates": (
         "same output-bound law as q_llm_ann_lsh — this probe IS its "
@@ -174,6 +177,10 @@ DEFAULT_KEYS = [
     # ~linear in the corpus, no waiver expected)
     "q_llm_ann_query", "q_grouped_map_zscore", "q_graph_degree_stats",
     "q_sql_q21", "q_udaf_wavg",
+    # r8 (VERDICT r7 #1): the capped fixed-batch LSH production shape —
+    # build cost (linear) and the bounded query path (must stay ~flat),
+    # plus the registered contract key (linear truth + capped search)
+    "ann_lsh_build", "ann_lsh_query_fixed", "q_llm_ann_lsh_query",
 ]
 
 
@@ -258,6 +265,42 @@ def _probe_ivf_build(spark, sf):
     return None
 
 
+def _lsh_index_path(sf: str) -> str:
+    return str(REPO / ".scale" / "lsh_index" / Path(sf).name)
+
+
+def _probe_lsh_build(spark, sf):
+    from flink_quickstart_spark.operators.similarity import lsh_build_index
+
+    lsh_build_index(_embeddings(spark, sf), _lsh_index_path(sf))
+    return None
+
+
+def _prepare_lsh_index(spark, sf):
+    from flink_quickstart_spark.operators.similarity import ensure_lsh_index
+
+    ensure_lsh_index(
+        _embeddings(spark, sf),
+        _lsh_index_path(sf),
+        str(Path(sf) / "embeddings.parquet"),
+    )
+
+
+def _probe_lsh_query_fixed(spark, sf):
+    # the capped fixed-batch LSH production shape (r8, VERDICT r7 #1):
+    # 64 queries vs a prebuilt posting-capped index — per-query work is
+    # bounded by cap_per_bucket × num_tables BY CONSTRUCTION, so this
+    # must stay ~flat as the corpus grows (the registered key
+    # q_llm_ann_lsh_query adds the linear exact-truth side; this probe
+    # times the production query path alone)
+    from flink_quickstart_spark.operators.similarity import lsh_query_index
+
+    queries = _embeddings(spark, sf).orderBy("vec_id").limit(64)
+    return lsh_query_index(
+        spark, _lsh_index_path(sf), queries, radius=1.2, cap_per_bucket=4096
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def _prepare_ivf_index(spark, sf):
     # fingerprint-guarded (r8): rebuilds when the staged embeddings
     # change under an unchanged sf name (make_sf.py overwrites in place)
@@ -301,6 +344,8 @@ COMPONENT_PROBES = {
     "ann_ivf_build": (None, _probe_ivf_build),
     "ann_ivf_probe": (_prepare_ivf_index, _probe_ivf_query),
     "ann_ivf_query_fixed": (_prepare_ivf_index, _probe_ivf_query_fixed),
+    "ann_lsh_build": (None, _probe_lsh_build),
+    "ann_lsh_query_fixed": (_prepare_lsh_index, _probe_lsh_query_fixed),
 }
 
 

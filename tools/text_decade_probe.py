@@ -63,6 +63,9 @@ DEFAULT_KEYS = [
     "ann_ivf_build",
     "ann_ivf_query_fixed",
     "semantic_ivf_cc",
+    # r8: the capped fixed-batch LSH production shape (VERDICT r7 #1)
+    "ann_lsh_build",
+    "ann_lsh_query_fixed",
 ]
 
 # the relational/graph tier for a FULL sf10 decade (--set relational,
