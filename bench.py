@@ -55,7 +55,11 @@ def main() -> None:
         builder = registry.REGISTRY[key].builder
         builder(spark, sf_dir).collect()  # warm-up: codegen + IO cache
         best = float("inf")
-        for _ in range(2):
+        # SPARK_GRAFT_BENCH_RUNS > 2 gives the controlled min-of-N for
+        # drift pinning (r8: the r7 driver bench regressed uniformly
+        # +19% vs r6 with untouched plans — environment noise; the
+        # local control series uses N=5 to separate noise from plans)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
             t0 = time.time()
             builder(spark, sf_dir).collect()
             best = min(best, time.time() - t0)

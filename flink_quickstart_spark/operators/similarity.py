@@ -698,9 +698,28 @@ def lsh_query_index(
     )
     # NOTE: _band_bucket_cols reads ``vec_col`` — queries must carry the
     # same vector column name the index was built with.
+    #
+    # STATIC partition pruning (r8): DPP does not fire for this join
+    # shape (measured: PartitionFilters carried only isnotnull), so the
+    # probed (band, bucket) combos are collected from one tiny job over
+    # the query batch — ≤ |batch| × num_tables rows, driver-bounded by
+    # construction, computed with the SAME JVM expressions the join uses
+    # (a driver-side numpy recompute could disagree at bucket boundaries
+    # under float reordering) — and applied as a static predicate on the
+    # partition columns. The scan then lists only probed directories.
+    combos = qb.select("band_id", "bucket").distinct().collect()
+    by_band: dict[int, list[int]] = {}
+    for r in combos:
+        by_band.setdefault(r.band_id, []).append(r.bucket)
+    prune = None
+    for band, buckets in by_band.items():
+        clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
+        prune = clause if prune is None else (prune | clause)
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("pos") <= cap_per_bucket
     )
+    if prune is not None:
+        postings = postings.where(prune)
     cand = postings.join(F.broadcast(qb), ["band_id", "bucket"]).where(
         F.col(id_col) != F.col("query_id")
     )

@@ -22,7 +22,13 @@ import pytest
 
 @pytest.mark.skipif(
     not tws_available(),
-    reason="transformWithStateInPandas needs protobuf (deploy-time dep, not in container)",
+    reason=(
+        "transformWithStateInPandas needs protobuf (deploy-time dep; "
+        "r8 retry: no wheel in any pip cache/ensurepip bundle and only "
+        "typeshed stubs on disk — installs are forbidden here, so the "
+        "e2e stays gated; harness-level timer semantics are pinned "
+        "below without the wire transport)"
+    ),
 )
 def test_timer_sessionizer_closes_sessions(spark):
     """availableNow replay: the final watermark fires outstanding timers

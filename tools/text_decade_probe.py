@@ -68,6 +68,47 @@ DEFAULT_KEYS = [
     "ann_lsh_query_fixed",
 ]
 
+# r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
+# bound (e ≥ 1.0) pass the 15× gate but deserve an explicit status and
+# a quantified output law, not a bare "ok" — each entry documents WHY
+# r ≈ growth is the floor for that key. A key measuring e ≥ 1.0 without
+# an entry here is recorded `linear_at_bound_undocumented` and counts
+# as a flag, forcing the law to be written down.
+DECADE_OUTPUT_LAWS = {
+    "q_graph_common_neighbors": (
+        "output-bound at exactly the data's growth law: common-neighbor "
+        "pairs are the wedge count Σ_w C(deg(w),2); the staged decade is "
+        "key-shifted DISJOINT copies, so wedges — and thus output — grow "
+        "exactly 10×. r ≈ 10 IS the linear envelope; per-wedge cost is "
+        "constant (equi-join on node id, never all-pairs)"
+    ),
+    "q_window_session": (
+        "output-bound: 10× users emit ~10× sessions (sessions are "
+        "per-user; the staged decade grows users, not per-user event "
+        "density), and the plan is one shuffle on user_id with no "
+        "cross-user state — r ≈ 10 is the output floor"
+    ),
+    "q_llm_winnowing": (
+        "output-bound: winnowing fingerprints are per-document rows "
+        "(constant per doc), so 10× docs emit 10× fingerprints and the "
+        "shared-fingerprint join output grows with the planted near-dup "
+        "structure — also exactly 10× on disjoint-vocabulary staging"
+    ),
+    "q_llm_neardup_minhash": (
+        "output-bound: verified near-dup pairs grow exactly 10× on the "
+        "disjoint-vocabulary staging (measured r8: 2 560 → 25 600 "
+        "candidates AND verified pairs after the slot-universe fix), so "
+        "r ≈ 10 is the floor; the residual above 10 is the shingle "
+        "verify join's constant, not a growth term"
+    ),
+    "q_llm_dedup_groups": (
+        "output-bound: near-dup pair edges and the resulting clusters "
+        "grow exactly 10× on disjoint-vocabulary staging; the min-label "
+        "CC loop shuffles on node id with iteration count fixed by the "
+        "(unchanged) cluster diameter"
+    ),
+}
+
 # the relational/graph tier for a FULL sf10 decade (--set relational,
 # staged plain `make_sf.py 100 .scale/sf10`): the heaviest join / agg /
 # window / theta / iterative keys — the tiers the text decade can't see
@@ -184,6 +225,22 @@ def main() -> int:
             rec["waiver"] = sc.DOCUMENTED_SUPERLINEAR[key]
             marker += " [documented]"
             flag = False
+        elif not flag and e_dec >= 1.0:
+            # at the linear bound: passes the gate, but a bare "ok"
+            # under-describes it — attach the quantified output law, or
+            # flag the key until one is written (VERDICT r7 #7)
+            if key in DECADE_OUTPUT_LAWS:
+                rec["status"] = "linear_at_bound"
+                rec["output_law"] = DECADE_OUTPUT_LAWS[key]
+                marker = " [linear_at_bound: output law documented]"
+            elif key in sc.DOCUMENTED_SUPERLINEAR:
+                rec["status"] = "linear_at_bound"
+                rec["output_law"] = sc.DOCUMENTED_SUPERLINEAR[key]
+                marker = " [linear_at_bound: waiver law applies]"
+            else:
+                rec["status"] = "linear_at_bound_undocumented"
+                marker = " <-- e >= 1.0 with NO documented output law"
+                flag = True
         n_flag += flag
         results[key] = rec
         print(f"{key}: {t_base:.2f}s -> {t_dec:.2f}s  r {r:.1f}x  e {e_dec:.2f}{marker}")
