@@ -598,26 +598,63 @@ def lsh_build_index(
     inline) — the classic LSH space-for-pruning trade; probes then read
     ONLY their bucket partitions, no second corpus join. Params default
     to the r7-tuned (0.25 = 2σ for unit dim-64 data, 4 tables → pair
-    recall 0.95 measured). The per-bucket row_number window is one
-    shuffle of num_tables·n rows at build; at extreme skew (one bucket
-    holding a data-sized share) swap the window for a salted two-phase
-    position assignment — the query side is unchanged.
+    recall 0.95 measured).
+
+    ``pos`` assignment is SALT-SHARDED (r8): a plain per-bucket
+    row_number window puts each bucket in ONE task, and with L = 2σ the
+    densest bucket holds a double-digit share of the corpus — a
+    single-task sort of corpus-mass data, the exact shape that cannot
+    survive 100 TB. Instead: rank locally within (band, bucket, salt)
+    for ``n_salts`` hash salts (max task = bucket/n_salts), count each
+    salt group, prefix-sum the counts over the ≤ n_salts rows per
+    bucket (tiny window), and add the offset back — pos is the same
+    deterministic 1..|bucket| permutation class (hash-ordered within
+    salt shards, shards concatenated in salt order), so the query-side
+    cap still takes an unbiased hash sample and page pruning still
+    applies.
     """
     spark = df.sparkSession
     first = df.select(F.size(vec_col)).first()
     dim = int(first[0]) if first and first[0] is not None else 0
     dirs = _lsh_projections(dim, num_tables, seed)
     bands = _band_bucket_cols(vec_col, dirs, bucket_length)
-    w = Window.partitionBy("band_id", "bucket").orderBy(F.xxhash64(F.col(id_col)))
-    (
+    n_salts = 64
+    salted = (
         df.select(id_col, vec_col, F.explode(F.array(*bands)).alias("_bb"))
         .select(
             id_col,
             vec_col,
             F.col("_bb.band_id").alias("band_id"),
             F.col("_bb.bucket").alias("bucket"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int").alias("_salt"),
         )
-        .withColumn("pos", F.row_number().over(w))
+    )
+    w_local = Window.partitionBy("band_id", "bucket", "_salt").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    local = salted.withColumn("_lpos", F.row_number().over(w_local))
+    # per-(band,bucket,salt) counts → exclusive prefix sum over the ≤64
+    # salt rows per bucket → the shard's global offset within its bucket
+    w_off = (
+        Window.partitionBy("band_id", "bucket")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        salted.groupBy("band_id", "bucket", "_salt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .select("band_id", "bucket", "_salt", "_off")
+    )
+    (
+        local.join(offsets.hint("shuffle_hash"), ["band_id", "bucket", "_salt"])
+        .select(
+            id_col,
+            vec_col,
+            "band_id",
+            "bucket",
+            (F.col("_off") + F.col("_lpos")).cast("int").alias("pos"),
+        )
         .repartition("band_id", "bucket")
         .sortWithinPartitions("band_id", "bucket", "pos")
         .write.mode("overwrite")
