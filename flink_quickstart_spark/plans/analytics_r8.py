@@ -76,14 +76,20 @@ def q_llm_ann_lsh_query(spark, sf_dir):
     truth = radius_search(t.embeddings, queries, radius=1.2).select(
         "query_id", "nbr_id"
     )
-    stats = truth.join(got, ["query_id", "nbr_id"], "left").agg(
-        (
-            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.85
-        ).alias("recall_ok")
-    )
-    nq = queries.agg(F.countDistinct("vec_id").cast("long").alias("n_queries"))
+    # one plan, one agg: left-join truth onto the query batch (so a
+    # matchless query still counts toward n_queries) then grade recall
+    # over the truth rows only — no scalar×scalar join, no BNLJ
+    is_truth_row = F.col("nbr_id").isNotNull()
     return (
-        nq.withColumn("_k", F.lit(1))
-        .join(stats.withColumn("_k", F.lit(1)), "_k")
-        .drop("_k")
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(truth, "query_id", "left")
+        .join(got, ["query_id", "nbr_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.when(is_truth_row, F.coalesce("hit", F.lit(0))).otherwise(0))
+                / F.sum(F.when(is_truth_row, 1).otherwise(0))
+                >= 0.85
+            ).alias("recall_ok"),
+        )
     )

@@ -205,17 +205,27 @@ MATERIALIZE_ALLOWED = {
         "sizes the minhash slot universe — r7 fix for the TF-slot "
         "saturation superlinearity at 100× documents"
     ),
-    "operators/similarity.py:ivf_semantic_pairs:toPandas": (
-        "bounded centroid-training sample (limit(sample_rows)) — "
-        "k-means training set, not the corpus"
+    "operators/similarity.py:_train_centroids:toPandas": (
+        "bounded centroid-training sample (orderBy+limit(sample_rows), "
+        "default 20k rows — TakeOrderedAndProject, deterministic) — the "
+        "shared k-means training pull for every IVF tier (r8 refactor "
+        "of the former ivf_topk/ivf_semantic_pairs/ivf_build_index "
+        "inline samples), never the corpus"
     ),
     "operators/similarity.py:_collect_corpus:toPandas": (
         "the broadcast-corpus pull, AFTER the fail-fast size estimate "
         "(plan-stats budget guard at the top of _collect_corpus)"
     ),
-    "operators/similarity.py:ivf_topk:toPandas": (
-        "bounded centroid-training sample (limit(sample_rows), default "
-        "4096 rows) — k-means training set, not the corpus"
+    "operators/similarity.py:lsh_build_index:first": (
+        "1-row probe to learn the embedding dimension before generating "
+        "the projection directions"
+    ),
+    "operators/similarity.py:lsh_query_index:collect": (
+        "two driver-bounded pulls when opening a persisted LSH index: "
+        "the O(num_tables) projection table, and the query batch's "
+        "distinct (band, bucket) combos (≤ batch × tables rows) that "
+        "become the STATIC partition-pruning predicate — DPP measured "
+        "not firing for this join shape (r8)"
     ),
     "plans/analytics_r6.py:q_llm_bpe_encode:collect": (
         "O(n_merges) pull of the learned merge table (16 rows) — the "
