@@ -246,11 +246,6 @@ MATERIALIZE_ALLOWED = {
         "1-row max-watermark scalar per micro-batch in the late-side-"
         "output foreachBatch splitter"
     ),
-    "operators/similarity.py:ivf_build_index:toPandas": (
-        "bounded centroid-training sample (limit(sample_rows), default "
-        "20k rows) — k-means training set for the persisted index, "
-        "same envelope as ivf_topk's"
-    ),
     "operators/similarity.py:ivf_query_index:collect": (
         "O(n_clusters) centroid-table load (default 16 rows) when "
         "opening a persisted IVF index — the whole point is that ONLY "
