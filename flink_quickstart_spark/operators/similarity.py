@@ -881,10 +881,19 @@ def ivf_query_index(
 
     schema = _member_schema(queries, id_col, vec_col)
     probes = queries.select(id_col, vec_col).mapInPandas(assign_probes, schema)
-    members = spark.read.parquet(f"{path}/members").join(
-        F.broadcast(probes.select("cluster_id").distinct()),
-        "cluster_id",
-        "left_semi",
+    # STATIC partition pruning (r8): the former broadcast left-semi on
+    # cluster_id filtered rows only AFTER the scan listed every
+    # partition — DPP measured not firing (PartitionFilters carried
+    # only isnotnull), so "probes read p/k of the corpus" held logically
+    # but not physically. The probed cluster set is ≤ n_clusters ids
+    # (driver-bounded by construction — one tiny job over the fixed
+    # query batch); as a static isin predicate it prunes at planning.
+    probed = [
+        int(r.cluster_id)
+        for r in probes.select("cluster_id").distinct().collect()
+    ]
+    members = spark.read.parquet(f"{path}/members").where(
+        F.col("cluster_id").isin(probed)
     )
 
     def local_topk(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:

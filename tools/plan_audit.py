@@ -247,9 +247,11 @@ MATERIALIZE_ALLOWED = {
         "output foreachBatch splitter"
     ),
     "operators/similarity.py:ivf_query_index:collect": (
-        "O(n_clusters) centroid-table load (default 16 rows) when "
-        "opening a persisted IVF index — the whole point is that ONLY "
-        "the centroids reach the driver"
+        "two driver-bounded pulls when opening a persisted IVF index: "
+        "the O(n_clusters) centroid table (default 16 rows), and the "
+        "query batch's distinct probed cluster ids (≤ n_clusters) that "
+        "become the STATIC partition-pruning predicate — DPP measured "
+        "not firing for the former broadcast left-semi shape (r8)"
     ),
     "plans/analytics_ext.py:q_embed_pca_project:collect": (
         "two aggregate-sized collects: the O(dims²)=2080-scalar raw-"
