@@ -181,3 +181,54 @@ def idempotent_foreach_batch(out_dir: str):
         )
 
     return handle
+
+
+def foreach_batch_index_query(
+    index_path: str,
+    out_dir: str,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Online retrieval over a PERSISTED vector index (r8): each
+    micro-batch of query vectors runs :func:`ivf_query_index` against
+    the build-once IVF index and lands its top-k matches in an
+    epoch-partitioned sink (idempotent replay, same recipe as
+    :func:`idempotent_foreach_batch`).
+
+    This is the streaming face of the K4c production shape: the index
+    is built once offline; the stream pays only the per-batch probe —
+    an O(n_clusters) centroid load plus a partition-pruned member scan
+    per epoch — so the enrichment cost scales with query throughput,
+    not corpus size. Exactly the stream-static join Flink users run
+    against an external ANN service, expressed engine-side with no
+    extra infrastructure.
+
+    Returns a handler for ``df.writeStream.foreachBatch(...)``; the
+    equivalence to the batch answer is pinned in
+    tests/test_streaming_r8.py.
+    """
+    from flink_quickstart_spark.operators.similarity import ivf_query_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = ivf_query_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select(id_col, vec_col),
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        (
+            matches.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return handle

@@ -155,3 +155,48 @@ def test_interval_join_state_survives_restart(spark, scratch):
     # new input must add nothing — matched state is not re-emitted
     _run_interval_join_once(spark, scratch)
     assert spark.read.parquet(scratch["sink"]).count() == N
+
+
+def test_streaming_index_query_matches_batch(spark, tmp_path):
+    """Online retrieval over the persisted IVF index: a file stream of
+    query vectors, foreachBatch probing the build-once index, must
+    produce exactly the batch answer for the same queries — the
+    stream-static enrichment shape of SURVEY §2 K4c."""
+    from flink_quickstart_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_query_index,
+    )
+    from flink_quickstart_spark.plans.registry import tables
+    from flink_quickstart_spark.streaming.harness import (
+        foreach_batch_index_query,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = tables(spark, SF_DIR).embeddings
+    idx = str(tmp_path / "ivf")
+    ensure_ivf_index(emb, idx, f"{SF_DIR}/embeddings.parquet", n_clusters=16)
+
+    # stage the query batch as a streamed file source
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    queries = emb.orderBy("vec_id").limit(32)
+    queries.write.parquet(src)
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_index_query(idx, sink, k=3, n_probe=4)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.query_id, r.nbr_id, r.rank)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r.query_id, r.nbr_id, r.rank)
+        for r in ivf_query_index(spark, idx, queries, k=3, n_probe=4).collect()
+    }
+    assert streamed == batch and len(streamed) == 96
