@@ -157,3 +157,79 @@ def test_ivf_semantic_pairs_string_ids(spark):
     assert rows, "expected some within-cluster pairs at cosine 0.4"
     assert all(isinstance(r.d1, str) and r.d1.startswith("doc-") for r in rows[:5])
     assert all(r.d1 < r.d2 for r in rows)
+
+
+def test_lsh_build_handles_total_bucket_skew(spark, tmp_path):
+    """Degenerate skew: N near-identical vectors land in ONE bucket per
+    band. The salted position assignment must still produce a valid
+    1..N permutation (no single-task dependence on bucket size), caps
+    must bite, and self-matches stay excluded."""
+    from pyspark.sql import functions as F
+
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_query_index,
+    )
+
+    n = 200
+    base = [0.5] * 8
+    rows = [(i, [v + (i % 7) * 1e-4 for v in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "skew_idx")
+    lsh_build_index(df, idx)
+    p = spark.read.parquet(f"{idx}/postings")
+    stats = (
+        p.groupBy("band_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("pos").alias("mn"),
+            F.max("pos").alias("mx"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        .collect()
+    )
+    assert max(r.cnt for r in stats) == n, "expected one full bucket per band"
+    assert all(r.mn == 1 and r.mx == r.cnt == r.nd for r in stats)
+
+    queries = df.orderBy("vec_id").limit(4)
+    full = lsh_query_index(spark, idx, queries, radius=1.2)
+    # every query matches every other vector (all near-identical)
+    assert full.count() == 4 * (n - 1)
+    capped = lsh_query_index(spark, idx, queries, radius=1.2, cap_per_bucket=16)
+    got = capped.groupBy("query_id").count().collect()
+    # cap 16 per bucket x 4 bands, minus self when sampled: <= 64 per query
+    assert all(r["count"] <= 64 for r in got)
+    assert capped.where(F.col("query_id") == F.col("nbr_id")).count() == 0
+
+
+def test_lsh_cap_monotonicity(spark, lsh_index):
+    """Caps are pos-prefix filters, so results must be MONOTONE in the
+    cap: got(c1) ⊆ got(c2) for c1 <= c2 — the property that makes the
+    cap a tunable recall/cost knob rather than a different algorithm."""
+    from flink_quickstart_spark.operators.similarity import lsh_query_index
+    from flink_quickstart_spark.plans.registry import tables
+    from tests.conftest import SF_DIR
+
+    emb = tables(spark, SF_DIR).embeddings
+    queries = emb.orderBy("vec_id").limit(16)
+    prev: set = set()
+    for cap in (4, 16, 64, 4096):
+        cur = _pairs(lsh_query_index(spark, lsh_index, queries, radius=1.2, cap_per_bucket=cap))
+        assert prev <= cur, f"cap {cap} lost pairs present at a smaller cap"
+        prev = cur
+
+
+def test_kafka_adapter_fails_loudly_without_package(spark):
+    """A7: the Kafka adapter is a deploy-time-dependency surface — in a
+    container without spark-sql-kafka it must raise Spark's
+    MISSING_KAFKA_PACKAGE analysis error at once, never return a silent
+    empty stream."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from flink_quickstart_spark.sources.files import kafka_stream
+
+    with pytest.raises(
+        AnalysisException, match="Failed to find data source: kafka"
+    ):
+        kafka_stream(spark, "localhost:9092", "events")
