@@ -135,6 +135,88 @@ def global_order_stats(
     )
 
 
+def global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[str, list[Column], str]],
+    ntile: int = 5,
+    buckets: int = 64,
+) -> DataFrame:
+    """Append one ANSI-exact global ``ntile`` column PER SPEC — the
+    multi-ordering fusion of :func:`global_order_stats` (r8).
+
+    ``specs`` is a list of ``(out_col, order_by, bucket_col)``; each
+    ordering must be a unique total order (tiebreak key included).
+
+    Why this exists: N chained ``global_order_stats`` calls cost
+    ~2N driver-synchronized jobs (each stage's approxQuantile + bucket
+    counts re-execute everything upstream), which dominates wall time
+    wherever fixed cost matters. This fusion runs ONE approxQuantile
+    job covering every bucket column, ONE grouping-sets aggregate for
+    all per-bucket counts (≤ specs × buckets rows to the driver — the
+    same bounded concession as global_row_number), and then appends all
+    ntile columns in a single lazy plan: per spec, a broadcast offset
+    join + a bucket-partitioned row_number window. No single-partition
+    WindowExec; the N window shuffles are inherent to ranking N
+    different orders and run without driver round-trips between them.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    raw = df.stat.approxQuantile([s[2] for s in specs], probs, 0.001)
+    gb_names, bucketed = [], df
+    for (out_col, order_by, bcol), bounds_raw in zip(specs, raw):
+        asc = _is_ascending(order_by[0])
+        boundaries = sorted(set(float(b) for b in bounds_raw))
+        v = F.col(bcol)
+        expr = F.lit(0)
+        for b in boundaries:
+            cond = (v > F.lit(b)) if asc else (v < F.lit(b))
+            expr = expr + F.when(cond, 1).otherwise(0)
+        gb = f"_gb_{out_col}"
+        gb_names.append(gb)
+        bucketed = bucketed.withColumn(gb, expr)
+
+    counts_rows = (
+        bucketed.groupingSets([[g] for g in gb_names], *[F.col(g) for g in gb_names])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    spark = df.sparkSession
+    n = 0
+    out = bucketed
+    for i, ((out_col, order_by, _bcol), gb) in enumerate(zip(specs, gb_names)):
+        # single-column grouping sets: the row for set i has every OTHER
+        # grouping column null (bucket ids themselves are never null)
+        counts = {
+            r[gb]: r["cnt"]
+            for r in counts_rows
+            if r[gb] is not None
+            and all(r[g] is None for g in gb_names if g != gb)
+        }
+        total, offsets = 0, []
+        for bid in sorted(counts):
+            offsets.append((bid, total))
+            total += counts[bid]
+        n = total
+        off_df = spark.createDataFrame(offsets, f"{gb} int, _off long")
+        w = Window.partitionBy(gb).orderBy(*order_by)
+        pos = F.col("_off") + F.row_number().over(w)
+        q, r = divmod(n, ntile) if n else (0, 0)
+        big_span = r * (q + 1)
+        if q == 0:
+            tile = pos
+        else:
+            tile = F.when(
+                pos <= F.lit(big_span), ((pos - 1) / F.lit(q + 1)).cast("long") + 1
+            ).otherwise(
+                F.lit(r) + ((pos - 1 - F.lit(big_span)) / F.lit(q)).cast("long") + 1
+            )
+        out = (
+            out.join(F.broadcast(off_df), gb)
+            .withColumn(out_col, tile.cast("long"))
+            .drop("_off")
+        )
+    return out.drop(*gb_names)
+
+
 def _bucket_expr(df: DataFrame, bucket_col: str, asc: bool, buckets: int) -> Column:
     """Value-deterministic range-bucket id for ``bucket_col``: boundaries
     from one approxQuantile pass, assignment as a pure expression (tied

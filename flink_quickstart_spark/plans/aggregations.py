@@ -1237,8 +1237,22 @@ def q_agg_rfm(spark, sf_dir):
     partitioned window inside each bucket — so there is NO
     single-partition WindowExec even though the ordering is global.
     ANSI-ntile-exact because the ordering is made unique with the
-    custkey tiebreak (rank == row_number)."""
-    from flink_quickstart_spark.operators.rank import global_order_stats
+    custkey tiebreak (rank == row_number).
+
+    The three quintiles are INDEPENDENT orderings of the same
+    per-customer table, so they come from ONE fused multi-ordering rank
+    (operators/rank.py global_ntiles, r8): one approxQuantile job over
+    all three score columns, one grouping-sets aggregate for all bucket
+    counts, then all three ntile columns in a single lazy plan. The
+    former chained form (rank(rank(rank(per_cust)))) re-executed every
+    upstream rank for each stage's driver-side probes, recomputing the
+    orders aggregation ~7× — measured 5.9 s at sf0.01 where fixed cost
+    is everything. per_cust is materialized once (columnar cache,
+    spills; identical plans across calls reuse the entry) so the two
+    probe jobs scan the tiny per-customer table, not orders."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flink_quickstart_spark.operators.rank import global_ntiles
 
     t = tables(spark, sf_dir)
     anchor = t.orders.agg(F.max("o_orderdate").alias("mx"))
@@ -1252,31 +1266,31 @@ def q_agg_rfm(spark, sf_dir):
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scored = per_cust
-    for score, order, bcol in (
-        (
-            "r_score",
-            [F.col("recency_days").desc(), F.col("o_custkey").asc()],
-            "recency_days",
-        ),
-        (
-            "f_score",
-            [F.col("frequency").asc(), F.col("o_custkey").asc()],
-            "frequency",
-        ),
-        (
-            "m_score",
-            [F.col("monetary").asc(), F.col("o_custkey").asc()],
-            "monetary",
-        ),
-    ):
-        scored = (
-            global_order_stats(scored, order, bcol, ntile=5)
-            .withColumnRenamed("ntile", score)
-            .drop("pct_rank", "cdist", "_pos")
-        )
-    return scored.select(
+    per_cust.count()
+    out = global_ntiles(
+        per_cust,
+        [
+            (
+                "r_score",
+                [F.col("recency_days").desc(), F.col("o_custkey").asc()],
+                "recency_days",
+            ),
+            (
+                "f_score",
+                [F.col("frequency").asc(), F.col("o_custkey").asc()],
+                "frequency",
+            ),
+            (
+                "m_score",
+                [F.col("monetary").asc(), F.col("o_custkey").asc()],
+                "monetary",
+            ),
+        ],
+        ntile=5,
+    )
+    return out.select(
         "o_custkey",
         "recency_days",
         "frequency",

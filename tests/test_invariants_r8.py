@@ -233,3 +233,34 @@ def test_kafka_adapter_fails_loudly_without_package(spark):
         AnalysisException, match="Failed to find data source: kafka"
     ):
         kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_global_ntiles_matches_chained_order_stats(spark):
+    """The fused multi-ordering rank (r8, one quantile job + one
+    grouping-sets count job) must agree column-for-column with three
+    independent global_order_stats passes — same ANSI ntile semantics,
+    ~3× fewer driver-synchronized jobs."""
+    from flink_quickstart_spark.operators.rank import (
+        global_ntiles,
+        global_order_stats,
+    )
+
+    t = tables(spark, SF_DIR)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    specs = [
+        ("f_score", [F.col("frequency").asc(), F.col("o_custkey").asc()], "frequency"),
+        ("m_score", [F.col("monetary").desc(), F.col("o_custkey").asc()], "monetary"),
+    ]
+    fused = {
+        r.o_custkey: (r.f_score, r.m_score)
+        for r in global_ntiles(per_cust, specs, ntile=4).collect()
+    }
+    for i, (out_col, order, bcol) in enumerate(specs):
+        single = {
+            r.o_custkey: r.ntile
+            for r in global_order_stats(per_cust, order, bcol, ntile=4).collect()
+        }
+        assert {k: v[i] for k, v in fused.items()} == single, out_col
