@@ -343,3 +343,193 @@ def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Dat
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def portable_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, hash_idx, sig) MinHash signatures with the PORTABLE
+    md5-60bit hash family h_i(s) = md5(s || '#' || i) — bit-identical
+    across engines and sessions, which is what lets a PERSISTED
+    signature store (:func:`minhash_build_store`) be queried by any
+    later session and still value-match a SQL oracle. Same expressions
+    as the q_llm_minhash_signatures key; sketch property
+    P[sig_i(A) = sig_i(B)] = Jaccard(A, B). Shapes: shingle explode ×
+    num_hashes posexplode → one hash aggregate keyed (id, i)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+        "shingle",
+    ).select(
+        id_col,
+        F.col("hash_idx").cast("bigint").alias("hash_idx"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("sig"))
+
+
+def minhash_build_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+    hmod: int = 64,
+) -> None:
+    """Materialize a REUSABLE near-dup signature store — the text twin
+    of the persisted vector indexes (ivf_build_index/lsh_build_index):
+
+    - ``{path}/bands`` — one (id, band_id, sig) row per document × hash
+      table (each table is one minhash — OR-amplification across
+      ``num_hashes`` tables, P[candidate] = 1−(1−j)^tables), PARTITIONED
+      BY ``_hmod = pmod(sig, hmod)`` so an ingest batch's bucket probes
+      prune the store scan to matching partitions;
+    - ``{path}/meta`` — (num_hashes, shingle n, hmod), pinned so every
+      later ingest session hashes with the SAME family and the store
+      stays self-describing.
+
+    Signatures are ~num_hashes longs per document — the compression
+    that makes dedup-against-100TB storage-feasible: ingest never
+    rereads corpus text except to exact-verify the (few) candidates."""
+    spark = df.sparkSession
+    bands = portable_minhash_signatures(df, id_col, text_col, num_hashes, n).select(
+        F.col(id_col),
+        F.col("hash_idx").cast("int").alias("band_id"),
+        "sig",
+        F.pmod(F.col("sig"), F.lit(hmod)).cast("int").alias("_hmod"),
+    )
+    (
+        bands.repartition("_hmod")
+        .sortWithinPartitions("_hmod", "band_id", "sig")
+        .write.mode("overwrite")
+        .partitionBy("_hmod")
+        .parquet(f"{path}/bands")
+    )
+    spark.createDataFrame(
+        [(int(num_hashes), int(n), int(hmod))],
+        "num_hashes int, shingle_n int, hmod int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ensure_minhash_store(
+    df: DataFrame, path: str, source_path: str, **build_kwargs
+) -> bool:
+    """Fingerprint-guarded :func:`minhash_build_store` (same
+    invalidation contract as the vector indexes)."""
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    return _ensure_index(
+        lambda: minhash_build_store(df, path, **build_kwargs),
+        path,
+        source_path,
+        "meta",
+    )
+
+
+def minhash_ingest_neardup(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: flag documents of an INGEST BATCH that
+    near-duplicate the EXISTING corpus, without re-running LSH over the
+    corpus — candidates come from the persisted signature store
+    (:func:`minhash_build_store`), exact shingle Jaccard is computed
+    for candidates only, and ``corpus_docs`` text is point-fetched via
+    a semi-join for just those candidates. Returns
+    (corpus_id, new_id, jaccard) with jaccard ≥ ``threshold`` — exact
+    values, so the result is oracle-checkable against the all-pairs
+    cross-set SQL (a true pair missed by every band has
+    P = (1−j)^num_hashes ≤ 1.5e-5 at j = 0.5).
+
+    Cost shape at 100 TB: the store scan reads signature rows only
+    (~num_hashes longs/doc), partition-pruned by the batch's sig
+    buckets; the batch side is hashed fresh (it is the small side);
+    corpus TEXT is touched only for candidate ids. Nothing rescans the
+    corpus body."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    new_bands = portable_minhash_signatures(
+        new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col("hash_idx").cast("int").alias("band_id"),
+        "sig",
+    )
+    # static partition pruning: the batch's sig buckets (≤ hmod distinct
+    # values — driver-bounded by construction)
+    probed = [
+        int(r._hmod)
+        for r in new_bands.select(
+            F.pmod(F.col("sig"), F.lit(meta.hmod)).cast("int").alias("_hmod")
+        )
+        .distinct()
+        .collect()
+    ]
+    store = spark.read.parquet(f"{path}/bands").where(F.col("_hmod").isin(probed))
+    cand = (
+        store.join(new_bands.hint("shuffle_hash"), ["band_id", "sig"])
+        .where(F.col(id_col) != F.col("new_id"))
+        .select(F.col(id_col).alias("corpus_id"), "new_id")
+        .distinct()
+    )
+    # exact verify on candidates only; corpus text point-fetched
+    sh_new = word_shingles(new_docs, id_col, text_col, meta.shingle_n).select(
+        F.col(id_col).alias("new_id"), "shingle"
+    )
+    corpus_hit = corpus_docs.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct().hint("shuffle_hash"),
+        id_col,
+        "left_semi",
+    )
+    sh_corpus = word_shingles(corpus_hit, id_col, text_col, meta.shingle_n).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    sizes_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n2"))
+    sizes_corpus = sh_corpus.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n1"))
+    # join-strategy discipline (the repo's standing rule): the candidate
+    # table is the provably small side — SHUFFLE_HASH builds on IT; the
+    # candidate-expanded shingles meet the batch's full shingle table
+    # (both explode-derived, both with lying pre-explode estimates) via
+    # MERGE, never a hash build of an exploded side (the r8 sf3 probe
+    # caught exactly that: "not enough memory to build hash map")
+    cand_sh = sh_corpus.join(cand.hint("shuffle_hash"), "corpus_id")
+    common = (
+        cand_sh.join(sh_new.hint("merge"), ["new_id", "shingle"])
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.hint("shuffle_hash")
+        .join(sizes_corpus, "corpus_id")
+        .hint("shuffle_hash")
+        .join(sizes_new, "new_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("corpus_id", "new_id", "jaccard")
+    )

@@ -93,3 +93,68 @@ def q_llm_ann_lsh_query(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "q_llm_ingest_neardup",
+    # Exact cross-set shingle-Jaccard pairs (corpus = doc_id % 10 <> 0,
+    # ingest batch = % 10 = 0): the store path emits EXACT verified
+    # values, so the oracle is the full all-pairs SQL — a true pair
+    # missed by every signature band (P = (1−j)^16 ≤ 1.5e-5 at j = 0.5)
+    # would surface as a row-count mismatch.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT c.doc_id AS corpus_id, b.doc_id AS new_id,
+                      CAST(count(*) AS BIGINT) AS n_common
+               FROM sh c JOIN sh b ON c.shingle = b.shingle
+               WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+               GROUP BY 1, 2)
+    SELECT corpus_id, new_id,
+           round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes s1 ON corpus_id = s1.doc_id
+    JOIN sizes s2 ON new_id = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+    """,
+    tags=("batch", "llm", "dedup"),
+)
+def q_llm_ingest_neardup(spark, sf_dir):
+    """K2f (r8): INCREMENTAL near-dup — flag ingest-batch documents that
+    near-duplicate the existing corpus WITHOUT re-running LSH over the
+    corpus. The corpus's minhash signatures live in a persisted,
+    fingerprint-guarded store (operators/dedup.py minhash_build_store —
+    the text twin of the vector indexes: portable md5 hash family, so
+    any later session reproduces identical signatures; bands
+    partitioned by sig bucket for probe pruning). Ingest hashes only
+    the new batch, band-joins it against the pruned store scan
+    (signature rows ≈ 16 longs/doc — never corpus text), and
+    exact-verifies the few candidates with corpus text point-fetched by
+    semi-join. Output values are exact Jaccard, oracle = the all-pairs
+    cross-set SQL. This completes the dedup lifecycle: q_llm_dedup_*
+    build the de-duplicated corpus once; THIS shape is what every
+    subsequent ingest day runs."""
+    from flink_quickstart_spark.operators.dedup import (
+        ensure_minhash_store,
+        minhash_ingest_neardup,
+    )
+
+    t = tables(spark, sf_dir)
+    corpus = t.documents.where(F.col("doc_id") % 10 != 0)
+    batch = t.documents.where(F.col("doc_id") % 10 == 0)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "fqs_scratch",
+        "minhash_store",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    # fingerprint covers the whole documents file; the corpus split is
+    # derived from it deterministically
+    ensure_minhash_store(
+        corpus, store, os.path.join(sf_dir, "documents.parquet")
+    )
+    return minhash_ingest_neardup(spark, store, batch, corpus, threshold=0.5)

@@ -1661,42 +1661,15 @@ def q_llm_minhash_signatures(spark, sf_dir):
     At 100 TB this replaces the per-doc shingle SET with 16 longs: the
     compression step that makes band-bucket dedup storage-feasible; the
     production default swaps md5 for xxhash64 (same shape, cheaper)."""
+    from flink_quickstart_spark.operators.dedup import (
+        portable_minhash_signatures,
+    )
+
     t = tables(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    sh = (
-        t.documents.where(F.size(toks) >= 3)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("hash_idx"),
-        "shingle",
-    ).select(
-        "doc_id",
-        F.col("hash_idx").cast("bigint").alias("hash_idx"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("hash_idx"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("sig"))
+    # shared with the persisted signature store (r8): the exact same
+    # expressions build {store}/bands, so any session's store rows
+    # value-match this key's oracle
+    return portable_minhash_signatures(t.documents, "doc_id", "text")
 
 
 @register(

@@ -264,3 +264,53 @@ def test_global_ntiles_matches_chained_order_stats(spark):
             for r in global_order_stats(per_cust, order, bcol, ntile=4).collect()
         }
         assert {k: v[i] for k, v in fused.items()} == single, out_col
+
+
+def test_minhash_store_ingest_matches_exact(spark, tmp_path):
+    """K2f: incremental near-dup through the persisted signature store
+    must equal the exact cross-set shingle-Jaccard pairs (store
+    candidates + exact verify ≡ all-pairs truth; a full-band miss has
+    P ≤ 1.5e-5 at j = 0.5), and the store must be fingerprint-reused."""
+    import duckdb
+
+    from flink_quickstart_spark.operators.dedup import (
+        ensure_minhash_store,
+        minhash_ingest_neardup,
+    )
+
+    docs = tables(spark, SF_DIR).documents
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = str(tmp_path / "store")
+    assert ensure_minhash_store(corpus, store, f"{SF_DIR}/documents.parquet") is True
+    assert ensure_minhash_store(corpus, store, f"{SF_DIR}/documents.parquet") is False
+
+    got = {
+        (r.corpus_id, r.new_id, r.jaccard)
+        for r in minhash_ingest_neardup(
+            spark, store, batch, corpus, threshold=0.5
+        ).collect()
+    }
+    truth = {
+        tuple(r)
+        for r in duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM read_parquet('{SF_DIR}/documents.parquet')),
+        sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+               FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT c.doc_id AS corpus_id, b.doc_id AS new_id,
+                          count(*) AS n_common
+                   FROM sh c JOIN sh b ON c.shingle = b.shingle
+                   WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                   GROUP BY 1, 2)
+        SELECT corpus_id, new_id,
+               round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6)
+        FROM common
+        JOIN sizes s1 ON corpus_id = s1.doc_id
+        JOIN sizes s2 ON new_id = s2.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+        """).fetchall()
+    }
+    assert got == truth and got, f"{len(got)} store pairs vs {len(truth)} exact"

@@ -188,6 +188,12 @@ ALLOWED = {
 # that are PROVABLY bounded (O(buckets) / O(1) scalars, or an explicitly
 # budget-guarded corpus pull) — never fact-table rows.
 MATERIALIZE_ALLOWED = {
+    "operators/rank.py:global_ntiles:collect": (
+        "one grouping-sets aggregate pull covering EVERY ordering's "
+        "per-bucket counts (≤ specs × buckets ≤ a few hundred rows) — "
+        "the fused multi-rank's single driver concession, replacing "
+        "N chained global_row_number collects (r8)"
+    ),
     "operators/rank.py:global_row_number:collect": (
         "O(buckets) per-bucket counts (≤ 64 rows) for the two-phase "
         "rank's offset vector — the documented driver-side concession"
@@ -219,6 +225,13 @@ MATERIALIZE_ALLOWED = {
     "operators/similarity.py:lsh_build_index:first": (
         "1-row probe to learn the embedding dimension before generating "
         "the projection directions"
+    ),
+    "operators/dedup.py:minhash_ingest_neardup:collect": (
+        "two driver-bounded pulls when opening a persisted signature "
+        "store: the 1-row meta record (num_hashes/shingle_n/hmod), and "
+        "the ingest batch's distinct sig buckets (≤ hmod = 64 values) "
+        "that become the store scan's STATIC partition-pruning "
+        "predicate (r8)"
     ),
     "operators/similarity.py:lsh_query_index:collect": (
         "two driver-bounded pulls when opening a persisted LSH index: "

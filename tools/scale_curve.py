@@ -181,6 +181,8 @@ DEFAULT_KEYS = [
     # build cost (linear) and the bounded query path (must stay ~flat),
     # plus the registered contract key (linear truth + capped search)
     "ann_lsh_build", "ann_lsh_query_fixed", "q_llm_ann_lsh_query",
+    # r8b: incremental ingest near-dup vs the persisted signature store
+    "q_llm_ingest_neardup",
 ]
 
 

@@ -66,6 +66,8 @@ DEFAULT_KEYS = [
     # r8: the capped fixed-batch LSH production shape (VERDICT r7 #1)
     "ann_lsh_build",
     "ann_lsh_query_fixed",
+    # r8b: incremental ingest near-dup vs the persisted signature store
+    "q_llm_ingest_neardup",
 ]
 
 # r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
