@@ -314,3 +314,27 @@ def test_minhash_store_ingest_matches_exact(spark, tmp_path):
         """).fetchall()
     }
     assert got == truth and got, f"{len(got)} store pairs vs {len(truth)} exact"
+
+
+def test_index_surfaces_handle_empty_inputs(spark, lsh_index, tmp_path):
+    """Degenerate inputs must yield empty results, not crashes: an
+    empty query batch against both persisted indexes, and an empty
+    ingest batch against the signature store."""
+    from flink_quickstart_spark.operators.dedup import (
+        ensure_minhash_store,
+        minhash_ingest_neardup,
+    )
+    from flink_quickstart_spark.operators.similarity import lsh_query_index
+
+    emb = tables(spark, SF_DIR).embeddings
+    docs = tables(spark, SF_DIR).documents
+    no_queries = emb.where(F.lit(False))
+    assert lsh_query_index(spark, lsh_index, no_queries, radius=1.2).count() == 0
+
+    store = str(tmp_path / "store")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    ensure_minhash_store(corpus, store, f"{SF_DIR}/documents.parquet")
+    no_batch = docs.where(F.lit(False))
+    assert (
+        minhash_ingest_neardup(spark, store, no_batch, corpus).count() == 0
+    )
