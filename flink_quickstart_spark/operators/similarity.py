@@ -692,6 +692,7 @@ def lsh_query_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_decimals: int = 6,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Radius search of a query batch against a persisted LSH index
     (:func:`lsh_build_index`): load the projection table (O(num_tables)
@@ -713,6 +714,12 @@ def lsh_query_index(
     standard truncation trade; size cap to the expected bucket
     occupancy × desired recall. ``max_matches_per_query`` optionally
     bounds the OUTPUT per query (nearest-first, deterministic ties).
+    ``multi_probe`` additionally probes the ±k ADJACENT buckets per
+    band (classic multi-probe LSH): a pair straddling a quantization
+    boundary collides in a neighboring bucket, so probing neighbors
+    trades a (2k+1)× probe constant for recall WITHOUT rebuilding the
+    index wider — the same knob FAISS exposes as nprobe. Work stays
+    bounded: ≤ batch × num_tables × (2k+1) × cap rescores.
     Zero Python in the query path — every stage is JVM codegen."""
     proj_rows = spark.read.parquet(f"{path}/projections").collect()
     bucket_length = float(proj_rows[0].bucket_length)
@@ -720,6 +727,7 @@ def lsh_query_index(
     for r in proj_rows:
         dirs[r.band_id] = r.direction
     bands = _band_bucket_cols(vec_col, dirs, bucket_length)
+    offsets = range(-multi_probe, multi_probe + 1) if multi_probe else (0,)
     qb = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -730,7 +738,9 @@ def lsh_query_index(
             "query_id",
             "_qvec",
             F.col("_bb.band_id").alias("band_id"),
-            F.col("_bb.bucket").alias("bucket"),
+            F.explode(
+                F.array(*[F.col("_bb.bucket") + F.lit(int(o)) for o in offsets])
+            ).alias("bucket"),
         )
     )
     # NOTE: _band_bucket_cols reads ``vec_col`` — queries must carry the

@@ -338,3 +338,25 @@ def test_index_surfaces_handle_empty_inputs(spark, lsh_index, tmp_path):
     assert (
         minhash_ingest_neardup(spark, store, no_batch, corpus).count() == 0
     )
+
+
+def test_lsh_multi_probe_improves_recall(spark, lsh_index):
+    """Multi-probe (±1 adjacent buckets per band) must be a recall
+    superset of single-probe at bounded extra work, and stay an exact
+    subset of the radius truth — the FAISS-nprobe-style knob."""
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_query_index,
+        radius_search,
+    )
+
+    emb = tables(spark, SF_DIR).embeddings
+    queries = emb.orderBy("vec_id").limit(64)
+    single = _pairs(lsh_query_index(spark, lsh_index, queries, radius=1.2))
+    multi = _pairs(
+        lsh_query_index(spark, lsh_index, queries, radius=1.2, multi_probe=1)
+    )
+    truth = _pairs(radius_search(emb, queries, radius=1.2))
+    assert single <= multi <= truth
+    r_single, r_multi = len(single) / len(truth), len(multi) / len(truth)
+    assert r_multi > r_single, (r_single, r_multi)
+    assert r_multi >= 0.99, f"±1 multi-probe recall {r_multi:.3f}"
