@@ -51,15 +51,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_RUNS > 2 gives the controlled min-of-N for
+    # drift pinning (r8: the r7 driver bench regressed uniformly
+    # +19% vs r6 with untouched plans — environment noise; the
+    # local control series uses N=5 to separate noise from plans).
+    # N is recorded in the emitted JSON so artifacts are self-describing.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for key in available:
         builder = registry.REGISTRY[key].builder
         builder(spark, sf_dir).collect()  # warm-up: codegen + IO cache
         best = float("inf")
-        # SPARK_GRAFT_BENCH_RUNS > 2 gives the controlled min-of-N for
-        # drift pinning (r8: the r7 driver bench regressed uniformly
-        # +19% vs r6 with untouched plans — environment noise; the
-        # local control series uses N=5 to separate noise from plans)
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
+        for _ in range(runs):
             t0 = time.time()
             builder(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
@@ -74,6 +76,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "runs": runs,
+                "sf_dir": sf_dir,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             }
         )
     )
