@@ -147,6 +147,15 @@ def global_ntiles(
     ``specs`` is a list of ``(out_col, order_by, bucket_col)``; each
     ordering must be a unique total order (tiebreak key included).
 
+    PRECONDITION — same null caveat as :func:`_bucket_expr`, which this
+    fusion inlines (one approxQuantile call covering EVERY bucket
+    column is the point, so it cannot call the shared helper per spec):
+    bucket columns must be NON-NULL. approxQuantile ignores nulls and a
+    null evaluates every when() to 0, landing the row in the HEAD
+    bucket — wrong for DESC NULLS LAST global order. Callers filter
+    nulls first (q_agg_rfm's aggregate columns are non-null by
+    construction).
+
     Why this exists: N chained ``global_order_stats`` calls cost
     ~2N driver-synchronized jobs (each stage's approxQuantile + bucket
     counts re-execute everything upstream), which dominates wall time

@@ -1268,6 +1268,15 @@ def q_agg_rfm(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Session-lifetime cache entry — ACCEPTED CONCESSION (r8 ADVICE):
+    # the returned lazy plan still references per_cust, so unpersisting
+    # here would force the final collect to recompute the orders
+    # aggregation the cache exists to amortize (the r7→r8 5.9 s → 2.5 s
+    # win). Bounded: one per-customer-sized entry per distinct sf_dir,
+    # deduped across re-runs by the cache manager, spills under
+    # pressure. The release discipline (_release after supersession)
+    # applies to LOOP snapshots, not to a single entry the result
+    # depends on.
     per_cust.count()
     out = global_ntiles(
         per_cust,
