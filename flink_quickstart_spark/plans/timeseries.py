@@ -144,6 +144,60 @@ def q_ts_znorm_match(spark, sf_dir):
 
 
 @register(
+    "q_ts_znorm_topk",
+    # Selection runs on the ROUNDED distance on BOTH sides (the rounded
+    # values are proven identical by q_ts_znorm_match's hash match;
+    # full-precision order could disagree across engines inside a
+    # 1e-6 tie), tiebreak win_pos — fully deterministic top-3.
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, value) - 1 AS win_pos
+      FROM events
+    ), wins AS (
+      SELECT user_id, win_pos, w FROM ordered WHERE len(w) = 8
+    ), stats AS (
+      SELECT user_id, win_pos, w, list_avg(w) AS mu,
+             sqrt(list_avg(list_transform(w, x -> (x - list_avg(w))^2))) AS sd
+      FROM wins
+    ), dists AS (
+      SELECT user_id, win_pos,
+             round(sqrt(list_sum(list_transform(list_zip(
+               list_transform(w, x -> CASE WHEN sd = 0 THEN 0.0 ELSE (x - mu) / sd END),
+               {_Q_LIT}), p -> (p[1] - p[2])^2))), 6) AS dist
+      FROM stats
+    )
+    SELECT user_id, win_pos, dist FROM dists
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY dist, win_pos) <= 3
+    """,
+    tags=("batch", "timeseries", "pandas-udf"),
+)
+def q_ts_znorm_topk(spark, sf_dir):
+    """K9 selection tier (r9 — closes the last undeclared SURVEY §2
+    row): top-3 best-matching windows per user for the fixed pulse
+    pattern — the UCR-style "where does this shape occur" query a
+    monitoring pipeline actually asks, layered on the full distance
+    profile of q_ts_znorm_match via operators/timeseries.
+    best_match_per_key (row_number ≤ k over (dist, win_pos) —
+    WindowGroupLimit pushes the per-key limit below the sort at scale,
+    so no key materializes its whole profile in the window buffer).
+    Selection compares ROUNDED distances (identical across engines,
+    proven by the profile key's hash match) with a win_pos tiebreak, so
+    the top-3 is deterministic on both sides."""
+    from flink_quickstart_spark.operators.timeseries import best_match_per_key
+
+    t = tables(spark, sf_dir)
+    dists = sliding_znorm_distance(
+        t.events, ZNORM_PATTERN, key_col="user_id", ts_col="ts", value_col="value"
+    ).withColumn("dist", F.round("dist", 6))
+    return best_match_per_key(dists, k=3).select(
+        F.col("key").alias("user_id"), "win_pos", "dist"
+    )
+
+
+@register(
     "q_ts_ffill",
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -183,6 +183,13 @@ DEFAULT_KEYS = [
     "ann_lsh_build", "ann_lsh_query_fixed", "q_llm_ann_lsh_query",
     # r8b: incremental ingest near-dup vs the persisted signature store
     "q_llm_ingest_neardup",
+    # r9 (VERDICT r8 #1): incremental index maintenance — upsert of a
+    # FIXED 64-row batch into the persisted LSH/minhash stores must
+    # cost ∝ batch × touched-bucket occupancy, not corpus (near-flat
+    # curve; the registered q_llm_*_upsert keys add the full-rebuild
+    # truth side, these probes time the upsert path alone)
+    "ann_lsh_upsert_fixed", "minhash_store_upsert_fixed",
+    "q_llm_lsh_upsert", "q_llm_store_upsert", "q_llm_ivf_upsert",
 ]
 
 
@@ -337,6 +344,64 @@ def _probe_ivf_query_fixed(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_results"))
 
 
+_UPSERT_RUN = {"lsh": 0, "mh": 0}
+
+
+def _probe_lsh_upsert_fixed(spark, sf):
+    # incremental maintenance cost (r9): upsert a FIXED 64-vector batch
+    # into the prebuilt posting index — work ∝ batch × tables ×
+    # touched-bucket occupancy BY CONSTRUCTION (only affected (band,
+    # bucket) partitions are re-ranked), so the curve must stay
+    # near-flat as the corpus grows. Each run mints FRESH negative ids
+    # (upsert requires new ids); the index grows by 256 posting rows
+    # per run — noise against the corpus-mass bucket occupancy.
+    from flink_quickstart_spark.operators.similarity import lsh_upsert_index
+
+    _UPSERT_RUN["lsh"] += 1
+    off = -1_000_000 * _UPSERT_RUN["lsh"]
+    batch = (
+        _embeddings(spark, sf)
+        .orderBy("vec_id")
+        .limit(64)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(off))
+    )
+    lsh_upsert_index(spark, _lsh_index_path(sf), batch)
+    return None
+
+
+def _minhash_store_path(sf: str) -> str:
+    return str(REPO / ".scale" / "minhash_store" / Path(sf).name)
+
+
+def _prepare_minhash_store(spark, sf):
+    from flink_quickstart_spark.operators.dedup import ensure_minhash_store
+
+    ensure_minhash_store(
+        spark.read.parquet(str(Path(sf) / "documents.parquet")),
+        _minhash_store_path(sf),
+        str(Path(sf) / "documents.parquet"),
+    )
+
+
+def _probe_minhash_store_upsert_fixed(spark, sf):
+    # admission-side maintenance cost (r9): upsert a FIXED 64-document
+    # batch's signatures into the prebuilt band store — signature agg
+    # over batch shingles + an append into the batch's sig buckets;
+    # corpus signatures never read, so the curve must stay near-flat.
+    from flink_quickstart_spark.operators.dedup import minhash_upsert_store
+
+    _UPSERT_RUN["mh"] += 1
+    off = -1_000_000 * _UPSERT_RUN["mh"]
+    batch = (
+        spark.read.parquet(str(Path(sf) / "documents.parquet"))
+        .orderBy("doc_id")
+        .limit(64)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    )
+    minhash_upsert_store(spark, _minhash_store_path(sf), batch)
+    return None
+
+
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
@@ -348,6 +413,11 @@ COMPONENT_PROBES = {
     "ann_ivf_query_fixed": (_prepare_ivf_index, _probe_ivf_query_fixed),
     "ann_lsh_build": (None, _probe_lsh_build),
     "ann_lsh_query_fixed": (_prepare_lsh_index, _probe_lsh_query_fixed),
+    "ann_lsh_upsert_fixed": (_prepare_lsh_index, _probe_lsh_upsert_fixed),
+    "minhash_store_upsert_fixed": (
+        _prepare_minhash_store,
+        _probe_minhash_store_upsert_fixed,
+    ),
 }
 
 
