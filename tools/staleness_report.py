@@ -116,7 +116,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-age", type=int, default=3)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--verify-json",
+        default=None,
+        help="a builder VERIFY_r{N}.json from this round: every stale "
+        "key is annotated reverified_this_round (status == 'pass' in "
+        "that run) — the r9 round-close discipline (VERDICT r8 #4): the "
+        "builder cannot choose the driver's sample, but it CAN re-run "
+        "its own stricter exact-value gate over the stale backlog and "
+        "record that the rewritten paths were re-checked this round",
+    )
     args = ap.parse_args()
+    verified: dict[str, bool] = {}
+    if args.verify_json:
+        vdata = json.loads(Path(args.verify_json).read_text())
+        verified = {
+            k: rec.get("status") == "pass"
+            for k, rec in vdata.get("keys", {}).items()
+        }
 
     bounds = round_boundaries()
     sampled = last_sampled()
@@ -143,11 +160,22 @@ def main() -> int:
         touched = sorted(deps & changed_since[last])
         if touched:
             stale[key] = {"last_round": last, "changed_files": touched}
+            if verified:
+                stale[key]["reverified_this_round"] = verified.get(key, False)
 
+    n_reverified = sum(
+        1 for rec in stale.values() if rec.get("reverified_this_round")
+    )
     print(
         f"== staleness: {len(stale)} stale keys "
         f"(sampled ≥{args.min_age} rounds ago with deps changed since), "
-        f"{len(never)} never sampled, newest round on file r{newest} =="
+        f"{len(never)} never sampled, newest round on file r{newest}"
+        + (
+            f"; {n_reverified}/{len(stale)} re-verified builder-side this round"
+            if verified
+            else ""
+        )
+        + " =="
     )
     for key, rec in stale.items():
         print(f"  {key}: last r{rec['last_round']}, changed: "
