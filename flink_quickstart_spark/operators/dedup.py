@@ -549,6 +549,87 @@ def ensure_minhash_store(
     )
 
 
+def minhash_delete_store(
+    spark,
+    path: str,
+    del_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """INCREMENTAL deletion from a persisted signature store — the
+    retention counterpart of :func:`minhash_upsert_store`: re-hash the
+    deletion batch with the store's pinned family (its band rows live
+    in exactly the sig buckets that hashing computes — the signature is
+    a pure function of the text), anti-join the ids out of ONLY the
+    affected ``_hmod`` partitions (≤ num_hashes × batch buckets,
+    bounded by hmod), dynamically overwrite them, and drop partitions
+    left empty. ``del_docs`` carries (id, text) for the same reason the
+    vector deletes carry vectors: without the content, locating a doc's
+    band rows means scanning every partition. Cost ∝ batch +
+    touched-bucket occupancy. Invariant: delete(build(corpus), X) ==
+    build(corpus \\ X) row-identically."""
+    import os
+    import shutil
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    family = getattr(meta, "hash_family", None) or "md5_60"
+    del_bands = (
+        _minhash_band_rows(
+            del_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
+        )
+        .select(
+            F.col(id_col),
+            F.pmod(F.col("sig"), F.lit(meta.hmod)).cast("int").alias("_hmod"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        probed = [
+            int(r._hmod) for r in del_bands.select("_hmod").distinct().collect()
+        ]
+        if not probed:
+            return
+        survivors = (
+            spark.read.parquet(f"{path}/bands")
+            .where(F.col("_hmod").isin(probed))
+            .join(
+                del_bands.select(F.col(id_col).alias("_del_id")).distinct(),
+                F.col(id_col) == F.col("_del_id"),
+                "left_anti",
+            )
+            .select(id_col, "band_id", "sig", "_hmod")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            (
+                survivors.repartition("_hmod")
+                .sortWithinPartitions("_hmod", "band_id", "sig")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_hmod")
+                .parquet(f"{path}/bands")
+            )
+            surviving = {
+                int(r._hmod)
+                for r in survivors.select("_hmod").distinct().collect()
+            }
+            # a fully-deleted bucket writes nothing under dynamic
+            # overwrite — drop its stale directory explicitly
+            for h in probed:
+                if h not in surviving:
+                    d = os.path.join(f"{path}/bands", f"_hmod={h}")
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+        finally:
+            from flink_quickstart_spark.operators.iterative import _release
+
+            _release(survivors)
+    finally:
+        from flink_quickstart_spark.operators.iterative import _release
+
+        _release(del_bands)
+
+
 def minhash_ingest_neardup(
     spark,
     path: str,

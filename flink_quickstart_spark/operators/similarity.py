@@ -17,6 +17,7 @@ Beyond the reference surface: mandated LLM-data-pipeline extension
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -482,6 +483,76 @@ def ivf_upsert_index(
     )
 
 
+def ivf_delete_index(
+    spark,
+    path: str,
+    del_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL deletion from a persisted IVF index — the retention
+    counterpart of :func:`ivf_upsert_index`: assign the deletion batch
+    against the STORED centroids (deterministic, so each row's cluster
+    is exactly where it was written), anti-join the ids out of ONLY the
+    affected cluster partitions (dynamic overwrite), and drop clusters
+    left empty (:func:`_drop_empty_partitions`). ``del_df`` carries
+    (id, vector) for the same reason as LSH delete: the cluster is a
+    function of the vector. Cost ∝ batch + touched-cluster occupancy.
+    Invariant: members == same-centroid assignment of corpus \\ batch."""
+    import numpy as _np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = _np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cluster_id] = r.centroid
+    assigned = _assign_members_df(del_df, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    try:
+        clusters = [
+            int(r.cluster_id)
+            for r in assigned.select("cluster_id").distinct().collect()
+        ]
+        if not clusters:
+            return
+        survivors = (
+            spark.read.parquet(f"{path}/members")
+            .where(F.col("cluster_id").isin(clusters))
+            .join(
+                assigned.select(F.col(id_col).alias("_del_id")).distinct(),
+                F.col(id_col) == F.col("_del_id"),
+                "left_anti",
+            )
+            .select(id_col, vec_col, "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        try:
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cluster_id")
+                .parquet(f"{path}/members")
+            )
+            surviving = {
+                (int(r.cluster_id),)
+                for r in survivors.select("cluster_id").distinct().collect()
+            }
+            _drop_empty_partitions(
+                f"{path}/members",
+                [(c,) for c in clusters],
+                surviving,
+                ["cluster_id"],
+            )
+        finally:
+            from flink_quickstart_spark.operators.iterative import _release
+
+            _release(survivors)
+    finally:
+        from flink_quickstart_spark.operators.iterative import _release
+
+        _release(assigned)
+
+
 def ivf_build_index(
     df: DataFrame,
     path: str,
@@ -823,6 +894,124 @@ def lsh_upsert_index(
         from flink_quickstart_spark.operators.iterative import _release
 
         _release(new_rows)  # batch-sized checkpoint blocks, freed eagerly
+
+
+def _drop_empty_partitions(
+    base_dir: str, combos: list[tuple], survivors: set[tuple], names: list[str]
+) -> None:
+    """Remove partition directories whose rows were ALL deleted.
+
+    Dynamic partition overwrite replaces only partitions PRESENT in the
+    written data — a partition whose every row was anti-joined away
+    writes nothing and would silently keep its stale files. The
+    affected-combo list is driver-bounded (≤ batch × tables), so the
+    fix is a driver-side directory removal of the zero-survivor combos.
+    (Local/DBFS-style paths; a warehouse deployment expresses the same
+    drop as ALTER TABLE DROP PARTITION / Delta delete.)"""
+    import shutil
+
+    for combo in combos:
+        if tuple(combo) in survivors:
+            continue
+        d = os.path.join(
+            base_dir, *(f"{n}={v}" for n, v in zip(names, combo))
+        )
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def lsh_delete_index(
+    spark,
+    path: str,
+    del_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL deletion from a persisted LSH index — the retention /
+    right-to-erasure counterpart of :func:`lsh_upsert_index`, same
+    partition-local shape: band the deletion batch with the STORED
+    projections (its rows live in exactly those (band, bucket)
+    partitions — banding is deterministic given the projections), read
+    ONLY the affected partitions, anti-join the ids out, re-rank the
+    survivors (:func:`_assign_pos` — bucket-local, so positions close
+    ranks exactly as a rebuild would), dynamically overwrite the
+    affected partitions, and DROP the ones left empty (see
+    :func:`_drop_empty_partitions` — dynamic overwrite alone would
+    silently keep a fully-deleted bucket's stale files).
+
+    ``del_df`` carries (id, vector) — a deletion feed fetches the
+    vector from the primary store first; without it, locating a row
+    means scanning every bucket (the corpus-cost path this operator
+    exists to avoid). Cost ∝ batch × tables × touched-bucket occupancy.
+    Invariant (tests/test_invariants_r9.py): delete(build(corpus), X)
+    is row-identical to build(corpus \\ X), and delete ∘ upsert is the
+    identity."""
+    proj_rows = spark.read.parquet(f"{path}/projections").collect()
+    bucket_length = float(proj_rows[0].bucket_length)
+    dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
+    for r in proj_rows:
+        dirs[r.band_id] = r.direction
+    bands = _band_bucket_cols(vec_col, dirs, bucket_length)
+    del_rows = (
+        del_df.select(id_col, vec_col, F.explode(F.array(*bands)).alias("_bb"))
+        .select(
+            id_col,
+            F.col("_bb.band_id").alias("band_id"),
+            F.col("_bb.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        combos = [
+            (int(r.band_id), int(r.bucket))
+            for r in del_rows.select("band_id", "bucket").distinct().collect()
+        ]
+        if not combos:
+            return
+        by_band: dict[int, list[int]] = {}
+        for band, bucket in combos:
+            by_band.setdefault(band, []).append(bucket)
+        prune = None
+        for band, buckets in by_band.items():
+            clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
+            prune = clause if prune is None else (prune | clause)
+        survivors_df = (
+            spark.read.parquet(f"{path}/postings")
+            .where(prune)
+            .select(id_col, vec_col, "band_id", "bucket")
+            .join(
+                del_rows.select(F.col(id_col).alias("_del_id")).distinct(),
+                F.col(id_col) == F.col("_del_id"),
+                "left_anti",
+            )
+        )
+        posted = _assign_pos(survivors_df, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            (
+                posted.repartition("band_id", "bucket")
+                .sortWithinPartitions("band_id", "bucket", "pos")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("band_id", "bucket")
+                .parquet(f"{path}/postings")
+            )
+            surviving = {
+                (int(r.band_id), int(r.bucket))
+                for r in posted.select("band_id", "bucket").distinct().collect()
+            }
+            _drop_empty_partitions(
+                f"{path}/postings", combos, surviving, ["band_id", "bucket"]
+            )
+        finally:
+            from flink_quickstart_spark.operators.iterative import _release
+
+            _release(posted)
+    finally:
+        from flink_quickstart_spark.operators.iterative import _release
+
+        _release(del_rows)
 
 
 def lsh_query_index(

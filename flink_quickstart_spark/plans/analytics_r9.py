@@ -115,6 +115,64 @@ def q_llm_lsh_upsert(spark, sf_dir):
 
 
 @register(
+    "q_llm_lsh_delete",
+    # Invariant oracle: deleting the batch from a full-corpus index
+    # must leave an index ROW-IDENTICAL to building from the remainder
+    # — including dropping any (band, bucket) partition the deletion
+    # emptied (dynamic overwrite alone would keep its stale files; the
+    # count law would catch the leak). 4 postings per surviving vector.
+    oracle="""
+    SELECT CAST(4 * count(*) AS BIGINT) AS n_postings,
+           TRUE AS delete_eq_rebuild
+    FROM embeddings WHERE vec_id % 10 <> 0
+    """,
+    tags=("batch", "llm", "similarity", "index-maintenance"),
+)
+def q_llm_lsh_delete(spark, sf_dir):
+    """K4e (r9, deletion side): retention / right-to-erasure against the
+    persisted LSH index — operators/similarity.lsh_delete_index bands
+    the deletion batch with the STORED projections (deterministic, so
+    its rows live in exactly those buckets), anti-joins the ids out of
+    ONLY the affected partitions, re-ranks survivors bucket-locally,
+    dynamically overwrites, and DROPS partitions left empty. Cost ∝
+    batch × touched-bucket occupancy — a 100 TB index never rescans for
+    a deletion request. IVF and minhash deletes share the shape and are
+    pinned in tests/test_invariants_r9.py (incl. delete ∘ upsert ==
+    identity)."""
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        lsh_build_index,
+        lsh_delete_index,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    batch = t.embeddings.where(F.col("vec_id") % 10 == 0)
+    remainder = t.embeddings.where(F.col("vec_id") % 10 != 0)
+    deleted = _scratch("lsh_index_del", sf_name)
+    ref = _scratch("lsh_index_del_ref", sf_name)
+    _ensure_index(
+        lambda: (
+            lsh_build_index(t.embeddings, deleted),
+            lsh_delete_index(spark, deleted, batch),
+        ),
+        deleted,
+        src,
+        "projections",
+    )
+    _ensure_index(lambda: lsh_build_index(remainder, ref), ref, src, "projections")
+    cols = ["vec_id", "band_id", "bucket", "pos"]
+    return _multiset_equal(
+        spark.read.parquet(f"{deleted}/postings"),
+        spark.read.parquet(f"{ref}/postings"),
+        cols,
+        "n_postings",
+        "delete_eq_rebuild",
+    )
+
+
+@register(
     "q_llm_ivf_upsert",
     # Invariant oracle: members after (build(corpus) + upsert(batch))
     # == assigning the FULL corpus against the SAME stored centroids —

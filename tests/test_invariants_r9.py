@@ -136,6 +136,63 @@ def test_lsh_query_after_upsert_matches_rebuild(spark, tmp_path):
     assert got == ref
 
 
+def test_lsh_delete_matches_rebuild_and_drops_empty_buckets(spark, tmp_path):
+    """Delete 90% of the corpus — many buckets empty out entirely, the
+    case dynamic overwrite alone would silently leave stale (the
+    written data carries no rows for an emptied partition, so nothing
+    replaces its files); _drop_empty_partitions must remove them."""
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_delete_index,
+    )
+
+    emb = _emb(spark)
+    keep = emb.where(F.col("vec_id") % 10 == 0)
+    dele = emb.where(F.col("vec_id") % 10 != 0)
+    a, b = str(tmp_path / "del"), str(tmp_path / "ref")
+    lsh_build_index(emb, a)
+    lsh_delete_index(spark, a, dele)
+    lsh_build_index(keep, b)
+    cols = ["vec_id", "band_id", "bucket", "pos"]
+    assert _multiset(spark.read.parquet(f"{a}/postings"), cols) == _multiset(
+        spark.read.parquet(f"{b}/postings"), cols
+    )
+
+
+def test_lsh_delete_after_upsert_is_identity(spark, tmp_path):
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_delete_index,
+        lsh_upsert_index,
+    )
+
+    emb = _emb(spark)
+    base = emb.where(F.col("vec_id") % 10 == 0)
+    batch = emb.where(F.col("vec_id") % 10 == 5)
+    p = str(tmp_path / "ident")
+    lsh_build_index(base, p)
+    cols = ["vec_id", "band_id", "bucket", "pos"]
+    before = _multiset(spark.read.parquet(f"{p}/postings"), cols)
+    lsh_upsert_index(spark, p, batch)
+    lsh_delete_index(spark, p, batch)
+    assert _multiset(spark.read.parquet(f"{p}/postings"), cols) == before
+
+
+def test_lsh_delete_empty_batch_is_noop(spark, tmp_path):
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_delete_index,
+    )
+
+    emb = _emb(spark)
+    p = str(tmp_path / "noop")
+    lsh_build_index(emb, p)
+    cols = ["vec_id", "band_id", "bucket", "pos"]
+    before = _multiset(spark.read.parquet(f"{p}/postings"), cols)
+    lsh_delete_index(spark, p, emb.where(F.lit(False)))
+    assert _multiset(spark.read.parquet(f"{p}/postings"), cols) == before
+
+
 # ---------------------------------------------------------------- IVF
 
 
@@ -194,6 +251,35 @@ def test_ivf_upsert_empty_batch_is_noop(spark, tmp_path):
     assert before == after
 
 
+def test_ivf_delete_matches_same_centroid_assignment(spark, tmp_path):
+    import numpy as np
+
+    from flink_quickstart_spark.operators.similarity import (
+        _assign_members_df,
+        ivf_build_index,
+        ivf_delete_index,
+    )
+
+    emb = _emb(spark)
+    keep = emb.where(F.col("vec_id") % 10 == 0)
+    dele = emb.where(F.col("vec_id") % 10 != 0)
+    p = str(tmp_path / "ivf")
+    ivf_build_index(emb, p, n_clusters=8)
+    cent_rows = spark.read.parquet(f"{p}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cluster_id] = r.centroid
+    ivf_delete_index(spark, p, dele)
+    from collections import Counter
+
+    got = _multiset(spark.read.parquet(f"{p}/members"), ["vec_id", "cluster_id"])
+    want = Counter(
+        (r.vec_id, r.cluster_id)
+        for r in _assign_members_df(keep, cents, "vec_id", "embedding").collect()
+    )
+    assert got == want
+
+
 # ------------------------------------------------------------ minhash
 
 
@@ -211,6 +297,25 @@ def test_minhash_store_upsert_row_identical_to_rebuild(spark, tmp_path):
     cols = ["doc_id", "band_id", "sig"]
     assert _multiset(spark.read.parquet(f"{ups}/bands"), cols) == _multiset(
         spark.read.parquet(f"{full}/bands"), cols
+    )
+
+
+def test_minhash_delete_matches_rebuild(spark, tmp_path):
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_delete_store,
+    )
+
+    docs = _docs(spark)
+    keep = docs.where(F.col("doc_id") % 10 == 0)
+    dele = docs.where(F.col("doc_id") % 10 != 0)
+    a, b = str(tmp_path / "del"), str(tmp_path / "ref")
+    minhash_build_store(docs, a)
+    minhash_delete_store(spark, a, dele)
+    minhash_build_store(keep, b)
+    cols = ["doc_id", "band_id", "sig"]
+    assert _multiset(spark.read.parquet(f"{a}/bands"), cols) == _multiset(
+        spark.read.parquet(f"{b}/bands"), cols
     )
 
 

@@ -282,6 +282,23 @@ MATERIALIZE_ALLOWED = {
         "1-row meta pull (num_hashes/shingle_n/hmod/hash_family) so the "
         "admitted batch is hashed with the store's pinned family (r9)"
     ),
+    "operators/similarity.py:lsh_delete_index:collect": (
+        "three driver-bounded pulls for partition-local deletion: the "
+        "O(num_tables) projection table, the batch's affected (band, "
+        "bucket) combos (≤ batch × tables), and the surviving combo set "
+        "(⊆ affected) that decides which emptied partition dirs to drop "
+        "(r9)"
+    ),
+    "operators/similarity.py:ivf_delete_index:collect": (
+        "three driver-bounded pulls: the O(n_clusters) centroid table, "
+        "the batch's affected cluster ids (≤ n_clusters), and the "
+        "surviving cluster set for the emptied-partition drop (r9)"
+    ),
+    "operators/dedup.py:minhash_delete_store:collect": (
+        "three driver-bounded pulls: the 1-row meta record, the batch's "
+        "affected sig buckets (≤ hmod = 64), and the surviving bucket "
+        "set for the emptied-partition drop (r9)"
+    ),
     "plans/analytics_r9.py:build_ref:collect": (
         "O(n_clusters) centroid pull (16 rows) building the pinned-"
         "centroid reference assignment the IVF upsert invariant "
