@@ -185,7 +185,8 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         "q_agg_regression", "q_agg_rollup", "q_agg_salted",
         "q_agg_skew_audit", "q_agg_stats_family", "q_cogroup_stats_agg",
         "q_dq_benford", "q_embed_covariance", "q_join_theta_pctile",
-        "q_join_theta_sum", "q_llm_ann_query", "q_llm_bpe_encode",
+        "q_join_theta_sum", "q_llm_ann_lsh_query", "q_llm_ann_query",
+        "q_llm_bpe_encode", "q_llm_ingest_neardup",
         "q_llm_dedup_semantic", "q_llm_dedup_semantic_ivf", "q_sql_q4",
         "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
         "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",

@@ -68,6 +68,10 @@ DEFAULT_KEYS = [
     "ann_lsh_query_fixed",
     # r8b: incremental ingest near-dup vs the persisted signature store
     "q_llm_ingest_neardup",
+    # r9: incremental index maintenance — fixed-batch upsert cost must
+    # stay ~flat as the corpus decade-grows (VERDICT r8 #1)
+    "ann_lsh_upsert_fixed",
+    "minhash_store_upsert_fixed",
 ]
 
 # r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
@@ -131,6 +135,11 @@ RELATIONAL_KEYS = [
     "q_graph_common_neighbors",
     "q_sessionize_gaps_islands",
     "q_merge_upsert",
+    # r9 (VERDICT r8 #7): fuzzy-match had curve points but no decade
+    # entry — it reads CUSTOMER (which the text staging fills unscaled
+    # from sf1), so its 100× measurement belongs to this tier; the
+    # deletion-neighborhood blocking must hold the r6 fix at the decade
+    "q_text_fuzzy_match",
 ]
 
 
