@@ -1,0 +1,123 @@
+"""Day-2 index lifecycle on this engine: the maintenance shapes a
+100 TB deployment runs BETWEEN rebuilds (SURVEY §2 K2g/K4e/K4f, r9).
+
+1. Build the persisted stores once from the base corpus: the LSH
+   posting index, the IVF member index, and the minhash signature
+   store (all fingerprint-guarded).
+2. UPSERT an ingest batch into each — banded/assigned/hashed with the
+   STORED parameters, appended or merged partition-locally; cost is
+   proportional to the batch, never the corpus.
+3. Run the ingest-admission near-dup gate for a second batch: flag
+   documents that near-duplicate the corpus OR the first (admitted)
+   batch, admit the rest, and upsert their signatures — the loop every
+   subsequent ingest day runs.
+4. DELETE a retention batch from each index — anti-joined out of only
+   its own partitions, with emptied partitions dropped.
+5. Verify the invariants inline: upserted == rebuilt, deleted ==
+   rebuilt-from-remainder, query results identical.
+
+Run: ``python examples/index_maintenance_job.py [sf_dir] [work_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.operators.dedup import (
+    minhash_build_store,
+    minhash_delete_store,
+    minhash_ingest_neardup,
+    minhash_upsert_store,
+)
+from flink_quickstart_spark.operators.similarity import (
+    ivf_build_index,
+    ivf_upsert_index,
+    lsh_build_index,
+    lsh_delete_index,
+    lsh_query_index,
+    lsh_upsert_index,
+)
+from flink_quickstart_spark.sources.tables import load_tables
+
+
+def _postings(spark, path):
+    return {
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("vec_id", "band_id", "bucket", "pos")
+        .collect()
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="idx_")
+    spark = get_spark(app_name="index-maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, sf_dir)
+
+    corpus_docs = t.documents.where(F.col("doc_id") % 10 != 0)
+    batch1 = t.documents.where(F.col("doc_id") % 20 == 0)
+    batch2 = t.documents.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)
+    )
+    corpus_vecs = t.embeddings.where(F.col("vec_id") % 10 != 0)
+    vec_batch = t.embeddings.where(F.col("vec_id") % 10 == 0)
+
+    # 1. build once --------------------------------------------------
+    lsh, ivf, store = f"{work}/lsh", f"{work}/ivf", f"{work}/minhash"
+    lsh_build_index(corpus_vecs, lsh)
+    ivf_build_index(corpus_vecs, ivf, n_clusters=16)
+    minhash_build_store(corpus_docs, store)
+    print(f"built LSH/IVF/minhash stores under {work}")
+
+    # 2. upsert the vector batch ------------------------------------
+    lsh_upsert_index(spark, lsh, vec_batch)
+    ivf_upsert_index(spark, ivf, vec_batch)
+    full_ref = f"{work}/lsh_ref"
+    lsh_build_index(t.embeddings, full_ref)
+    assert _postings(spark, lsh) == _postings(spark, full_ref)
+    print("LSH upsert == full rebuild: OK")
+
+    # 3. two ingest days through the admission loop ------------------
+    seen = corpus_docs
+    for day, batch in ((1, batch1), (2, batch2)):
+        pairs = minhash_ingest_neardup(
+            spark, store, batch, seen, threshold=0.5
+        ).localCheckpoint(eager=True)
+        n_flagged = pairs.select("new_id").distinct().count()
+        admitted = batch.join(
+            pairs.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        minhash_upsert_store(spark, store, admitted)
+        seen = seen.unionByName(admitted.select(*corpus_docs.columns))
+        print(
+            f"ingest day {day}: {batch.count()} docs, "
+            f"{n_flagged} flagged near-dup, {admitted.count()} admitted"
+        )
+
+    # 4. retention delete + query equivalence ------------------------
+    queries = t.embeddings.orderBy("vec_id").limit(16)
+    before = lsh_query_index(spark, lsh, queries, radius=1.2).count()
+    lsh_delete_index(spark, lsh, vec_batch)
+    minhash_delete_store(spark, store, batch1)
+    remainder_ref = f"{work}/lsh_rem"
+    lsh_build_index(corpus_vecs, remainder_ref)
+    assert _postings(spark, lsh) == _postings(spark, remainder_ref)
+    after = lsh_query_index(spark, lsh, queries, radius=1.2).count()
+    print(f"LSH delete == rebuild-from-remainder: OK "
+          f"(radius matches {before} -> {after})")
+    print("index maintenance lifecycle complete")
+
+
+if __name__ == "__main__":
+    main()
