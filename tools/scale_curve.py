@@ -433,18 +433,38 @@ def classify_big_sf_exception(e: Exception) -> str:
     return "error_big"
 
 
-def _run(builder, spark, sf):
+# Keys whose OUTPUT is row-heavy at big stagings (≳ GiB of result rows)
+# — the probe grades the PLAN, so these are consumed with an engine-side
+# count aggregate instead of a driver collect, exactly the rule the
+# COMPONENT_PROBES already follow for candidate-pair outputs. A full
+# driver collect of such a key dies on spark.driver.maxResultSize (r9:
+# q_text_fuzzy_match at the 100× staging produced > 1 GiB of lev-1
+# name-pair rows — Customer#NNNNNNNNN names give every customer a
+# ~constant digit-substitution neighborhood, so pairs ∝ customers).
+ENGINE_SIDE_CONSUME = {
+    "q_text_fuzzy_match": (
+        "pairs ∝ customers (digit-neighborhood law of the synthetic "
+        "names); grade the blocked join + verify plan, not a GiB-scale "
+        "driver materialization no deployment would do"
+    ),
+}
+
+
+def _run(builder, spark, sf, key=None):
     res = builder(spark, sf)
     if res is not None:  # side-effecting probes (index build) return None
-        res.collect()
+        if key in ENGINE_SIDE_CONSUME:
+            res.agg(F.count(F.lit(1))).collect()
+        else:
+            res.collect()
 
 
-def best_of(builder, spark, sf, runs=2):
-    _run(builder, spark, sf)  # warm-up
+def best_of(builder, spark, sf, runs=2, key=None):
+    _run(builder, spark, sf, key)  # warm-up
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        _run(builder, spark, sf)
+        _run(builder, spark, sf, key)
         best = min(best, time.time() - t0)
     return best
 
@@ -504,7 +524,7 @@ def main() -> int:
         else:
             b = registry.REGISTRY[key].builder
         try:
-            t_small = best_of(b, spark, SF_SMALL, args.runs)
+            t_small = best_of(b, spark, SF_SMALL, args.runs, key)
         except Exception as e:  # noqa: BLE001
             # an outright-broken key must fail the probe loudly, not
             # read as a clean skip (ADVICE r5)
@@ -513,7 +533,7 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            t_big = best_of(b, spark, SF_BIG, args.runs)
+            t_big = best_of(b, spark, SF_BIG, args.runs, key)
         except Exception as e:  # noqa: BLE001
             status = classify_big_sf_exception(e)
             if status == "guarded":
@@ -538,7 +558,7 @@ def main() -> int:
         marker = " <-- SUPERLINEAR" if flag else ""
         if args.fit:
             try:
-                t_tiny = best_of(b, spark, SF_TINY, args.runs)
+                t_tiny = best_of(b, spark, SF_TINY, args.runs, key)
             except Exception as e:  # noqa: BLE001
                 # a key that crashes at the TINY scale loses its
                 # acceleration check entirely — that must count as a
@@ -572,7 +592,7 @@ def main() -> int:
             import math
 
             try:
-                t_xl = best_of(b, spark, SF_XL, args.runs)
+                t_xl = best_of(b, spark, SF_XL, args.runs, key)
             except Exception as e:  # noqa: BLE001
                 status = classify_big_sf_exception(e)
                 if status == "guarded":

@@ -113,6 +113,15 @@ DECADE_OUTPUT_LAWS = {
         "CC loop shuffles on node id with iteration count fixed by the "
         "(unchanged) cluster diameter"
     ),
+    "q_sessionize_gaps_islands": (
+        "output-bound: sessions are per-user rows and the staged decade "
+        "grows USERS 10× (per-user event density unchanged), so session "
+        "output grows exactly 10×; the plan is one shuffle on user_id "
+        "(gaps-and-islands lag window + per-session agg) with no "
+        "cross-user state — r ≈ 10 is the output floor (same law as "
+        "q_window_session; measured e 1.01 r9, 0.91 r8 — probe noise "
+        "around the bound)"
+    ),
 }
 
 # the relational/graph tier for a FULL sf10 decade (--set relational,
@@ -200,14 +209,14 @@ def main() -> int:
         else:
             b = registry.REGISTRY[key].builder
         try:
-            t_base = sc.best_of(b, spark, SF_BASE, args.runs)
+            t_base = sc.best_of(b, spark, SF_BASE, args.runs, key)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: sf1 error {type(e).__name__}: {str(e)[:160]}")
             results[key] = {"status": "error_base", "err": str(e)[:200]}
             n_fail += 1
             continue
         try:
-            t_dec = sc.best_of(b, spark, SF_DECADE, args.runs)
+            t_dec = sc.best_of(b, spark, SF_DECADE, args.runs, key)
         except Exception as e:  # noqa: BLE001
             status = sc.classify_big_sf_exception(e)
             if status != "guarded":
