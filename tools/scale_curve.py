@@ -69,7 +69,11 @@ DOCUMENTED_SUPERLINEAR = {
         "data at sf1 — the fixed name-pattern space densifies); the "
         "scan side is linear after the r6 deletion-neighborhood "
         "blocking rewrite, and any exact algorithm's cost is "
-        "Ω(#matching pairs)"
+        "Ω(#matching pairs). QUANTIFIED at the sf1→sf10 decade (r9): "
+        "output pairs 1 718 500 → 178 600 000 (104×) while runtime "
+        "grew 33.7× (e 1.53) — the plan runs strictly BELOW its "
+        "output bound; the 9-digit sequential name space saturating "
+        "its digit-neighborhood is the densification law"
     ),
     "q_llm_ann_lsh": (
         "OUTPUT-bound (r7 measurement): within-radius pair count grows "
