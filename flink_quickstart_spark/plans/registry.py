@@ -211,26 +211,14 @@ _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 # the set (last sample ≥3 rounds old AND a dep file changed since, from
 # CORRECTNESS_r*.json × git history); this frozen ordering (stalest
 # first — last-sample round ascending, name within) drains the backlog
-# right after any never-sampled keys. Regenerate at round close:
-#   python tools/staleness_report.py --json STALENESS_r{N}.json
+# right after any never-sampled keys. Regenerate at round close (r9: 69 keys, every one re-verified
+# builder-side this round — STALENESS_r9.json):
+#   python tools/staleness_report.py --json STALENESS_r{N}.json --verify-json VERIFY_r{N}.json
 _STALE_PRIORITY: tuple[str, ...] = (
-    "q_cogroup_stats", "q_fn_array", "q_fn_conditional", "q_fn_datetime",
-    "q_fn_hash", "q_fn_json", "q_fn_map", "q_fn_math", "q_fn_string",
-    "q_graph_components", "q_graph_pagerank", "q_grouped_map_zscore",
-    "q_join_anti", "q_join_asof", "q_join_broadcast", "q_join_cross",
-    "q_join_interval", "q_join_orders_customer", "q_join_outer",
-    "q_join_range_binned", "q_join_semi", "q_join_star", "q_join_theta",
-    "q_llm_dedup_exact", "q_llm_knn", "q_llm_langstats",
-    "q_llm_lexicon_score", "q_llm_neardup", "q_llm_neardup_cosine",
-    "q_llm_tfidf", "q_llm_wordcount", "q_udf_scalar", "q_udtf_split",
-    "q_cast_types", "q_count_window", "q_except", "q_flatmap_tokenize",
-    "q_funnel", "q_intersect", "q_limit_topn", "q_llm_simhash",
-    "q_multimodal_decode", "q_profile_columns", "q_sample_split",
-    "q_sample_stratified", "q_scan_csv_roundtrip", "q_sort",
-    "q_sql_corr_subquery", "q_sql_q10", "q_sql_q14", "q_sql_q3",
-    "q_sql_q6", "q_sql_window", "q_text_fingerprint", "q_text_langid",
-    "q_text_langid_ngram", "q_text_quality", "q_text_tokens",
-    "q_topk_pergroup", "q_ts_znorm_match", "q_union", "q_wf_distribution",
+    "q_sql_q10", "q_sql_q14", "q_sql_q3", "q_sql_q6", "q_sql_window",
+    "q_text_fingerprint", "q_text_langid", "q_text_langid_ngram",
+    "q_text_quality", "q_text_tokens", "q_topk_pergroup",
+    "q_ts_znorm_match", "q_union", "q_wf_distribution",
     "q_wf_firstlast", "q_wf_rangeframe", "q_wf_rank", "q_wf_running",
     "q_wf_trailing_7d", "q_filter_pred", "q_join_bucketed",
     "q_llm_ann_ivf", "q_llm_ann_lsh", "q_llm_chunk",
@@ -242,7 +230,14 @@ _STALE_PRIORITY: tuple[str, ...] = (
     "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
     "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
     "q_text_pii_scrub", "q_ts_features", "q_ts_ffill", "q_wf_laglead",
-    "q_wf_nth",
+    "q_wf_nth", "q_dq_constraints", "q_dq_referential_integrity",
+    "q_embed_centroid", "q_embed_norm", "q_embed_quantize_int8",
+    "q_graph_common_neighbors", "q_graph_degree_stats",
+    "q_graph_triangles", "q_join_asof_tolerance", "q_join_nullsafe",
+    "q_join_pit_features", "q_join_skew_salted", "q_llm_bm25",
+    "q_llm_bpe_merges", "q_llm_ingest_dedup",
+    "q_llm_minhash_signatures", "q_llm_xent_unigram",
+    "q_maintenance_zorder",
 )
 _STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
 
