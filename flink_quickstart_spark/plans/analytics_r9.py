@@ -312,3 +312,72 @@ def q_llm_store_upsert(spark, sf_dir):
         "n_band_rows",
         "upsert_eq_rebuild",
     )
+
+
+@register(
+    "q_llm_store_compact",
+    # Invariant oracle: compaction is OPTIMIZE — it must preserve the
+    # band-row multiset exactly (same count law as the upsert key) while
+    # collapsing each partition's accumulated append files to one; the
+    # file-count assertion is filesystem metadata, graded as a boolean
+    # computed in the builder (bounded os.walk, no data pass).
+    oracle="""
+    SELECT CAST(16 * count(*) AS BIGINT) AS n_band_rows,
+           TRUE AS compact_eq_precompact,
+           TRUE AS one_file_per_partition
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+    """,
+    tags=("batch", "llm", "dedup", "index-maintenance"),
+)
+def q_llm_store_compact(spark, sf_dir):
+    """K2g (r9, OPTIMIZE side): small-file compaction of the signature
+    store after ingest-day upserts — every append adds a file per
+    touched sig bucket, and at 100 TB the FILE count (open/footer cost
+    per scan) degrades probes long before data size does. The op
+    (operators/maintenance.compact_minhash_store) rewrites each
+    ``_hmod`` partition as one (band_id, sig)-sorted file via a single
+    hash shuffle on the partition key; rows, partitions, and probe
+    results are unchanged. The key stages build(corpus) + upsert(batch)
+    + compact as one fingerprint-guarded unit, then proves multiset
+    identity against the store that never compacted (the upsert key's
+    own store path) plus the one-file-per-partition law."""
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+        data_file_counts,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    corpus = t.documents.where(F.col("doc_id") % 10 != 0)
+    batch = t.documents.where(F.col("doc_id") % 10 == 0)
+    compacted = _scratch("minhash_store_compact", sf_name)
+    full = _scratch("minhash_store_full", sf_name)
+    _ensure_index(
+        lambda: (
+            minhash_build_store(corpus, compacted),
+            minhash_upsert_store(spark, compacted, batch),
+            compact_minhash_store(spark, compacted),
+        ),
+        compacted,
+        src,
+        "meta",
+    )
+    _ensure_index(lambda: minhash_build_store(t.documents, full), full, src, "meta")
+    files_ok = all(
+        n == 1 for n in data_file_counts(f"{compacted}/bands").values()
+    )
+    cols = ["doc_id", "band_id", "sig"]
+    return _multiset_equal(
+        spark.read.parquet(f"{compacted}/bands"),
+        spark.read.parquet(f"{full}/bands"),
+        cols,
+        "n_band_rows",
+        "compact_eq_precompact",
+    ).withColumn("one_file_per_partition", F.lit(bool(files_ok)))

@@ -373,3 +373,68 @@ def test_xx64_ingest_matches_md5_ingest_results(spark, tmp_path):
             ).collect()
         }
     assert out["xx64"] == out["md5_60"]
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compaction_preserves_rows_and_collapses_files(spark, tmp_path):
+    """After several upsert days each sig bucket holds one file per
+    touching batch; compaction must collapse to ONE sorted file per
+    partition with the row multiset bit-identical."""
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+        data_file_counts,
+    )
+
+    docs = _docs(spark)
+    p = str(tmp_path / "mh")
+    minhash_build_store(docs.where(F.col("doc_id") % 10 != 0), p)
+    for m in (0, 3, 6):
+        batch = docs.where(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 30 == m)
+        ).withColumn("doc_id", F.col("doc_id") + 1_000_000 * (m + 1))
+        minhash_upsert_store(spark, p, batch)
+    cols = ["doc_id", "band_id", "sig"]
+    before = _multiset(spark.read.parquet(f"{p}/bands"), cols)
+    assert max(data_file_counts(f"{p}/bands").values()) > 1
+    stats = compact_minhash_store(spark, p)
+    after = _multiset(spark.read.parquet(f"{p}/bands"), cols)
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    assert all(n == 1 for n in data_file_counts(f"{p}/bands").values())
+
+
+def test_lsh_compaction_preserves_query_results(spark, tmp_path):
+    """Compacting the posting index must not change radius-search
+    results (pos stays the page-pruning sort key within each file)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_lsh_index,
+        data_file_counts,
+    )
+    from flink_quickstart_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_query_index,
+        lsh_upsert_index,
+    )
+
+    emb = _emb(spark)
+    p = str(tmp_path / "lsh")
+    lsh_build_index(emb.where(F.col("vec_id") % 10 != 0), p)
+    lsh_upsert_index(spark, p, emb.where(F.col("vec_id") % 10 == 0))
+    q = emb.orderBy("vec_id").limit(16)
+    before = {
+        (r.query_id, r.nbr_id, r.dist)
+        for r in lsh_query_index(spark, p, q, radius=1.2).collect()
+    }
+    compact_lsh_index(spark, p)
+    after = {
+        (r.query_id, r.nbr_id, r.dist)
+        for r in lsh_query_index(spark, p, q, radius=1.2).collect()
+    }
+    assert after == before
+    assert all(n == 1 for n in data_file_counts(f"{p}/postings").values())
