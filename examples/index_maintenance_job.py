@@ -105,6 +105,17 @@ def main() -> None:
             f"{n_flagged} flagged near-dup, {admitted.count()} admitted"
         )
 
+    # 3b. compact the store after the ingest days --------------------
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+    )
+
+    stats = compact_minhash_store(spark, store)
+    print(
+        f"store compaction: {stats['files_before']} -> "
+        f"{stats['files_after']} data files"
+    )
+
     # 4. retention delete + query equivalence ------------------------
     queries = t.embeddings.orderBy("vec_id").limit(16)
     before = lsh_query_index(spark, lsh, queries, radius=1.2).count()
