@@ -195,3 +195,32 @@ def test_admission_gate_replay_is_idempotent(spark, tmp_path):
     assert snap(flagged_dir) == flagged1
     assert snap(admitted_dir) == admitted1
     assert spark.read.parquet(f"{store}/bands").count() == bands1
+
+
+def test_admission_gate_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (availableNow with no new files can deliver
+    one) must touch neither the store nor the sinks nor the marker."""
+    from flink_quickstart_spark.operators.dedup import minhash_build_store
+    from flink_quickstart_spark.streaming.harness import (
+        foreach_batch_ingest_admission,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    store = str(tmp_path / "store")
+    minhash_build_store(corpus, store)
+    bands_before = spark.read.parquet(f"{store}/bands").count()
+
+    handler = foreach_batch_ingest_admission(
+        store, corpus_path, str(tmp_path / "flagged"), str(tmp_path / "adm")
+    )
+    handler(docs.where(F.lit(False)), 0)
+
+    assert spark.read.parquet(f"{store}/bands").count() == bands_before
+    assert not os.path.exists(os.path.join(store, "_last_admitted_batch"))
+    assert not os.path.exists(str(tmp_path / "flagged"))
+    assert not os.path.exists(str(tmp_path / "adm"))
