@@ -194,6 +194,8 @@ DEFAULT_KEYS = [
     # truth side, these probes time the upsert path alone)
     "ann_lsh_upsert_fixed", "minhash_store_upsert_fixed",
     "q_llm_lsh_upsert", "q_llm_store_upsert", "q_llm_ivf_upsert",
+    # r9b: the deletion + OPTIMIZE sides of the lifecycle
+    "q_llm_lsh_delete", "q_llm_store_compact",
 ]
 
 
