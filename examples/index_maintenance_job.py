@@ -105,15 +105,40 @@ def main() -> None:
             f"{n_flagged} flagged near-dup, {admitted.count()} admitted"
         )
 
-    # 3b. compact the store after the ingest days --------------------
+    # 3b. THRESHOLD-TRIGGERED compaction after the ingest days (r10):
+    # the nightly policy is "compact where files/partition > N" — only
+    # the buckets the ingest actually touched are rewritten; the
+    # whole-store form (max_files=None) is the quarterly deep-clean
     from flink_quickstart_spark.operators.maintenance import (
         compact_minhash_store,
+        data_file_counts,
     )
 
-    stats = compact_minhash_store(spark, store)
+    max_files = 1
+    over = sum(
+        1 for n in data_file_counts(f"{store}/bands").values() if n > max_files
+    )
+    stats = compact_minhash_store(spark, store, max_files=max_files)
     print(
-        f"store compaction: {stats['files_before']} -> "
-        f"{stats['files_after']} data files"
+        f"store compaction (files/partition > {max_files}): "
+        f"{stats['partitions_compacted']}/{stats['partitions_total']} "
+        f"partitions rewritten (expected {over}), "
+        f"{stats['files_before']} -> {stats['files_after']} data files"
+    )
+
+    # 3c. PERIODIC IVF retrain (r10): upserts assign against the stored
+    # centroids; after enough ingest the centroids no longer reflect
+    # the corpus — retrain re-learns them on the grown corpus,
+    # reassigns members in one linear pass, swaps atomically, and
+    # reports the drift that motivated it
+    from flink_quickstart_spark.operators.similarity import ivf_retrain_index
+
+    report = ivf_retrain_index(spark, ivf)
+    print(
+        "IVF retrain: centroid shift mean/max "
+        f"{report['centroid_shift_mean']:.4f}/{report['centroid_shift_max']:.4f}, "
+        f"occupancy skew {report['occupancy_skew_before']:.2f} -> "
+        f"{report['occupancy_skew_after']:.2f} over {report['n_members']} members"
     )
 
     # 4. retention delete + query equivalence ------------------------

@@ -449,6 +449,7 @@ def minhash_build_store(
     n: int = 3,
     hmod: int = 64,
     hash_family: str = "xx64",
+    epoch_partitioned: bool = False,
 ) -> None:
     """Materialize a REUSABLE near-dup signature store — the text twin
     of the persisted vector indexes (ivf_build_index/lsh_build_index):
@@ -468,7 +469,18 @@ def minhash_build_store(
 
     Signatures are ~num_hashes longs per document — the compression
     that makes dedup-against-100TB storage-feasible: ingest never
-    rereads corpus text except to exact-verify the (few) candidates."""
+    rereads corpus text except to exact-verify the (few) candidates.
+
+    ``epoch_partitioned=True`` lays the bands out as
+    ``(_hmod, _epoch)`` with the base corpus at ``_epoch = 0`` — the
+    ATOMIC-admission layout (r10, VERDICT r9 #2): each streaming epoch
+    upserts with ``epoch=batch_id`` via DYNAMIC OVERWRITE of its own
+    ``(_hmod, _epoch)`` partitions, so a replayed epoch overwrites its
+    first attempt instead of appending — exactly-once by layout, no
+    marker needed for correctness. Probes read the store identically
+    (the `_epoch` column is simply not selected); the periodic
+    OPTIMIZE folds epochs back into 0
+    (operators/maintenance.compact_minhash_store)."""
     spark = df.sparkSession
     bands = _minhash_band_rows(
         df, id_col, text_col, num_hashes, n, hash_family
@@ -478,16 +490,29 @@ def minhash_build_store(
         "sig",
         F.pmod(F.col("sig"), F.lit(hmod)).cast("int").alias("_hmod"),
     )
+    part_cols = ["_hmod"]
+    if epoch_partitioned:
+        bands = bands.withColumn("_epoch", F.lit(0).cast("int"))
+        part_cols = ["_hmod", "_epoch"]
     (
         bands.repartition("_hmod")
         .sortWithinPartitions("_hmod", "band_id", "sig")
         .write.mode("overwrite")
-        .partitionBy("_hmod")
+        .partitionBy(*part_cols)
         .parquet(f"{path}/bands")
     )
     spark.createDataFrame(
-        [(int(num_hashes), int(n), int(hmod), str(hash_family))],
-        "num_hashes int, shingle_n int, hmod int, hash_family string",
+        [
+            (
+                int(num_hashes),
+                int(n),
+                int(hmod),
+                str(hash_family),
+                bool(epoch_partitioned),
+            )
+        ],
+        "num_hashes int, shingle_n int, hmod int, hash_family string,"
+        " epoch_partitioned boolean",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -497,6 +522,7 @@ def minhash_upsert_store(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    epoch: int | None = None,
 ) -> None:
     """INCREMENTAL maintenance of a persisted signature store
     (:func:`minhash_build_store`): hash an ADMITTED batch with the
@@ -514,24 +540,68 @@ def minhash_upsert_store(
     bands table is an unordered set partitioned by a pure function of
     sig. Precondition: batch ids must be NEW (an id already in the
     store would duplicate its band rows; harmless for candidate
-    generation — the probe dedups — but it inflates storage)."""
+    generation — the probe dedups — but it inflates storage).
+    Single-writer: the store's writer lease is held for the duration.
+
+    EPOCH-PARTITIONED stores (built with ``epoch_partitioned=True``)
+    require ``epoch`` (the micro-batch / ingest-day id, > 0) and write
+    the batch's rows by DYNAMIC OVERWRITE of its own
+    ``(_hmod, _epoch=epoch)`` partitions — a replayed epoch therefore
+    REPLACES its first attempt instead of appending, which is what
+    makes the streaming admission commit atomic (a crash anywhere
+    between the upsert and the marker write is healed by the replay's
+    overwrite; no duplicate band rows are possible). Passing ``epoch``
+    to a flat store, or omitting it on an epoch store, fails loudly —
+    the two layouts must never mix under one ``bands`` dir."""
+    from flink_quickstart_spark.operators.maintenance import store_writer_lease
+
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
-    bands = _minhash_band_rows(
-        new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
-    ).select(
-        F.col(id_col),
-        F.col("hash_idx").cast("int").alias("band_id"),
-        "sig",
-        F.pmod(F.col("sig"), F.lit(meta.hmod)).cast("int").alias("_hmod"),
-    )
-    (
-        bands.repartition("_hmod")
-        .sortWithinPartitions("_hmod", "band_id", "sig")
-        .write.mode("append")
-        .partitionBy("_hmod")
-        .parquet(f"{path}/bands")
-    )
+    is_epoch = bool(getattr(meta, "epoch_partitioned", False))
+    if is_epoch and epoch is None:
+        raise ValueError(
+            "minhash_upsert_store: store is epoch-partitioned; pass "
+            "epoch=<batch id> (> 0) so the write is an idempotent "
+            "dynamic overwrite of that epoch's partitions."
+        )
+    if not is_epoch and epoch is not None:
+        raise ValueError(
+            "minhash_upsert_store: epoch given but the store is not "
+            "epoch-partitioned (build it with epoch_partitioned=True); "
+            "mixing layouts under one bands dir would break reads."
+        )
+    if is_epoch and int(epoch) <= 0:
+        raise ValueError(
+            "minhash_upsert_store: epoch must be > 0 (_epoch=0 is the "
+            "base corpus partition; overwriting it would drop it)."
+        )
+    with store_writer_lease(path, "minhash_upsert_store"):
+        bands = _minhash_band_rows(
+            new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
+        ).select(
+            F.col(id_col),
+            F.col("hash_idx").cast("int").alias("band_id"),
+            "sig",
+            F.pmod(F.col("sig"), F.lit(meta.hmod)).cast("int").alias("_hmod"),
+        )
+        if is_epoch:
+            (
+                bands.withColumn("_epoch", F.lit(int(epoch)).cast("int"))
+                .repartition("_hmod")
+                .sortWithinPartitions("_hmod", "band_id", "sig")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_hmod", "_epoch")
+                .parquet(f"{path}/bands")
+            )
+        else:
+            (
+                bands.repartition("_hmod")
+                .sortWithinPartitions("_hmod", "band_id", "sig")
+                .write.mode("append")
+                .partitionBy("_hmod")
+                .parquet(f"{path}/bands")
+            )
 
 
 def ensure_minhash_store(
@@ -567,12 +637,31 @@ def minhash_delete_store(
     vector deletes carry vectors: without the content, locating a doc's
     band rows means scanning every partition. Cost ∝ batch +
     touched-bucket occupancy. Invariant: delete(build(corpus), X) ==
-    build(corpus \\ X) row-identically."""
+    build(corpus \\ X) row-identically. Single-writer (store lease);
+    LOCAL/DBFS-style paths only — the emptied-bucket drop is a
+    filesystem call that would silently no-op on hdfs://./s3a:// and
+    leave stale fully-deleted buckets (fails loudly instead; a
+    warehouse deployment uses ALTER TABLE DROP PARTITION). Handles
+    both flat and epoch-partitioned stores (the drop unit is then the
+    (_hmod, _epoch) partition)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        require_local_path,
+        store_writer_lease,
+    )
+
+    require_local_path(path, "minhash_delete_store")
+    with store_writer_lease(path, "minhash_delete_store"):
+        _minhash_delete_locked(spark, path, del_docs, id_col, text_col)
+
+
+def _minhash_delete_locked(spark, path, del_docs, id_col, text_col) -> None:
     import os
     import shutil
 
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
+    is_epoch = bool(getattr(meta, "epoch_partitioned", False))
+    part_cols = ["_hmod", "_epoch"] if is_epoch else ["_hmod"]
     del_bands = (
         _minhash_band_rows(
             del_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
@@ -589,15 +678,22 @@ def minhash_delete_store(
         ]
         if not probed:
             return
+        pruned = spark.read.parquet(f"{path}/bands").where(
+            F.col("_hmod").isin(probed)
+        )
+        # drop units actually present in the pruned scan (≤ hmod flat;
+        # ≤ hmod × live epochs on an epoch store — both driver-bounded)
+        combos = [
+            tuple(int(r[c]) for c in part_cols)
+            for r in pruned.select(*part_cols).distinct().collect()
+        ]
         survivors = (
-            spark.read.parquet(f"{path}/bands")
-            .where(F.col("_hmod").isin(probed))
-            .join(
+            pruned.join(
                 del_bands.select(F.col(id_col).alias("_del_id")).distinct(),
                 F.col(id_col) == F.col("_del_id"),
                 "left_anti",
             )
-            .select(id_col, "band_id", "sig", "_hmod")
+            .select(id_col, "band_id", "sig", *part_cols)
             .localCheckpoint(eager=True)
         )
         try:
@@ -606,20 +702,24 @@ def minhash_delete_store(
                 .sortWithinPartitions("_hmod", "band_id", "sig")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_hmod")
+                .partitionBy(*part_cols)
                 .parquet(f"{path}/bands")
             )
             surviving = {
-                int(r._hmod)
-                for r in survivors.select("_hmod").distinct().collect()
+                tuple(int(r[c]) for c in part_cols)
+                for r in survivors.select(*part_cols).distinct().collect()
             }
-            # a fully-deleted bucket writes nothing under dynamic
+            # a fully-deleted partition writes nothing under dynamic
             # overwrite — drop its stale directory explicitly
-            for h in probed:
-                if h not in surviving:
-                    d = os.path.join(f"{path}/bands", f"_hmod={h}")
-                    if os.path.isdir(d):
-                        shutil.rmtree(d)
+            for combo in combos:
+                if combo in surviving:
+                    continue
+                d = os.path.join(
+                    f"{path}/bands",
+                    *(f"{n}={v}" for n, v in zip(part_cols, combo)),
+                )
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
         finally:
             from flink_quickstart_spark.operators.iterative import _release
 
@@ -638,6 +738,7 @@ def minhash_ingest_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    before_epoch: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup: flag documents of an INGEST BATCH that
     near-duplicate the EXISTING corpus, without re-running LSH over the
@@ -661,9 +762,23 @@ def minhash_ingest_neardup(
     execution of it and the band join re-executes it; a bare
     limit()/sample() without an order can yield a prune set that
     disagrees with the join-side rows and silently drop matches.
-    Materialize (localCheckpoint) a nondeterministic batch first."""
+    Materialize (localCheckpoint) a nondeterministic batch first.
+
+    ``before_epoch`` (epoch-partitioned stores only): probe only store
+    partitions with ``_epoch < before_epoch`` — partition-pruned, and
+    the key to REPLAY-DETERMINISM in the streaming admission gate: a
+    replayed epoch must not see its own first-attempt signatures in
+    the store, exactly as it must not see its own first-attempt
+    admissions in the corpus."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
+    if before_epoch is not None and not bool(
+        getattr(meta, "epoch_partitioned", False)
+    ):
+        raise ValueError(
+            "minhash_ingest_neardup: before_epoch given but the store "
+            "is not epoch-partitioned."
+        )
     new_bands = _minhash_band_rows(
         new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
     ).select(
@@ -682,6 +797,8 @@ def minhash_ingest_neardup(
         .collect()
     ]
     store = spark.read.parquet(f"{path}/bands").where(F.col("_hmod").isin(probed))
+    if before_epoch is not None:
+        store = store.where(F.col("_epoch") < int(before_epoch))
     cand = (
         store.join(new_bands.hint("shuffle_hash"), ["band_id", "sig"])
         .where(F.col(id_col) != F.col("new_id"))

@@ -1,0 +1,215 @@
+"""Round-10 additions: closing the index-maintenance lifecycle edges.
+
+VERDICT r9 left four lifecycle gaps, two of which are observable as
+registered keys:
+
+- **q_llm_ivf_retrain** (K4g) — the missing limb of the FAISS
+  lifecycle (train → add → RETRAIN): ivf_upsert_index assigns new
+  vectors against stored centroids forever, so distribution drift
+  silently decays recall. operators/similarity.ivf_retrain_index
+  re-trains on the grown corpus, reassigns members in one linear pass,
+  atomically swaps, and reports drift. The key pins the determinism
+  contract: retrain(build(corpus) + upsert(batch)) is bit-identical
+  (centroids) and row-identical (members) to a FRESH build on
+  corpus ∪ batch with the same seed — the exact analog of the r9
+  upsert == rebuild invariants.
+- **q_maintenance_compact_subset** (A-ext) — incremental OPTIMIZE:
+  compact ONLY partitions whose file count exceeds a threshold
+  (operators/maintenance.compact_partitions(max_files=N)), the form a
+  100 TB maintenance window actually runs nightly; whole-store
+  compaction (q_llm_store_compact, r9) stays the quarterly deep-clean.
+  The key pins: row multiset unchanged, every partition ≤ 1 file
+  afterwards, and the op touched EXACTLY the over-threshold partitions
+  (stats persisted by the staging closure; the untouched-partition
+  mtime assertion lives in tests/test_invariants_r10.py).
+
+The other two r9 items — the single-writer lease and the atomic
+(epoch-partitioned) admission commit — are invariants over failure
+interleavings, not SQL-expressible result sets; they are pinned in
+tests/test_invariants_r10.py and tests/test_streaming_r10.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_quickstart_spark.plans.analytics_r9 import _multiset_equal, _scratch
+from flink_quickstart_spark.plans.registry import register, tables
+
+
+@register(
+    "q_llm_ivf_retrain",
+    # Determinism-contract oracle: after retrain, BOTH the centroid
+    # table and the member table must equal a from-scratch build on the
+    # grown corpus with the same seed — the training sample is
+    # orderBy(id).limit(N) (order-stable), k-means is driver-side
+    # numpy on identical float64 inputs, and assignment is a
+    # deterministic argmax — so any divergence (stale centroid reused,
+    # member skipped in the reassignment pass, non-atomic swap mixing
+    # generations) flips a boolean or the count.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_members,
+           TRUE AS retrain_eq_rebuild,
+           TRUE AS centroids_eq_rebuild
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "index-maintenance"),
+)
+def q_llm_ivf_retrain(spark, sf_dir):
+    """K4g (r10): PERIODIC IVF centroid retrain + member reassignment —
+    the train → add → **retrain** limb that completes the FAISS
+    lifecycle (VERDICT r9 #1). A corpus that only ever upserts
+    (q_llm_ivf_upsert) assigns new vectors against the original
+    centroids; under drift, occupancy skews and recall at fixed
+    n_probe decays with no signal. ivf_retrain_index re-runs the
+    bounded-sample deterministic k-means on the GROWN corpus (read
+    from the index's own members — no source rescan), reassigns every
+    member in ONE linear Arrow/BLAS pass, swaps centroids+members in
+    atomically (staging dirs + directory renames — readers never see
+    mixed generations), and returns a drift report (centroid shift,
+    occupancy skew before/after). Cost is linear in corpus — the
+    periodic op; upserts stay batch-priced between retrains. Recall
+    restoration on deliberately drifted data is measured in
+    tests/test_invariants_r10.py."""
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        ivf_build_index,
+        ivf_retrain_index,
+        ivf_upsert_index,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = t.embeddings.where(F.col("vec_id") % 10 != 0)
+    batch = t.embeddings.where(F.col("vec_id") % 10 == 0)
+    ret = _scratch("ivf_index_retrain", sf_name)
+    ref = _scratch("ivf_index_retrain_ref", sf_name)
+    # one guarded unit: base build + upsert + RETRAIN (re-runs reuse)
+    _ensure_index(
+        lambda: (
+            ivf_build_index(corpus, ret, n_clusters=16),
+            ivf_upsert_index(spark, ret, batch),
+            ivf_retrain_index(spark, ret),
+        ),
+        ret,
+        src,
+        "centroids",
+    )
+    # the truth machinery: a FRESH build on the grown corpus, same seed
+    _ensure_index(
+        lambda: ivf_build_index(t.embeddings, ref, n_clusters=16),
+        ref,
+        src,
+        "centroids",
+    )
+    members_eq = _multiset_equal(
+        spark.read.parquet(f"{ret}/members"),
+        spark.read.parquet(f"{ref}/members"),
+        ["vec_id", "cluster_id"],
+        "n_members",
+        "retrain_eq_rebuild",
+    )
+    cents_eq = _multiset_equal(
+        spark.read.parquet(f"{ret}/centroids"),
+        spark.read.parquet(f"{ref}/centroids"),
+        ["cluster_id", "centroid"],
+        "_n_cents",
+        "centroids_eq_rebuild",
+    ).select("centroids_eq_rebuild")
+    # 1-row × 1-row fold-in (the repo's accepted scalar-combine shape)
+    return members_eq.crossJoin(cents_eq)
+
+
+@register(
+    "q_maintenance_compact_subset",
+    # Invariant oracle: threshold-triggered subset compaction is an
+    # OPTIMIZE — row multiset identical to the never-compacted store
+    # (same band-row count law as the r9 store keys), one data file per
+    # partition afterwards, and the op rewrote EXACTLY the partitions
+    # that exceeded the threshold (stats persisted by the staging
+    # closure; untouched partitions keep their original files —
+    # byte/mtime-pinned in tests/test_invariants_r10.py).
+    oracle="""
+    SELECT CAST(16 * count(*) AS BIGINT) AS n_band_rows,
+           TRUE AS subset_eq_full,
+           TRUE AS one_file_per_partition,
+           TRUE AS only_over_threshold
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+    """,
+    tags=("batch", "llm", "dedup", "index-maintenance"),
+)
+def q_maintenance_compact_subset(spark, sf_dir):
+    """A-ext (r10): INCREMENTAL small-file compaction — the
+    threshold-triggered form a 100 TB maintenance window runs nightly
+    (VERDICT r9 #3): after an ingest day's upsert, only the partitions
+    the batch actually touched hold extra files; compacting the WHOLE
+    store to fix them (r9's q_llm_store_compact) is whole-corpus work.
+    compact_partitions(max_files=1) lists file counts (fs metadata),
+    prunes the scan to the over-threshold partitions, rewrites only
+    those via dynamic overwrite — cost ∝ rows in touched partitions,
+    untouched partitions' files are never opened (their bytes/mtimes
+    are pinned unchanged in tests). The key stages build(corpus) +
+    upsert(batch) + subset-compact as one fingerprint-guarded unit and
+    proves: multiset identity vs the never-compacted full build, one
+    file per partition after, and rewrite count == over-threshold
+    count (persisted stats)."""
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+        data_file_counts,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    corpus = t.documents.where(F.col("doc_id") % 10 != 0)
+    batch = t.documents.where(F.col("doc_id") % 10 == 0)
+    store = _scratch("minhash_store_subset", sf_name)
+    full = _scratch("minhash_store_full", sf_name)
+    stats_file = os.path.join(store, "_subset_compact_stats.json")
+
+    def build() -> None:
+        minhash_build_store(corpus, store)
+        minhash_upsert_store(spark, store, batch)
+        over = sum(
+            1 for n in data_file_counts(f"{store}/bands").values() if n > 1
+        )
+        stats = compact_minhash_store(spark, store, max_files=1)
+        stats["over_threshold_pre"] = over
+        tmp = stats_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, stats_file)
+
+    _ensure_index(build, store, src, "meta")
+    _ensure_index(lambda: minhash_build_store(t.documents, full), full, src, "meta")
+    with open(stats_file) as fh:
+        stats = json.load(fh)
+    counts = data_file_counts(f"{store}/bands")
+    one_file = all(n == 1 for n in counts.values())
+    # rewrite count == over-threshold count at ANY scale; that the
+    # under-threshold partitions are a NON-EMPTY set whose files stay
+    # byte-identical is pinned in tests/test_invariants_r10.py with a
+    # controlled batch (at big sf a 10%-of-corpus batch touches every
+    # _hmod bucket, so subset == whole-store there — correctly)
+    only_over = stats["partitions_compacted"] == stats["over_threshold_pre"]
+    return (
+        _multiset_equal(
+            spark.read.parquet(f"{store}/bands"),
+            spark.read.parquet(f"{full}/bands"),
+            ["doc_id", "band_id", "sig"],
+            "n_band_rows",
+            "subset_eq_full",
+        )
+        .withColumn("one_file_per_partition", F.lit(bool(one_file)))
+        .withColumn("only_over_threshold", F.lit(bool(only_over)))
+    )

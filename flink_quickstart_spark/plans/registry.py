@@ -191,6 +191,13 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
         "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",
         "q_ts_seasonal_profile", "q_wf_streaks",
+        # round-9 driver sample (CORRECTNESS_r09.json, 50 keys, all
+        # green) — frozen r10; cumulative coverage 254/254. Only the
+        # six r9-new keys were missing from the earlier tiers; the r10
+        # additions (q_llm_ivf_retrain, q_maintenance_compact_subset)
+        # are now the sole never-sampled tier and sort first.
+        "q_llm_ivf_upsert", "q_llm_lsh_delete", "q_llm_lsh_upsert",
+        "q_llm_store_compact", "q_llm_store_upsert", "q_ts_znorm_topk",
     }
 )
 

@@ -84,7 +84,10 @@ def kafka_stream(
     and is not present in this container (verified: no kafka jar in
     /opt/spark/jars) — calling this without it raises Spark's
     MISSING_KAFKA_PACKAGE AnalysisException. Tests use the directory-
-    monitoring file source instead (streaming/harness.py).
+    monitoring file source instead (streaming/harness.py). Offline
+    acquisition re-attempted and still unavailable r9 (2026-08-15 AM)
+    and r10 (2026-08-15 PM): no kafka jar anywhere on disk, and the
+    environment contract forbids package installs.
     """
     return (
         spark.readStream.format("kafka")

@@ -257,14 +257,26 @@ def foreach_batch_ingest_admission(
     corpus body is never rescanned.
 
     Exactly-once discipline: the flagged sink and the admitted table are
-    epoch-partitioned dynamic overwrites (idempotent replay); the store
-    upsert is guarded by a ``_last_admitted_batch`` marker (monotonic
-    batch ids per checkpoint), so a replayed epoch re-writes its
-    partitions but never double-upserts signatures. (Marker written
-    after the upsert: the unprotected window re-appends on a crash
-    between the two — duplicate band rows are semantically harmless for
-    candidate generation, which dedups, and cost only storage; noted
-    rather than hidden.)
+    epoch-partitioned dynamic overwrites (idempotent replay). For the
+    STORE upsert there are two layouts:
+
+    - **epoch-partitioned store** (built with
+      ``minhash_build_store(..., epoch_partitioned=True)`` — the
+      recommended streaming layout, r10): the upsert is a dynamic
+      overwrite of the batch's own ``(_hmod, _epoch=batch_id)``
+      partitions, so a replayed epoch REPLACES its first attempt —
+      exactly-once BY LAYOUT, with no crash window anywhere between
+      the three writes (each is independently idempotent). The
+      ``_last_admitted_batch`` marker remains as a skip-work
+      optimization and an observability probe, but correctness no
+      longer depends on it (crash-injection pinned in
+      tests/test_streaming_r10.py).
+    - **flat store**: append guarded by the marker (monotonic batch ids
+      per checkpoint). Marker written after the upsert: a crash between
+      the two re-appends on replay — duplicate band rows are
+      semantically harmless for candidate generation, which dedups, and
+      cost only storage (the historical r9 caveat; build the store
+      epoch-partitioned to close it).
 
     streamed == batch-incremental is pinned in tests/test_streaming_r9.py.
     """
@@ -280,6 +292,8 @@ def foreach_batch_ingest_admission(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        meta = spark.read.parquet(os.path.join(store_path, "meta")).collect()[0]
+        epoch_store = bool(getattr(meta, "epoch_partitioned", False))
         # one materialization: the batch feeds the prune-set collection,
         # the band join, the exact verify, and the admission anti-join
         batch = batch_df.localCheckpoint(eager=True)
@@ -300,9 +314,14 @@ def foreach_batch_ingest_admission(
                     .where(F.col("batch_id") < batch_id)
                     .select(id_col, text_col)
                 )
+            # on an epoch store, probe STRICTLY EARLIER epochs only —
+            # the store-side twin of the admitted_dir filter above: a
+            # replayed epoch must not candidate-match its own
+            # first-attempt signatures (replay-determinism)
             pairs = minhash_ingest_neardup(
                 spark, store_path, batch, corpus,
                 id_col=id_col, text_col=text_col, threshold=threshold,
+                before_epoch=(int(batch_id) + 1) if epoch_store else None,
             ).localCheckpoint(eager=True)
             try:
                 (
@@ -328,11 +347,22 @@ def foreach_batch_ingest_admission(
                 if os.path.exists(marker):
                     with open(marker) as fh:
                         last = int(fh.read().strip() or -1)
-                if batch_id > last:
+                if epoch_store:
+                    # replay-safe regardless of the marker: the upsert
+                    # dynamically overwrites this epoch's partitions
+                    # (epochs are 1-based: _epoch=0 is the base corpus)
+                    if batch_id >= last:
+                        minhash_upsert_store(
+                            spark, store_path, admitted,
+                            id_col=id_col, text_col=text_col,
+                            epoch=int(batch_id) + 1,
+                        )
+                elif batch_id > last:
                     minhash_upsert_store(
                         spark, store_path, admitted,
                         id_col=id_col, text_col=text_col,
                     )
+                if batch_id > last:
                     tmp = marker + ".tmp"
                     with open(tmp, "w") as fh:
                         fh.write(str(batch_id))

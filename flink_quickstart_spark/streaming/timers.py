@@ -15,7 +15,9 @@ demonstration.
 
 ENVIRONMENT DEPENDENCY: transformWithStateInPandas speaks protobuf to its
 state server; the ``protobuf`` package is a deploy-time requirement (not
-present in this container — the test suite skips accordingly). The
+present in this container — the test suite skips accordingly; offline
+availability re-checked r10, 2026-08-15: no wheel on disk and the
+environment contract forbids installs). The
 equivalent operators on ``applyInPandasWithState`` (streaming/stateful.py)
 have no such dependency and are fully tested here.
 """

@@ -110,6 +110,12 @@ ALLOWED = {
         "1-row sqrt-mass normalizer crossed onto the O(#sources) "
         "per-source aggregate",
     ),
+    "q_llm_ivf_retrain": (
+        "BroadcastNestedLoopJoin",
+        "1-row × 1-row cross of the two invariant aggregates (member "
+        "multiset balance, centroid multiset balance) — the scalar "
+        "fold-in shape; both sides are single-row aggregate outputs",
+    ),
     "q_llm_token_len_hist": (
         "BroadcastNestedLoopJoin",
         "1-row share normalizer crossed onto pre-bucketed rows; the "
@@ -282,22 +288,40 @@ MATERIALIZE_ALLOWED = {
         "1-row meta pull (num_hashes/shingle_n/hmod/hash_family) so the "
         "admitted batch is hashed with the store's pinned family (r9)"
     ),
-    "operators/similarity.py:lsh_delete_index:collect": (
+    "operators/similarity.py:_lsh_delete_locked:collect": (
         "three driver-bounded pulls for partition-local deletion: the "
         "O(num_tables) projection table, the batch's affected (band, "
-        "bucket) combos (≤ batch × tables), and the surviving combo set "
-        "(⊆ affected) that decides which emptied partition dirs to drop "
-        "(r9)"
+        "bucket) combos (≤ batch × tables, LIMIT-capped by the r10 "
+        "budget guard), and the surviving combo set (⊆ affected) that "
+        "decides which emptied partition dirs to drop (r9; body "
+        "extracted to _locked under the r10 writer lease)"
     ),
-    "operators/similarity.py:ivf_delete_index:collect": (
+    "operators/similarity.py:_ivf_delete_locked:collect": (
         "three driver-bounded pulls: the O(n_clusters) centroid table, "
         "the batch's affected cluster ids (≤ n_clusters), and the "
-        "surviving cluster set for the emptied-partition drop (r9)"
+        "surviving cluster set for the emptied-partition drop (r9; "
+        "body extracted to _locked under the r10 writer lease)"
     ),
-    "operators/dedup.py:minhash_delete_store:collect": (
-        "three driver-bounded pulls: the 1-row meta record, the batch's "
-        "affected sig buckets (≤ hmod = 64), and the surviving bucket "
-        "set for the emptied-partition drop (r9)"
+    "operators/dedup.py:_minhash_delete_locked:collect": (
+        "four driver-bounded pulls: the 1-row meta record, the batch's "
+        "affected sig buckets (≤ hmod = 64), the drop-unit combos "
+        "present in the pruned scan (≤ hmod × live epochs), and the "
+        "surviving set for the emptied-partition drop (r9; epoch-aware "
+        "+ extracted to _locked under the r10 writer lease)"
+    ),
+    "operators/similarity.py:_collect_combos_budgeted:collect": (
+        "the affected-partition combo pull shared by the LSH "
+        "upsert/delete paths — ≤ batch × num_tables rows by "
+        "construction AND LIMIT-capped at max_combos + 1 so the guard "
+        "itself cannot flood the driver; past the cap it fails loudly "
+        "with the rebuild-crossover guidance (r10, VERDICT r9 #5)"
+    ),
+    "operators/similarity.py:ivf_retrain_index:collect": (
+        "three O(n_clusters)-bounded pulls (≤ 16 rows each): the old "
+        "centroid table for the drift report, and the before/after "
+        "per-cluster occupancy aggregates (engine-side count, "
+        "driver-sized result) — the retrain itself is one distributed "
+        "assignment pass + a partitioned write (r10)"
     ),
     "plans/analytics_r9.py:build_ref:collect": (
         "O(n_clusters) centroid pull (16 rows) building the pinned-"

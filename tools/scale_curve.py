@@ -291,6 +291,15 @@ def _probe_lsh_build(spark, sf):
     return None
 
 
+def _capture_upsert_base(spark, kind: str, sf: str, path: str, id_col: str):
+    """UNTIMED (prepare-time) capture of the store's current min id —
+    the mint base for the upsert probes; a store-wide min inside the
+    timed probe would add a corpus-proportional scan and fake a linear
+    trend onto a flat op."""
+    row = spark.read.parquet(path).agg(F.min(id_col)).collect()[0]
+    _UPSERT_BASE[(kind, sf)] = int(row[0]) if row[0] is not None else 0
+
+
 def _prepare_lsh_index(spark, sf):
     from flink_quickstart_spark.operators.similarity import ensure_lsh_index
 
@@ -298,6 +307,9 @@ def _prepare_lsh_index(spark, sf):
         _embeddings(spark, sf),
         _lsh_index_path(sf),
         str(Path(sf) / "embeddings.parquet"),
+    )
+    _capture_upsert_base(
+        spark, "lsh", sf, _lsh_index_path(sf) + "/postings", "vec_id"
     )
 
 
@@ -350,7 +362,37 @@ def _probe_ivf_query_fixed(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_results"))
 
 
+# Upsert probes must not permanently mutate the fingerprint-guarded
+# .scale fixtures (r9 ADVICE): (a) minted ids derive from the store's
+# CURRENT min id — captured UNTIMED at prepare — so they are genuinely
+# NEW even if a crashed prior invocation left residue (the in-process
+# counter alone reused offsets across invocations, violating the ops'
+# 'ids must be NEW' precondition); (b) every minted batch is recorded
+# and DELETED untimed at the end of the run (delete == rebuild is the
+# pinned invariant, so the store returns to its pristine fixture state
+# and the shared ann_lsh_query_fixed probe is never skewed).
+_UPSERT_BASE: dict[tuple[str, str], int] = {}
 _UPSERT_RUN = {"lsh": 0, "mh": 0}
+_MINTED: list[tuple[str, str, int]] = []  # (kind, sf, offset)
+
+_MINT_STRIDE = 100_000_000  # > any staged table's id range
+
+
+def _next_offset(kind: str, sf: str) -> int:
+    _UPSERT_RUN[kind] += 1
+    base = _UPSERT_BASE.get((kind, sf), 0)
+    off = min(base, 0) - _MINT_STRIDE * _UPSERT_RUN[kind]
+    _MINTED.append((kind, sf, off))
+    return off
+
+
+def _lsh_batch(spark, sf, off):
+    return (
+        _embeddings(spark, sf)
+        .orderBy("vec_id")
+        .limit(64)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(off))
+    )
 
 
 def _probe_lsh_upsert_fixed(spark, sf):
@@ -359,19 +401,12 @@ def _probe_lsh_upsert_fixed(spark, sf):
     # touched-bucket occupancy BY CONSTRUCTION (only affected (band,
     # bucket) partitions are re-ranked), so the curve must stay
     # near-flat as the corpus grows. Each run mints FRESH negative ids
-    # (upsert requires new ids); the index grows by 256 posting rows
-    # per run — noise against the corpus-mass bucket occupancy.
+    # (upsert requires new ids); minted batches are deleted at run end.
     from flink_quickstart_spark.operators.similarity import lsh_upsert_index
 
-    _UPSERT_RUN["lsh"] += 1
-    off = -1_000_000 * _UPSERT_RUN["lsh"]
-    batch = (
-        _embeddings(spark, sf)
-        .orderBy("vec_id")
-        .limit(64)
-        .withColumn("vec_id", F.col("vec_id") + F.lit(off))
+    lsh_upsert_index(
+        spark, _lsh_index_path(sf), _lsh_batch(spark, sf, _next_offset("lsh", sf))
     )
-    lsh_upsert_index(spark, _lsh_index_path(sf), batch)
     return None
 
 
@@ -387,6 +422,9 @@ def _prepare_minhash_store(spark, sf):
         _minhash_store_path(sf),
         str(Path(sf) / "documents.parquet"),
     )
+    _capture_upsert_base(
+        spark, "mh", sf, _minhash_store_path(sf) + "/bands", "doc_id"
+    )
 
 
 def _probe_minhash_store_upsert_fixed(spark, sf):
@@ -396,16 +434,39 @@ def _probe_minhash_store_upsert_fixed(spark, sf):
     # corpus signatures never read, so the curve must stay near-flat.
     from flink_quickstart_spark.operators.dedup import minhash_upsert_store
 
-    _UPSERT_RUN["mh"] += 1
-    off = -1_000_000 * _UPSERT_RUN["mh"]
-    batch = (
+    minhash_upsert_store(
+        spark,
+        _minhash_store_path(sf),
+        _mh_batch(spark, sf, _next_offset("mh", sf)),
+    )
+    return None
+
+
+def _mh_batch(spark, sf, off):
+    return (
         spark.read.parquet(str(Path(sf) / "documents.parquet"))
         .orderBy("doc_id")
         .limit(64)
         .withColumn("doc_id", F.col("doc_id") + F.lit(off))
     )
-    minhash_upsert_store(spark, _minhash_store_path(sf), batch)
-    return None
+
+
+def cleanup_minted_batches(spark) -> None:
+    """Delete every batch the upsert probes minted, restoring the
+    shared .scale store fixtures to their pristine state (delete ==
+    rebuild is pinned by tests/test_invariants_r9.py, so this is an
+    exact undo). Untimed; runs once at the end of main()."""
+    from flink_quickstart_spark.operators.dedup import minhash_delete_store
+    from flink_quickstart_spark.operators.similarity import lsh_delete_index
+
+    for kind, sf, off in _MINTED:
+        if kind == "lsh":
+            lsh_delete_index(spark, _lsh_index_path(sf), _lsh_batch(spark, sf, off))
+        else:
+            minhash_delete_store(
+                spark, _minhash_store_path(sf), _mh_batch(spark, sf, off)
+            )
+    _MINTED.clear()
 
 
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
@@ -638,6 +699,9 @@ def main() -> int:
         results[key] = rec
         print(f"{key}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x{marker}")
 
+    if _MINTED:
+        print(f"cleanup: deleting {len(_MINTED)} minted upsert batches (untimed)")
+        cleanup_minted_batches(spark)
     print(f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed (threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x data) ==")
     if args.json:
         with open(args.json, "w") as fh:
