@@ -213,3 +213,129 @@ def q_maintenance_compact_subset(spark, sf_dir):
         .withColumn("one_file_per_partition", F.lit(bool(one_file)))
         .withColumn("only_over_threshold", F.lit(bool(only_over)))
     )
+
+
+@register(
+    "q_llm_pq_encode",
+    # Determinism + quality contract: codes are an argmin over
+    # seed-deterministic codebooks trained on an order-stable sample,
+    # so a fresh encode must equal the persisted codes EXACTLY (count
+    # law: one row per vector); reconstruction quality (mean cosine of
+    # decode(codes) vs the original vector) must clear 0.9 — measured
+    # 0.984 at the defaults (m=16, k=256) on the uniform synthetic
+    # embeddings, the adversarial case for any quantizer.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS encode_deterministic,
+           TRUE AS recon_ok
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "compression"),
+)
+def q_llm_pq_encode(spark, sf_dir):
+    """K4h (r10): product-quantization compression of the embedding
+    corpus — 16 one-byte codes per dim-64 float32 vector (16× at rest;
+    operators/quantization.pq_build_index). The codebooks train on the
+    bounded deterministic sample (the IVF discipline), encoding is one
+    Arrow-batched argmin pass (map-only), and the persisted form is the
+    SEARCHABLE one: ADC queries read codes only (q_llm_pq_query). The
+    key pins the two facts that make the compressed store trustworthy:
+    encode is bit-deterministic (fresh encode == persisted codes,
+    row-identical), and reconstruction stays faithful (mean cosine
+    ≥ 0.9)."""
+    from flink_quickstart_spark.operators.quantization import (
+        load_codebooks,
+        pq_build_index,
+        pq_decode_df,
+        pq_encode_df,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = _scratch("pq_index", sf_name)
+    _ensure_index(
+        lambda: pq_build_index(t.embeddings, path), path, src, "codebooks"
+    )
+    books = load_codebooks(spark, path)
+    enc_eq = _multiset_equal(
+        pq_encode_df(t.embeddings, books),
+        spark.read.parquet(f"{path}/codes"),
+        ["vec_id", "codes"],
+        "n_vecs",
+        "encode_deterministic",
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    e = F.col("embedding").cast("array<double>")
+    r = F.col("recon")
+    recon_ok = (
+        t.embeddings.select("vec_id", e.alias("embedding"))
+        .join(pq_decode_df(spark, path), "vec_id")
+        .select(
+            (
+                dot(F.col("embedding"), r)
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(r, r))
+                )
+            ).alias("_cos")
+        )
+        .agg((F.avg("_cos") >= 0.9).alias("recon_ok"))
+    )
+    return enc_eq.crossJoin(recon_ok)
+
+
+@register(
+    "q_llm_pq_query",
+    # Recall contract (the q_llm_ann_ivf grading): ADC top-32 shortlist
+    # + exact JVM-side re-rank must recover ≥ 0.9 of the exact
+    # brute-force top-3 — measured 1.00 at sf0.001/sf0.01/sf1 (the ADC
+    # shortlist contained the entire true top-3 at every scale; pure
+    # un-reranked ADC alone measures 0.74 at 500 vectors, 0.35 at 20k,
+    # which is exactly why the production shape re-ranks).
+    oracle="""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "approx", "compression"),
+)
+def q_llm_pq_query(spark, sf_dir):
+    """K4h (r10, search side): ADC top-k over the compressed codes with
+    exact re-rank — scan 16 code bytes per vector instead of 256 vector
+    bytes (one m×k lookup table per query, numpy gather, map-only),
+    keep a 32-candidate shortlist, point-fetch ONLY those full vectors
+    (the |q|×32 candidate table broadcasts onto the vector scan — the
+    corpus is never shuffled), and re-rank exactly in codegen
+    expressions. The brute tier here is the oracle's truth machinery
+    (same waiver class as q_llm_knn); the production path is the
+    compressed scan + bounded fetch."""
+    from flink_quickstart_spark.operators.quantization import (
+        pq_build_index,
+        pq_query_index,
+    )
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        brute_knn,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = _scratch("pq_index", sf_name)
+    _ensure_index(
+        lambda: pq_build_index(t.embeddings, path), path, src, "codebooks"
+    )
+    brute = brute_knn(t.embeddings, k=3).select("query_id", "nbr_id")
+    pq = pq_query_index(
+        spark, path, t.embeddings, k=3, shortlist=32, vectors=t.embeddings
+    ).select("query_id", "nbr_id", F.lit(1).alias("hit"))
+    return brute.join(pq, ["query_id", "nbr_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.9
+        ).alias("recall_ok"),
+    )

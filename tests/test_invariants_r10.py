@@ -503,3 +503,90 @@ def test_fold_epochs_compaction(spark, tmp_path):
         if seg.startswith("_epoch=")
     }
     assert epochs == {"_epoch=0"}
+
+
+# ------------------------------------------------------ product quant
+
+
+def test_pq_encode_deterministic_and_compact(spark, tmp_path):
+    from flink_quickstart_spark.operators.quantization import (
+        load_codebooks,
+        pq_build_index,
+        pq_encode_df,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    pq_build_index(emb, path)
+    books = load_codebooks(spark, path)
+    m, k, dsub = books.shape
+    dim = len(emb.first().embedding)
+    assert m * dsub == dim
+    # 8-bit code domain → 1 logical byte per code, 16x vs float32
+    assert k <= 256 and m * 1 <= dim * 4 / 16
+    persisted = {
+        r.vec_id: tuple(r.codes)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    fresh = {
+        r.vec_id: tuple(r.codes) for r in pq_encode_df(emb, books).collect()
+    }
+    assert fresh == persisted  # encode is bit-deterministic
+    assert all(
+        0 <= c < k for codes in persisted.values() for c in codes
+    )
+    assert len(persisted) == emb.count()
+
+
+def test_pq_rerank_recovers_exact_topk(spark, tmp_path):
+    """ADC shortlist-32 + exact re-rank == brute force top-3 on the
+    test embeddings (measured containment 1.00 at every staged scale;
+    pinned exactly here at sf0.001). Pure un-reranked ADC is allowed to
+    be worse — that gap is WHY the production shape re-ranks."""
+    from flink_quickstart_spark.operators.quantization import (
+        pq_build_index,
+        pq_query_index,
+    )
+    from flink_quickstart_spark.operators.similarity import brute_knn
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    pq_build_index(emb, path)
+    brute = {(r.query_id, r.nbr_id) for r in brute_knn(emb, k=3).collect()}
+    rr = {
+        (r.query_id, r.nbr_id)
+        for r in pq_query_index(
+            spark, path, emb, k=3, shortlist=32, vectors=emb
+        ).collect()
+    }
+    assert rr == brute
+    pure = {
+        (r.query_id, r.nbr_id)
+        for r in pq_query_index(spark, path, emb, k=3).collect()
+    }
+    assert len(pure & brute) / len(brute) > 0.4  # ADC alone is sane too
+
+
+def test_pq_rerank_requires_vectors(spark, tmp_path):
+    from flink_quickstart_spark.operators.quantization import (
+        pq_build_index,
+        pq_query_index,
+    )
+    import pytest as _pytest
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    pq_build_index(emb, path)
+    with _pytest.raises(ValueError, match="vectors"):
+        pq_query_index(spark, path, emb, k=3, shortlist=8).collect()
+
+
+def test_pq_dim_not_divisible_fails_loudly(spark):
+    from flink_quickstart_spark.operators.quantization import (
+        pq_train_codebooks,
+    )
+    import pytest as _pytest
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train_codebooks(emb, m=7)

@@ -116,6 +116,12 @@ ALLOWED = {
         "multiset balance, centroid multiset balance) — the scalar "
         "fold-in shape; both sides are single-row aggregate outputs",
     ),
+    "q_llm_pq_encode": (
+        "BroadcastNestedLoopJoin",
+        "1-row × 1-row cross of the two invariant aggregates (code "
+        "multiset balance, mean reconstruction cosine) — the scalar "
+        "fold-in shape",
+    ),
     "q_llm_token_len_hist": (
         "BroadcastNestedLoopJoin",
         "1-row share normalizer crossed onto pre-bucketed rows; the "
@@ -315,6 +321,16 @@ MATERIALIZE_ALLOWED = {
         "construction AND LIMIT-capped at max_combos + 1 so the guard "
         "itself cannot flood the driver; past the cap it fails loudly "
         "with the rebuild-crossover guidance (r10, VERDICT r9 #5)"
+    ),
+    "operators/quantization.py:pq_train_codebooks:toPandas": (
+        "bounded deterministic training sample (orderBy(id).limit — "
+        "≤ sample_rows rows) for the driver-side per-subspace k-means, "
+        "the same discipline as _train_centroids (r10)"
+    ),
+    "operators/quantization.py:load_codebooks:collect": (
+        "m × k codebook rows (≤ 4096 at the defaults) — the "
+        "driver-sized table every ADC query session rebuilds its "
+        "lookup tables from (r10)"
     ),
     "operators/similarity.py:ivf_retrain_index:collect": (
         "three O(n_clusters)-bounded pulls (≤ 16 rows each): the old "

@@ -63,6 +63,14 @@ DOCUMENTED_SUPERLINEAR = {
         "contract is the fail-fast broadcast budget guard "
         "(operators/similarity.py) + the IVF/LSH tiers, not the ratio"
     ),
+    "q_llm_pq_query": (
+        "SELF-JOIN-shaped by construction (the q_llm_ann_ivf law): the "
+        "contract key computes brute-force truth AND runs ALL n vectors "
+        "as queries, so pair work is Θ(n²) regardless of the 16× byte "
+        "shrink. The production shape — fixed query batch, growing "
+        "corpus, 1/16th scan bytes + |q|×32 exact fetches — is measured "
+        "by pq_query_fixed and must stay ~linear"
+    ),
     "q_text_fuzzy_match": (
         "OUTPUT-bound: the matching-pair count itself grows "
         "superlinearly in this name distribution (165× rows for 10× "
@@ -203,6 +211,10 @@ DEFAULT_KEYS = [
     # touched buckets) whose cost is touched-bucket occupancy
     "ann_ivf_retrain", "minhash_store_maintain_fixed",
     "q_llm_ivf_retrain", "q_maintenance_compact_subset",
+    # r10b: product quantization — the compressed-scan production path
+    # (fixed batch, ~linear with a 16×-smaller byte constant) and the
+    # self-query contract key (documented quadratic truth tier)
+    "pq_query_fixed", "q_llm_pq_query",
 ]
 
 
@@ -476,6 +488,38 @@ def cleanup_minted_batches(spark) -> None:
     _MINTED.clear()
 
 
+def _pq_index_path(sf: str) -> str:
+    return str(REPO / ".scale" / "pq_index" / Path(sf).name)
+
+
+def _prepare_pq_index(spark, sf):
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+    from flink_quickstart_spark.operators.quantization import pq_build_index
+
+    src = str(Path(sf) / "embeddings.parquet")
+    _ensure_index(
+        lambda: pq_build_index(_embeddings(spark, sf), _pq_index_path(sf)),
+        _pq_index_path(sf),
+        src,
+        "codebooks",
+    )
+
+
+def _probe_pq_query_fixed(spark, sf):
+    # the PQ production shape (r10): a FIXED 64-query batch against the
+    # compressed codes — full ADC scan at 1/16th the corpus bytes plus
+    # a |q|×32 exact re-rank fetch; cost ~linear in corpus with a much
+    # smaller constant than the float scan (the self-query contract key
+    # q_llm_pq_query is the documented quadratic truth tier)
+    from flink_quickstart_spark.operators.quantization import pq_query_index
+
+    emb = _embeddings(spark, sf)
+    queries = emb.orderBy("vec_id").limit(64)
+    return pq_query_index(
+        spark, _pq_index_path(sf), queries, k=3, shortlist=32, vectors=emb
+    ).agg(F.count(F.lit(1)).alias("n_results"))
+
+
 def _probe_ivf_retrain(spark, sf):
     # the PERIODIC op (r10): retrain centroids on the corpus read from
     # the index's own members + reassign in one linear pass + atomic
@@ -533,6 +577,7 @@ COMPONENT_PROBES = {
         _prepare_minhash_store,
         _probe_minhash_store_maintain_fixed,
     ),
+    "pq_query_fixed": (_prepare_pq_index, _probe_pq_query_fixed),
 }
 
 

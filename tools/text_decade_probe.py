@@ -76,6 +76,8 @@ DEFAULT_KEYS = [
     # (fixed-batch upsert + threshold compaction of touched buckets)
     "ann_ivf_retrain",
     "minhash_store_maintain_fixed",
+    # r10b: PQ compressed-scan query path (fixed 64-query batch)
+    "pq_query_fixed",
 ]
 
 # r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
