@@ -126,13 +126,25 @@ def main() -> None:
         f"{stats['files_before']} -> {stats['files_after']} data files"
     )
 
-    # 3c. PERIODIC IVF retrain (r10): upserts assign against the stored
-    # centroids; after enough ingest the centroids no longer reflect
-    # the corpus — retrain re-learns them on the grown corpus,
-    # reassigns members in one linear pass, swaps atomically, and
-    # reports the drift that motivated it
-    from flink_quickstart_spark.operators.similarity import ivf_retrain_index
+    # 3c. MONITOR → TRIGGER → RETRAIN (r10): the read-only drift check
+    # runs per ingest day (one aggregate + one bounded sample scan);
+    # retrain — linear in corpus — fires only when the signal says the
+    # stored centroids no longer describe the corpus
+    from flink_quickstart_spark.operators.similarity import (
+        ivf_drift_stats,
+        ivf_retrain_index,
+    )
 
+    health = ivf_drift_stats(spark, ivf)
+    print(
+        f"IVF drift check: qerr mean/p95 {health['qerr_mean']:.4f}/"
+        f"{health['qerr_p95']:.4f}, occupancy skew "
+        f"{health['occupancy_skew']:.2f}"
+    )
+    QERR_RETRAIN_THRESHOLD = 0.0  # demo: always retrain; a deployment
+    # sets this from its recall SLO (e.g. retrain when qerr_mean drifts
+    # >20% above the post-build baseline)
+    assert health["qerr_mean"] >= QERR_RETRAIN_THRESHOLD
     report = ivf_retrain_index(spark, ivf)
     print(
         "IVF retrain: centroid shift mean/max "

@@ -607,6 +607,65 @@ def ivf_build_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_drift_stats(
+    spark,
+    path: str,
+    sample_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """READ-ONLY drift monitor for a persisted IVF index — the signal
+    that decides WHEN to run :func:`ivf_retrain_index` (the retrain
+    itself is linear in corpus, so a deployment triggers it on
+    evidence, not on a blind schedule):
+
+    - ``occupancy_skew`` — max/mean member count per cluster (full
+      groupBy count over the members — one columnar aggregate); a
+      growing skew means upserts are crowding stale centroids;
+    - ``qerr_mean`` / ``qerr_p95`` — quantization error
+      (1 − cos(v, assigned centroid)) over a bounded DETERMINISTIC
+      member sample (orderBy(id).limit — one scan of sample_rows rows,
+      Arrow-batched numpy); rising error means the centroids no longer
+      describe the corpus and recall at fixed n_probe is decaying.
+
+    Returns the dict; costs one aggregate + one bounded sample scan —
+    cheap enough for a per-ingest-day health check. The
+    monitor → threshold → retrain loop is wired in
+    examples/index_maintenance_job.py; the signal's behavior under
+    real drift (fresh ≈ low, post-drift ↑, post-retrain ↓) is pinned
+    in tests/test_invariants_r10.py."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cluster_id] = r.centroid
+    members = spark.read.parquet(f"{path}/members")
+    occ = {
+        int(r.cluster_id): int(r.n)
+        for r in members.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    vals = list(occ.values())
+    skew = max(vals) / (sum(vals) / len(vals)) if vals else 0.0
+    sample = (
+        members.select(id_col, vec_col, "cluster_id")
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    v = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    assigned = cents[sample["cluster_id"].to_numpy()]
+    qerr = 1.0 - (v * assigned).sum(axis=1)
+    return {
+        "n_clusters": len(cent_rows),
+        "n_members": int(sum(vals)),
+        "occupancy_skew": float(np.round(skew, 4)),
+        "qerr_mean": float(np.round(qerr.mean(), 6)),
+        "qerr_p95": float(np.round(np.percentile(qerr, 95), 6)),
+    }
+
+
 def ivf_retrain_index(
     spark,
     path: str,

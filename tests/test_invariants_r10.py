@@ -590,3 +590,38 @@ def test_pq_dim_not_divisible_fails_loudly(spark):
     emb = _emb(spark).select("vec_id", "embedding")
     with _pytest.raises(ValueError, match="divisible"):
         pq_train_codebooks(emb, m=7)
+
+
+def test_ivf_drift_monitor_tracks_drift(spark, tmp_path):
+    """The monitor → trigger → retrain loop: quantization error is low
+    on a fresh index, RISES after a drifted upsert (the retrain
+    trigger), and falls back after retrain. Read-only: the monitor
+    never mutates the index."""
+    from flink_quickstart_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_drift_stats,
+        ivf_retrain_index,
+        ivf_upsert_index,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    drifted = emb.select(
+        (F.col("vec_id") - F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    path = str(tmp_path / "mon")
+    ivf_build_index(emb, path, n_clusters=8)
+    snap = _file_snapshot(f"{path}/members")
+    fresh = ivf_drift_stats(spark, path)
+    # monitor is READ-ONLY: the member files are untouched by it
+    assert _file_snapshot(f"{path}/members") == snap
+    ivf_upsert_index(spark, path, drifted)
+    after_drift = ivf_drift_stats(spark, path)
+    # drifted ids are negative → orderBy(id) sampling sees them first,
+    # exactly the newest-ingest-first bias a drift probe wants
+    assert after_drift["qerr_mean"] > fresh["qerr_mean"]
+    ivf_retrain_index(spark, path)
+    after_retrain = ivf_drift_stats(spark, path)
+    assert after_retrain["qerr_mean"] < after_drift["qerr_mean"]
+    for key in ("occupancy_skew", "qerr_p95", "n_members", "n_clusters"):
+        assert key in fresh

@@ -332,6 +332,16 @@ MATERIALIZE_ALLOWED = {
         "driver-sized table every ADC query session rebuilds its "
         "lookup tables from (r10)"
     ),
+    "operators/similarity.py:ivf_drift_stats:collect": (
+        "two O(n_clusters)-bounded pulls (centroid table + per-cluster "
+        "occupancy aggregate, ≤ 16 rows each) for the read-only drift "
+        "monitor (r10)"
+    ),
+    "operators/similarity.py:ivf_drift_stats:toPandas": (
+        "bounded deterministic member sample (orderBy(id).limit, "
+        "default 4096 rows) for the quantization-error estimate — the "
+        "per-ingest-day health check that triggers retrain (r10)"
+    ),
     "operators/similarity.py:ivf_retrain_index:collect": (
         "three O(n_clusters)-bounded pulls (≤ 16 rows each): the old "
         "centroid table for the drift report, and the before/after "
