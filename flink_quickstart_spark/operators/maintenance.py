@@ -48,9 +48,13 @@ def store_writer_lease(path: str, op: str, ttl_seconds: int = 3600):
     dynamic overwrite (last job commit wins, the other's rows silently
     vanish) and the admission marker — corruption with no error. The
     lease turns that into a visible conflict the caller retries or
-    serializes. A lease older than ``ttl_seconds`` is presumed crashed
-    and broken (one retry); the holder metadata (op, pid, host, time)
-    is embedded so the error names the conflicting writer. The token
+    serializes. Crashed holders do not wedge the store: a lease is
+    broken immediately when its holder pid is provably DEAD on this
+    host (os.kill(pid, 0) — the hard-killed-streaming-query case,
+    where the restarted query must replay its epoch NOW, not after a
+    timeout), and after ``ttl_seconds`` otherwise (remote or
+    unverifiable holder). The holder metadata (op, pid, host, time) is
+    embedded so the error names the conflicting writer. The token
     check on release means a broken-and-reacquired lease is never
     deleted by the original (stalled) holder."""
     os.makedirs(path, exist_ok=True)
@@ -78,8 +82,20 @@ def store_writer_lease(path: str, op: str, ttl_seconds: int = 3600):
             except (OSError, ValueError):
                 holder = {}
             age = time.time() - float(holder.get("acquired_unix", 0))
-            if attempt == 0 and age > ttl_seconds:
-                # presumed-crashed holder: break the stale lease once
+            dead_local = False
+            if (
+                holder.get("host") == socket.gethostname()
+                and isinstance(holder.get("pid"), int)
+                and holder["pid"] != os.getpid()
+            ):
+                try:
+                    os.kill(holder["pid"], 0)
+                except ProcessLookupError:
+                    dead_local = True  # provably crashed holder
+                except PermissionError:
+                    pass  # alive under another uid
+            if attempt == 0 and (dead_local or age > ttl_seconds):
+                # crashed holder: break the stale lease once
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(lease)
                 continue

@@ -218,33 +218,36 @@ _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 # the set (last sample ≥3 rounds old AND a dep file changed since, from
 # CORRECTNESS_r*.json × git history); this frozen ordering (stalest
 # first — last-sample round ascending, name within) drains the backlog
-# right after any never-sampled keys. Regenerate at round close (r9: 69 keys, every one re-verified
-# builder-side this round — STALENESS_r9.json):
+# right after any never-sampled keys. Regenerate at round close (r10:
+# 67 keys, every one re-verified builder-side this round —
+# STALENESS_r10.json; the r9-sampled tier dropped off, the llm_ops/
+# rank/similarity dep-module churn of r9/r10 keeps the r4–r6 backlog):
 #   python tools/staleness_report.py --json STALENESS_r{N}.json --verify-json VERIFY_r{N}.json
 _STALE_PRIORITY: tuple[str, ...] = (
-    "q_sql_q10", "q_sql_q14", "q_sql_q3", "q_sql_q6", "q_sql_window",
-    "q_text_fingerprint", "q_text_langid", "q_text_langid_ngram",
-    "q_text_quality", "q_text_tokens", "q_topk_pergroup",
-    "q_ts_znorm_match", "q_union", "q_wf_distribution",
-    "q_wf_firstlast", "q_wf_rangeframe", "q_wf_rank", "q_wf_running",
-    "q_wf_trailing_7d", "q_filter_pred", "q_join_bucketed",
-    "q_llm_ann_ivf", "q_llm_ann_lsh", "q_llm_chunk",
-    "q_llm_decontaminate", "q_llm_dedup_groups", "q_llm_dedup_spans",
-    "q_llm_neardup_minhash", "q_llm_pack_sequences",
-    "q_llm_sample_balanced", "q_multimodal_framesample",
-    "q_project_arith", "q_scan_json_corrupt", "q_scan_orc_roundtrip",
-    "q_sql_cte_topk", "q_sql_exists", "q_sql_q13", "q_sql_q15",
-    "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q5", "q_sql_q7",
-    "q_sql_q8", "q_text_fuzzy_match", "q_text_gopher_filters",
-    "q_text_pii_scrub", "q_ts_features", "q_ts_ffill", "q_wf_laglead",
-    "q_wf_nth", "q_dq_constraints", "q_dq_referential_integrity",
+    "q_text_fuzzy_match", "q_text_gopher_filters", "q_text_pii_scrub",
+    "q_ts_features", "q_ts_ffill", "q_wf_laglead", "q_wf_nth",
+    "q_dq_constraints", "q_dq_referential_integrity",
     "q_embed_centroid", "q_embed_norm", "q_embed_quantize_int8",
     "q_graph_common_neighbors", "q_graph_degree_stats",
     "q_graph_triangles", "q_join_asof_tolerance", "q_join_nullsafe",
     "q_join_pit_features", "q_join_skew_salted", "q_llm_bm25",
     "q_llm_bpe_merges", "q_llm_ingest_dedup",
     "q_llm_minhash_signatures", "q_llm_xent_unigram",
-    "q_maintenance_zorder",
+    "q_maintenance_zorder", "q_anon_kanonymity", "q_dq_sequence_gaps",
+    "q_embed_dim_stats", "q_embed_sign_bits", "q_join_dpp",
+    "q_llm_cooccur_pmi", "q_llm_dedup_cascade", "q_llm_dedup_paragraph",
+    "q_llm_dedup_prefix", "q_llm_domain_budget", "q_llm_global_shuffle",
+    "q_llm_heavy_hitters", "q_llm_mix_datasets", "q_llm_novelty",
+    "q_llm_shard_assign", "q_llm_source_overlap", "q_llm_tfidf_cosine",
+    "q_llm_token_len_hist", "q_llm_vocab_growth", "q_llm_winnowing",
+    "q_llm_xent_bigram", "q_maintenance_compact", "q_multimodal_resize",
+    "q_sample_group_topk_hash", "q_sample_importance",
+    "q_sample_temperature", "q_scan_merge_schema",
+    "q_scan_partitioned_roundtrip", "q_scan_text_roundtrip",
+    "q_sql_division", "q_sql_q11", "q_sql_q12", "q_sql_q16", "q_sql_q2",
+    "q_sql_q20", "q_sql_q21", "q_sql_q22", "q_sql_q9",
+    "q_text_halves_overlap", "q_text_repetition", "q_ts_ewma",
+    "q_ts_resample_interp",
 )
 _STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
 

@@ -625,3 +625,34 @@ def test_ivf_drift_monitor_tracks_drift(spark, tmp_path):
     assert after_retrain["qerr_mean"] < after_drift["qerr_mean"]
     for key in ("occupancy_skew", "qerr_p95", "n_members", "n_clusters"):
         assert key in fresh
+
+
+def test_lease_dead_local_holder_broken_immediately(spark, tmp_path):
+    """A hard-killed writer (dead pid on THIS host) must not wedge the
+    store until the TTL — the restarted streaming query has to replay
+    its epoch immediately."""
+    import socket
+    import subprocess
+
+    from flink_quickstart_spark.operators.maintenance import (
+        store_writer_lease,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    # a real pid that has provably exited
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(store, "_writer_lease"), "w") as fh:
+        json.dump(
+            {
+                "op": "killed-writer",
+                "pid": proc.pid,
+                "host": socket.gethostname(),
+                "acquired_unix": time.time(),  # fresh — TTL would NOT fire
+            },
+            fh,
+        )
+    with store_writer_lease(store, "replayer", ttl_seconds=3600):
+        with open(os.path.join(store, "_writer_lease")) as fh:
+            assert json.load(fh)["op"] == "replayer"
