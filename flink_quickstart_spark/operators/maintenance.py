@@ -312,6 +312,20 @@ def compact_ivf_index(
         )
 
 
+def compact_ivfpq_index(
+    spark, path: str, max_files: int | None = None
+) -> dict[str, int]:
+    """OPTIMIZE for the IVFPQ codes store: one id-sorted file per
+    cluster partition — the same nightly incremental form as the other
+    stores (``max_files=N`` compacts only over-threshold clusters that
+    daily :func:`~.quantization.ivfpq_upsert_index` appends dilute)."""
+    with store_writer_lease(path, "compact_ivfpq_index"):
+        return compact_partitions(
+            spark, f"{path}/codes", ["cluster_id"], ["vec_id"],
+            max_files=max_files,
+        )
+
+
 __all__ = [
     "StoreWriterConflict",
     "store_writer_lease",
@@ -320,5 +334,6 @@ __all__ = [
     "compact_minhash_store",
     "compact_lsh_index",
     "compact_ivf_index",
+    "compact_ivfpq_index",
     "data_file_counts",
 ]

@@ -67,9 +67,20 @@ def pq_train_codebooks(
     )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return _train_subspace_codebooks(mat, m, k, seed, iters, "pq_train_codebooks")
+
+
+def _train_subspace_codebooks(
+    mat: np.ndarray, m: int, k: int, seed: int, iters: int, op: str
+) -> np.ndarray:
+    """Seeded per-subspace L2 k-means over an already-prepared training
+    matrix (unit vectors for plain PQ; assignment residuals for IVFPQ).
+    Shared by :func:`pq_train_codebooks` and :func:`ivfpq_build_index`
+    with rng consumption order preserved exactly (one ``choice`` per
+    subspace, in subspace order) so refactors never move stored codes."""
     dim = mat.shape[1]
     if dim % m:
-        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
+        raise ValueError(f"{op}: dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = np.zeros((m, k, dsub))
@@ -277,15 +288,36 @@ def pq_query_index(
     )
     if shortlist is None:
         return top
+    return _exact_rerank(
+        spark, top, q_ids, qn, vectors, k, id_col, vec_col, sim_decimals,
+        "pq_query_index",
+    )
+
+
+def _exact_rerank(
+    spark,
+    top: DataFrame,
+    q_ids,
+    qn: np.ndarray,
+    vectors: DataFrame | None,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    sim_decimals: int,
+    op: str,
+) -> DataFrame:
+    """The standard PQ/IVFPQ RE-RANK tier, shared by
+    :func:`pq_query_index` and :func:`ivfpq_query_index`: the tiny
+    |q|×S candidate table broadcasts onto the vector scan (point-fetch,
+    corpus never shuffled), query vectors broadcast-join from a |q|-row
+    local relation, exact cosine is computed JVM-side
+    (zip_with/aggregate — whole-stage codegen), and the final top-k is
+    exact over the shortlist."""
     if vectors is None:
         raise ValueError(
-            "pq_query_index: shortlist re-rank needs vectors= (the "
+            f"{op}: shortlist re-rank needs vectors= (the "
             "full-precision table the codes were built from)."
         )
-    # re-rank tier: tiny |q|×S candidate table broadcasts onto the
-    # vector scan (point-fetch, corpus never shuffled), query vectors
-    # broadcast-joined from a |q|-row local relation, exact cosine in
-    # codegen expressions, exact top-k over the shortlist
     qdf = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, qn)],
         "query_id bigint, _qvec array<double>",
@@ -327,6 +359,349 @@ def pq_query_index(
     )
 
 
+# --------------------------------------------------------------- IVFPQ
+#
+# The composition the two tiers above exist for (K4i, r10): IVF gives
+# PARTITION PRUNING (a probe reads n_probe/n_clusters of the corpus —
+# the on-disk layout is the index), PQ gives BYTE COMPRESSION (the scan
+# reads m code bytes per vector instead of dim float32s). IVFPQ stores
+# the PQ codes PARTITIONED BY the IVF cluster, so a query does both at
+# once: prune to the probed cluster directories, ADC-scan only code
+# bytes inside them, then exact-re-rank a bounded shortlist from the
+# full-precision table. At the defaults (16 clusters, n_probe=4, m=16
+# over dim-64 float32) a query touches 4/16 of the partitions × 16/256
+# of the bytes ≈ 1/64th of the raw-corpus scan — the only shape that
+# keeps per-query cost sane at 100 TB.
+#
+# Codes are RESIDUAL-encoded (the FAISS IVFPQ discipline): each vector
+# is quantized as (its unit form − its assigned centroid), and the
+# codebooks train on sample residuals — residuals concentrate near 0,
+# so the same bit budget spends its resolution where the data actually
+# is. ADC then scores ⟨q, x⟩ ≈ ⟨q, centroid(x)⟩ + Σ_s LUT_s[code_s(x)]:
+# one Q×n_clusters base table plus the usual m×k LUT per query.
+#
+# Determinism contract (the store-maintenance invariants depend on it):
+# centroids and codebooks train on the order-stable bounded sample with
+# fixed seeds, and encoding is argmax/argmin against those STORED
+# artifacts — so (cluster_id, codes) of any vector is a pure function
+# of (vector, store), which is what makes an incremental append
+# row-identical to re-encoding the full corpus against the same store
+# (q_llm_ivfpq_upsert pins exactly that).
+
+
+def _ivfpq_encode_df(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>, cluster_id) — assign each vector to
+    its nearest stored centroid (cosine argmax, the
+    :func:`~.similarity._assign_members_df` metric) and PQ-encode its
+    RESIDUAL against the stored codebooks, in one Arrow-batched
+    map-only pass. Deterministic given (centroids, codebooks)."""
+    m, _k, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, books = bc.value
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cl = np.argmax(v @ cents.T, axis=1).astype(np.int32)
+            resid = v - cents[cl]
+            codes = np.zeros((len(v), m), dtype=np.int16)
+            for s in range(m):
+                sub = resid[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes), "cluster_id": cl}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} {id_t}, codes array<smallint>, cluster_id int"
+    )
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 16,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 20_000,
+    pq_iters: int = 10,
+) -> None:
+    """Materialize the pruned+compressed search form:
+
+    - ``{path}/codes`` — (id, codes array<smallint>) PARTITIONED BY
+      cluster_id: the IVF layout over the PQ payload, so a probe reads
+      n_probe/n_clusters of the directories and m bytes per vector;
+    - ``{path}/centroids`` — the IVF centroid table (same format as
+      :func:`~.similarity.ivf_build_index`);
+    - ``{path}/codebooks`` — the residual PQ codebooks (same format as
+      :func:`pq_build_index`).
+
+    Training is the shared bounded-deterministic-sample discipline:
+    centroids via :func:`~.similarity._train_centroids`, then residual
+    codebooks on the SAME sample's assignment residuals."""
+    from flink_quickstart_spark.operators.similarity import _train_centroids
+
+    spark = df.sparkSession
+    centroids = _train_centroids(
+        df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
+    )
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    resid = mat - centroids[np.argmax(mat @ centroids.T, axis=1)]
+    books = _train_subspace_codebooks(
+        resid, m, k, seed, pq_iters, "ivfpq_build_index"
+    )
+    (
+        _ivfpq_encode_df(df, centroids, books, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (int(s), int(c), [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivfpq_artifacts(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) from a persisted IVFPQ store — two
+    driver-sized reads (n_clusters + m×k rows), the everything a query
+    or maintenance session needs besides the codes scan."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        cents[r.cluster_id] = r.centroid
+    return cents, load_codebooks(spark, path)
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+    max_broadcast_bytes: int = DEFAULT_BROADCAST_BUDGET_BYTES,
+    shortlist: int | None = 32,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Pruned + compressed ANN: assign each query its ``n_probe``
+    nearest stored centroids driver-side (the query batch is already a
+    budget-guarded driver collect for the ADC LUTs), STATICALLY prune
+    the codes scan to the union of probed clusters (the isin predicate
+    prunes partitions at planning — the r8 IVF discipline, DPP measured
+    not firing on this shape), ADC-score only rows whose cluster is in
+    THAT query's probe set (⟨q, centroid⟩ base + m LUT gathers), keep a
+    per-partition shortlist, merge with one bounded window, and
+    exact-re-rank the shortlist from the full-precision table
+    (:func:`_exact_rerank` — point-fetch, the corpus is never shuffled).
+
+    Self-matches excluded; ties broken by (sim desc, nbr id asc) —
+    deterministic. ``shortlist=None`` returns raw ADC top-k (no re-rank,
+    no ``vectors`` needed) for diagnostics."""
+    q_ids, q_mat, _ = _collect_corpus(
+        queries, id_col, vec_col, max_broadcast_bytes, "ivfpq_query_index"
+    )
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    cents, books = load_ivfpq_artifacts(spark, path)
+    m, _kk, dsub = books.shape
+    base = qn @ cents.T  # Q × n_clusters: the ⟨q, centroid⟩ ADC term
+    n_probe = min(n_probe, base.shape[1])
+    order = np.argsort(-base, axis=1)[:, :n_probe]
+    probe_mask = np.zeros(base.shape, dtype=bool)
+    probe_mask[np.arange(len(qn))[:, None], order] = True
+    lut = np.stack(
+        [qn[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(q_ids, dtype=np.int64), base, probe_mask, lut)
+    )
+    probed = sorted({int(c) for c in order.reshape(-1)})
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cluster_id").isin(probed)
+    )
+    cut = shortlist if shortlist else k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, base_, pmask, tables = bc.value
+        for pdf in batches:
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            clus = pdf["cluster_id"].to_numpy().astype(np.int64)
+            n_ids = pdf[id_col].to_numpy()
+            sims = base_[:, clus].copy()  # Q × N residual-free term
+            for s in range(m):
+                sims += tables[:, s, :][:, c[:, s]]
+            sims[~pmask[:, clus]] = -np.inf  # outside this query's probes
+            out_q, out_n, out_s = [], [], []
+            for i, qid in enumerate(ids_q):
+                s_row = np.where(n_ids == qid, -np.inf, sims[i])
+                top = np.lexsort((n_ids, -s_row))[: min(cut, len(c))]
+                keep = [t for t in top if s_row[t] != -np.inf]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(n_ids[keep])
+                out_s.extend(s_row[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "nbr_id": np.asarray(out_n, dtype=np.int64),
+                    "adc_sim": np.round(np.asarray(out_s), sim_decimals),
+                }
+            )
+
+    cand = codes.mapInPandas(
+        scan, "query_id bigint, nbr_id bigint, adc_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("nbr_id")
+    )
+    top = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cut)
+        .select("query_id", "nbr_id", "adc_sim", "rank")
+    )
+    if shortlist is None:
+        return top
+    return _exact_rerank(
+        spark, top, q_ids, qn, vectors, k, id_col, vec_col, sim_decimals,
+        "ivfpq_query_index",
+    )
+
+
+def ivfpq_upsert_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL maintenance of a persisted IVFPQ store — the FAISS
+    `add` lifecycle for the compressed tier: assign + residual-encode
+    the batch against the STORED centroids and codebooks, append to the
+    batch's cluster partitions. Cost ∝ |batch| (one Arrow encode pass +
+    an append touching only the batch's clusters); the corpus codes are
+    never read. Invariant (q_llm_ivfpq_upsert): the grown codes table
+    is row-identical to re-encoding the full corpus against the same
+    stored artifacts. Codebooks and centroids stay fixed between
+    periodic retrains (the documented trade — encode quality degrades
+    gracefully with the un-retrained fraction, exactly as IVF members).
+
+    Precondition: batch ids must be NEW (dedup upstream — an id already
+    in the store would be duplicated). Single-writer: holds the store's
+    writer lease."""
+    from flink_quickstart_spark.operators.maintenance import store_writer_lease
+
+    with store_writer_lease(path, "ivfpq_upsert_index"):
+        cents, books = load_ivfpq_artifacts(spark, path)
+        (
+            _ivfpq_encode_df(new_df, cents, books, id_col, vec_col)
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(f"{path}/codes")
+        )
+
+
+def ivfpq_delete_index(
+    spark,
+    path: str,
+    del_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL deletion from a persisted IVFPQ store: assign the
+    deletion batch against the STORED centroids (deterministic, so each
+    row's cluster is exactly where its codes were written), anti-join
+    the ids out of ONLY the affected cluster partitions (dynamic
+    overwrite), and drop clusters left empty — dynamic overwrite alone
+    would keep their stale files (the
+    :func:`~.similarity._drop_empty_partitions` lesson). ``del_df``
+    carries (id, vector) because the cluster is a function of the
+    vector. Cost ∝ batch + touched-cluster occupancy. Single-writer
+    (store lease); local/DBFS-style paths only (the emptied-partition
+    drop is a filesystem call — fails loudly on remote schemes)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        require_local_path,
+        store_writer_lease,
+    )
+    from flink_quickstart_spark.operators.similarity import (
+        _assign_members_df,
+        _drop_empty_partitions,
+    )
+    from flink_quickstart_spark.operators.iterative import _release
+
+    require_local_path(path, "ivfpq_delete_index")
+    with store_writer_lease(path, "ivfpq_delete_index"):
+        cents, _books = load_ivfpq_artifacts(spark, path)
+        assigned = _assign_members_df(
+            del_df, cents, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        try:
+            clusters = [
+                int(r.cluster_id)
+                for r in assigned.select("cluster_id").distinct().collect()
+            ]
+            if not clusters:
+                return
+            survivors = (
+                spark.read.parquet(f"{path}/codes")
+                .where(F.col("cluster_id").isin(clusters))
+                .join(
+                    assigned.select(F.col(id_col).alias("_del_id")).distinct(),
+                    F.col(id_col) == F.col("_del_id"),
+                    "left_anti",
+                )
+                .select(id_col, "codes", "cluster_id")
+                .localCheckpoint(eager=True)
+            )
+            try:
+                (
+                    survivors.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("cluster_id")
+                    .parquet(f"{path}/codes")
+                )
+                surviving = {
+                    (int(r.cluster_id),)
+                    for r in survivors.select("cluster_id").distinct().collect()
+                }
+                _drop_empty_partitions(
+                    f"{path}/codes",
+                    [(c,) for c in clusters],
+                    surviving,
+                    ["cluster_id"],
+                )
+            finally:
+                _release(survivors)
+        finally:
+            _release(assigned)
+
+
 __all__ = [
     "pq_train_codebooks",
     "pq_encode_df",
@@ -334,4 +709,9 @@ __all__ = [
     "pq_decode_df",
     "pq_query_index",
     "load_codebooks",
+    "ivfpq_build_index",
+    "ivfpq_query_index",
+    "ivfpq_upsert_index",
+    "ivfpq_delete_index",
+    "load_ivfpq_artifacts",
 ]

@@ -332,6 +332,23 @@ MATERIALIZE_ALLOWED = {
         "driver-sized table every ADC query session rebuilds its "
         "lookup tables from (r10)"
     ),
+    "operators/quantization.py:ivfpq_build_index:toPandas": (
+        "bounded deterministic training sample (orderBy(id).limit — "
+        "≤ sample_rows rows) re-read once at build time for the "
+        "residual codebook k-means; the corpus encode itself is one "
+        "distributed Arrow pass (r10)"
+    ),
+    "operators/quantization.py:load_ivfpq_artifacts:collect": (
+        "O(n_clusters) centroid rows (≤ 16 at the defaults) — the "
+        "codebooks half delegates to the already-waived load_codebooks "
+        "(r10)"
+    ),
+    "operators/quantization.py:ivfpq_delete_index:collect": (
+        "two affected-cluster combo pulls, ≤ n_clusters distinct rows "
+        "each by construction (the IVF delete discipline — the combo "
+        "set drives static partition pruning and the emptied-partition "
+        "drop) (r10)"
+    ),
     "operators/similarity.py:ivf_drift_stats:collect": (
         "two O(n_clusters)-bounded pulls (centroid table + per-cluster "
         "occupancy aggregate, ≤ 16 rows each) for the read-only drift "

@@ -71,6 +71,15 @@ DOCUMENTED_SUPERLINEAR = {
         "corpus, 1/16th scan bytes + |q|×32 exact fetches — is measured "
         "by pq_query_fixed and must stay ~linear"
     ),
+    "q_llm_ivfpq_query": (
+        "SELF-JOIN-shaped by construction (the q_llm_ann_ivf law): the "
+        "contract key computes brute-force truth AND runs ALL n vectors "
+        "as queries, so pair work is Θ(n²) no matter how pruned or "
+        "compressed the index scan is. The production shape — fixed "
+        "query batch, growing corpus, n_probe/n_clusters of the "
+        "partitions × 1/16th of the bytes — is measured by "
+        "ann_ivfpq_query_fixed and must stay ~linear-or-better"
+    ),
     "q_text_fuzzy_match": (
         "OUTPUT-bound: the matching-pair count itself grows "
         "superlinearly in this name distribution (165× rows for 10× "
@@ -215,6 +224,14 @@ DEFAULT_KEYS = [
     # (fixed batch, ~linear with a 16×-smaller byte constant) and the
     # self-query contract key (documented quadratic truth tier)
     "pq_query_fixed", "q_llm_pq_query",
+    # r10c: IVFPQ — the pruned+compressed composition. The fixed-batch
+    # query probe reads n_probe/n_clusters of the partitions at 1/16th
+    # the bytes (must stay ~linear with the smallest constant of the
+    # ANN family); the upsert probe is batch-priced by construction
+    # (assign+encode the batch, append to its clusters); the contract
+    # keys add the brute/re-encode truth sides
+    "ann_ivfpq_query_fixed", "ann_ivfpq_upsert_fixed",
+    "q_llm_ivfpq_query", "q_llm_ivfpq_upsert",
 ]
 
 
@@ -391,7 +408,7 @@ def _probe_ivf_query_fixed(spark, sf):
 # pinned invariant, so the store returns to its pristine fixture state
 # and the shared ann_lsh_query_fixed probe is never skewed).
 _UPSERT_BASE: dict[tuple[str, str], int] = {}
-_UPSERT_RUN = {"lsh": 0, "mh": 0}
+_UPSERT_RUN = {"lsh": 0, "mh": 0, "ivfpq": 0}
 _MINTED: list[tuple[str, str, int]] = []  # (kind, sf, offset)
 
 _MINT_STRIDE = 100_000_000  # > any staged table's id range
@@ -478,9 +495,15 @@ def cleanup_minted_batches(spark) -> None:
     from flink_quickstart_spark.operators.dedup import minhash_delete_store
     from flink_quickstart_spark.operators.similarity import lsh_delete_index
 
+    from flink_quickstart_spark.operators.quantization import ivfpq_delete_index
+
     for kind, sf, off in _MINTED:
         if kind == "lsh":
             lsh_delete_index(spark, _lsh_index_path(sf), _lsh_batch(spark, sf, off))
+        elif kind == "ivfpq":
+            ivfpq_delete_index(
+                spark, _ivfpq_index_path(sf), _lsh_batch(spark, sf, off)
+            )
         else:
             minhash_delete_store(
                 spark, _minhash_store_path(sf), _mh_batch(spark, sf, off)
@@ -556,6 +579,62 @@ def _probe_minhash_store_maintain_fixed(spark, sf):
     return None
 
 
+def _ivfpq_index_path(sf: str) -> str:
+    return str(REPO / ".scale" / "ivfpq_index" / Path(sf).name)
+
+
+def _prepare_ivfpq_index(spark, sf):
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+    from flink_quickstart_spark.operators.quantization import ivfpq_build_index
+
+    src = str(Path(sf) / "embeddings.parquet")
+    _ensure_index(
+        lambda: ivfpq_build_index(
+            _embeddings(spark, sf), _ivfpq_index_path(sf), n_clusters=16
+        ),
+        _ivfpq_index_path(sf),
+        src,
+        "codebooks",
+    )
+    _capture_upsert_base(
+        spark, "ivfpq", sf, _ivfpq_index_path(sf) + "/codes", "vec_id"
+    )
+
+
+def _probe_ivfpq_query_fixed(spark, sf):
+    # the IVFPQ production shape (r10): a FIXED 64-query batch against
+    # the pruned+compressed store — n_probe/n_clusters of the cluster
+    # partitions are read (static prune) at 1/16th the bytes (ADC over
+    # codes), plus a |q|×32 exact re-rank fetch. Must carry the
+    # smallest constant of the ANN family and stay ~linear-or-better
+    # (the self-query contract key q_llm_ivfpq_query is the documented
+    # quadratic truth tier).
+    from flink_quickstart_spark.operators.quantization import ivfpq_query_index
+
+    emb = _embeddings(spark, sf)
+    queries = emb.orderBy("vec_id").limit(64)
+    return ivfpq_query_index(
+        spark, _ivfpq_index_path(sf), queries, k=3, n_probe=4,
+        shortlist=32, vectors=emb,
+    ).agg(F.count(F.lit(1)).alias("n_results"))
+
+
+def _probe_ivfpq_upsert_fixed(spark, sf):
+    # compressed-tier maintenance cost (r10): upsert a FIXED 64-vector
+    # batch — one Arrow assign+encode pass over the batch + appends
+    # into its cluster partitions; corpus codes never read, so the
+    # curve must stay near-flat. Minted ids follow the r9-ADVICE
+    # discipline: fresh negative ids each run, deleted untimed at end.
+    from flink_quickstart_spark.operators.quantization import ivfpq_upsert_index
+
+    ivfpq_upsert_index(
+        spark,
+        _ivfpq_index_path(sf),
+        _lsh_batch(spark, sf, _next_offset("ivfpq", sf)),
+    )
+    return None
+
+
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
@@ -578,6 +657,8 @@ COMPONENT_PROBES = {
         _probe_minhash_store_maintain_fixed,
     ),
     "pq_query_fixed": (_prepare_pq_index, _probe_pq_query_fixed),
+    "ann_ivfpq_query_fixed": (_prepare_ivfpq_index, _probe_ivfpq_query_fixed),
+    "ann_ivfpq_upsert_fixed": (_prepare_ivfpq_index, _probe_ivfpq_upsert_fixed),
 }
 
 
