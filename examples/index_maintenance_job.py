@@ -11,9 +11,13 @@
    documents that near-duplicate the corpus OR the first (admitted)
    batch, admit the rest, and upsert their signatures — the loop every
    subsequent ingest day runs.
-4. DELETE a retention batch from each index — anti-joined out of only
+4. Run the COMPRESSED tier (IVFPQ, K4i) through the same lifecycle:
+   build → upsert → pruned ADC query with exact re-rank → periodic
+   retrain (the one op that reads the full-precision cold tier) →
+   threshold compaction.
+5. DELETE a retention batch from each index — anti-joined out of only
    its own partitions, with emptied partitions dropped.
-5. Verify the invariants inline: upserted == rebuilt, deleted ==
+6. Verify the invariants inline: upserted == rebuilt, deleted ==
    rebuilt-from-remainder, query results identical.
 
 Run: ``python examples/index_maintenance_job.py [sf_dir] [work_dir]``
@@ -151,6 +155,37 @@ def main() -> None:
         f"{report['centroid_shift_mean']:.4f}/{report['centroid_shift_max']:.4f}, "
         f"occupancy skew {report['occupancy_skew_before']:.2f} -> "
         f"{report['occupancy_skew_after']:.2f} over {report['n_members']} members"
+    )
+
+    # 3d. the COMPRESSED tier runs the same lifecycle (r10, K4i):
+    # IVFPQ stores 16 residual code bytes per vector partitioned by
+    # IVF cluster — build → upsert (encode vs STORED artifacts) →
+    # query (pruned ADC + exact re-rank) → retrain (re-learn + one
+    # linear re-encode from the full-precision cold tier) → compact
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_ivfpq_index,
+    )
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+        ivfpq_retrain_index,
+        ivfpq_upsert_index,
+    )
+
+    ivfpq = f"{work}/ivfpq"
+    ivfpq_build_index(corpus_vecs, ivfpq, n_clusters=16)
+    ivfpq_upsert_index(spark, ivfpq, vec_batch)
+    n_hits = ivfpq_query_index(
+        spark, ivfpq, queries_pq := t.embeddings.orderBy("vec_id").limit(16),
+        k=3, n_probe=4, shortlist=32, vectors=t.embeddings,
+    ).count()
+    pq_report = ivfpq_retrain_index(spark, ivfpq, t.embeddings)
+    pq_stats = compact_ivfpq_index(spark, ivfpq, max_files=1)
+    print(
+        f"IVFPQ lifecycle: {queries_pq.count()} queries -> {n_hits} hits, "
+        f"retrain shift max {pq_report['centroid_shift_max']:.4f} over "
+        f"{pq_report['n_codes']} codes, compaction "
+        f"{pq_stats['files_before']} -> {pq_stats['files_after']} files"
     )
 
     # 4. retention delete + query equivalence ------------------------

@@ -35,6 +35,7 @@ CONTRACT oracle, the same grading as q_llm_ann_ivf.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -702,6 +703,161 @@ def ivfpq_delete_index(
             _release(assigned)
 
 
+def ivfpq_retrain_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_clusters: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 20_000,
+    pq_iters: int = 10,
+) -> dict:
+    """PERIODIC retrain for the IVFPQ store — train → add → **retrain**
+    (the K4g lifecycle, now for the compressed tier): between retrains
+    :func:`ivfpq_upsert_index` encodes against the STORED
+    centroids/codebooks forever, so under drift both the partitioning
+    AND the residual quantization quality decay. Retrain re-learns both
+    and re-encodes.
+
+    One honest difference from :func:`~.similarity.ivf_retrain_index`:
+    the IVF member table stores full vectors, so IVF retrains from the
+    index's own data — but the IVFPQ store holds CODES only (that is
+    its point), so retrain must read the full-precision ``corpus`` from
+    the cold tier, exactly once, linearly. That is the documented cost
+    of 16× at-rest compression: the periodic retrain is the one op that
+    touches the float vectors (the same vectors the re-rank point-fetch
+    already requires to exist). ``corpus`` must be the store's logical
+    content (build inputs ∪ upserts ∖ deletes) — guarded by a loud
+    count check, since a wrong corpus would silently fork the store.
+
+    Steps: re-run the bounded-sample deterministic k-means + residual
+    codebook training on ``corpus`` (same seed/sample discipline as
+    :func:`ivfpq_build_index`), re-encode in ONE linear Arrow pass to
+    staging dirs, atomically rename-swap codes+centroids+codebooks (a
+    reader never observes new codes with old codebooks — mixing
+    generations would corrupt every ADC score), and return the drift
+    report (centroid shift, occupancy skew before/after).
+
+    Determinism contract (the q_llm_ivfpq_retrain oracle):
+    retrain(build(base) + upsert(batch), corpus=base ∪ batch) is
+    bit-identical (centroids, codebooks) and row-identical (codes) to a
+    FRESH :func:`ivfpq_build_index` on base ∪ batch with the same seed.
+    Single-writer (store lease); local paths (the swap is a rename)."""
+    import shutil
+
+    from flink_quickstart_spark.operators.maintenance import (
+        require_local_path,
+        store_writer_lease,
+    )
+    from flink_quickstart_spark.operators.similarity import _train_centroids
+
+    require_local_path(path, "ivfpq_retrain_index")
+    with store_writer_lease(path, "ivfpq_retrain_index"):
+        old_cents, old_books = load_ivfpq_artifacts(spark, path)
+        kc = n_clusters if n_clusters is not None else len(old_cents)
+        mm = m if m is not None else old_books.shape[0]
+        kk = k if k is not None else old_books.shape[1]
+
+        occ_rows = (
+            spark.read.parquet(f"{path}/codes")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        occ_before = {int(r.cluster_id): int(r.n) for r in occ_rows}
+        n_stored = sum(occ_before.values())
+        n_corpus = corpus.count()
+        if n_corpus != n_stored:
+            raise ValueError(
+                f"ivfpq_retrain_index: corpus has {n_corpus} rows but the "
+                f"store holds {n_stored} codes — retrain must be given the "
+                "store's exact logical content (build inputs ∪ upserts ∖ "
+                "deletes), or the store would silently fork from its corpus."
+            )
+
+        new_cents = _train_centroids(
+            corpus, id_col, vec_col, kc, seed, kmeans_iters, sample_rows
+        )
+        sample = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .toPandas()
+        )
+        mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        resid = mat - new_cents[np.argmax(mat @ new_cents.T, axis=1)]
+        new_books = _train_subspace_codebooks(
+            resid, mm, kk, seed, pq_iters, "ivfpq_retrain_index"
+        )
+
+        staging = {
+            "codes": f"{path}/codes.retrain-staging",
+            "centroids": f"{path}/centroids.retrain-staging",
+            "codebooks": f"{path}/codebooks.retrain-staging",
+        }
+        for d in staging.values():
+            if os.path.isdir(d):
+                shutil.rmtree(d)  # residue of a crashed prior retrain
+        (
+            _ivfpq_encode_df(corpus, new_cents, new_books, id_col, vec_col)
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(staging["codes"])
+        )
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(new_cents)],
+            "cluster_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(staging["centroids"])
+        spark.createDataFrame(
+            [
+                (int(s), int(c), [float(x) for x in new_books[s, c]])
+                for s in range(new_books.shape[0])
+                for c in range(new_books.shape[1])
+            ],
+            "subspace int, code int, centroid array<double>",
+        ).write.mode("overwrite").parquet(staging["codebooks"])
+
+        # swap: old to trash, staging to live, trash removed — same
+        # crash story as ivf_retrain_index (staging dirs are complete
+        # before the first rename; re-running retrain repairs residue)
+        for sub in ("codes", "centroids", "codebooks"):
+            trash = f"{path}/{sub}.retrain-trash"
+            os.rename(f"{path}/{sub}", trash)
+            os.rename(staging[sub], f"{path}/{sub}")
+            shutil.rmtree(trash)
+
+        occ_after = {
+            int(r.cluster_id): int(r.n)
+            for r in spark.read.parquet(f"{path}/codes")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        sims = old_cents @ new_cents.T
+        shift = 1.0 - sims.max(axis=1)
+
+        def _skew(occ: dict[int, int]) -> float:
+            if not occ:
+                return 0.0
+            vals = list(occ.values())
+            return max(vals) / (sum(vals) / len(vals))
+
+        return {
+            "n_clusters": int(len(new_cents)),
+            "n_codes": int(sum(occ_after.values())),
+            "centroid_shift_mean": float(np.round(shift.mean(), 6)),
+            "centroid_shift_max": float(np.round(shift.max(), 6)),
+            "occupancy_skew_before": float(np.round(_skew(occ_before), 4)),
+            "occupancy_skew_after": float(np.round(_skew(occ_after), 4)),
+        }
+
+
 __all__ = [
     "pq_train_codebooks",
     "pq_encode_df",
@@ -713,5 +869,6 @@ __all__ = [
     "ivfpq_query_index",
     "ivfpq_upsert_index",
     "ivfpq_delete_index",
+    "ivfpq_retrain_index",
     "load_ivfpq_artifacts",
 ]

@@ -211,3 +211,70 @@ def test_ivfpq_rerank_requires_vectors(spark, tmp_path):
     # diagnostics path: raw ADC top-k needs no full-precision table
     raw = ivfpq_query_index(spark, path, emb.limit(4), k=3, shortlist=None)
     assert raw.count() > 0
+
+
+def test_ivfpq_retrain_restores_encode_quality_on_drift(spark, tmp_path):
+    """Deliberate drift (the antipode staging of the IVF twin): upsert
+    the NEGATED corpus — maximally bad fit for the stored centroids AND
+    the stored residual codebooks. Before retrain the drifted half's
+    reconstruction (centroid + decoded residual vs the true vector) is
+    poor; after retrain the mean reconstruction cosine over ALL rows
+    must rise, and the drift report must show a real centroid shift."""
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_retrain_index,
+        ivfpq_upsert_index,
+        load_ivfpq_artifacts,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    drifted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    path = str(tmp_path / "drift")
+    ivfpq_build_index(emb, path, n_clusters=8)
+    ivfpq_upsert_index(spark, path, drifted)
+    grown = emb.unionByName(drifted)
+
+    def mean_recon_cos() -> float:
+        cents, books = load_ivfpq_artifacts(spark, path)
+        m, _k, dsub = books.shape
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in grown.collect()
+        }
+        coss = []
+        for r in spark.read.parquet(f"{path}/codes").collect():
+            v = vecs[r.vec_id]
+            v = v / np.linalg.norm(v)
+            recon = cents[r.cluster_id] + np.concatenate(
+                [books[s][r.codes[s]] for s in range(m)]
+            )
+            coss.append(
+                float(v @ recon) / float(np.linalg.norm(recon))
+            )
+        return float(np.mean(coss))
+
+    before = mean_recon_cos()
+    report = ivfpq_retrain_index(spark, path, grown, n_clusters=8)
+    after = mean_recon_cos()
+    assert after > before  # encode quality restored
+    assert report["centroid_shift_max"] > 0.05  # drift was real and seen
+    assert report["n_codes"] == emb.count() * 2
+
+
+def test_ivfpq_retrain_guards(spark, tmp_path):
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_retrain_index,
+    )
+
+    emb = _emb(spark)
+    # remote scheme refused before any work
+    with pytest.raises(NotImplementedError, match="s3a"):
+        ivfpq_retrain_index(spark, "s3a://b/ivfpq", emb)
+    # wrong corpus (not the store's logical content) fails loudly
+    path = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="logical content"):
+        ivfpq_retrain_index(spark, path, emb.where(F.col("vec_id") % 2 == 0))

@@ -122,6 +122,12 @@ ALLOWED = {
         "multiset balance, mean reconstruction cosine) — the scalar "
         "fold-in shape",
     ),
+    "q_llm_ivfpq_retrain": (
+        "BroadcastNestedLoopJoin",
+        "1-row × 1-row cross of the two invariant aggregates (codes "
+        "multiset balance, centroid+codebook multiset balance) — the "
+        "scalar fold-in shape; both sides are single-row aggregates",
+    ),
     "q_llm_token_len_hist": (
         "BroadcastNestedLoopJoin",
         "1-row share normalizer crossed onto pre-bucketed rows; the "
@@ -342,6 +348,17 @@ MATERIALIZE_ALLOWED = {
         "O(n_clusters) centroid rows (≤ 16 at the defaults) — the "
         "codebooks half delegates to the already-waived load_codebooks "
         "(r10)"
+    ),
+    "operators/quantization.py:ivfpq_retrain_index:collect": (
+        "two O(n_clusters)-bounded occupancy pulls (≤ 16 rows each, "
+        "engine-side count aggregate) for the drift report — the "
+        "retrain itself is one distributed encode pass + a partitioned "
+        "write (r10)"
+    ),
+    "operators/quantization.py:ivfpq_retrain_index:toPandas": (
+        "bounded deterministic training sample (orderBy(id).limit — "
+        "≤ sample_rows rows) for the residual codebook k-means, same "
+        "discipline as the build (r10)"
     ),
     "operators/quantization.py:ivfpq_delete_index:collect": (
         "two affected-cluster combo pulls, ≤ n_clusters distinct rows "

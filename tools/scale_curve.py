@@ -232,6 +232,8 @@ DEFAULT_KEYS = [
     # keys add the brute/re-encode truth sides
     "ann_ivfpq_query_fixed", "ann_ivfpq_upsert_fixed",
     "q_llm_ivfpq_query", "q_llm_ivfpq_upsert",
+    # r10c retrain side: linear periodic op on a throwaway store copy
+    "ann_ivfpq_retrain", "q_llm_ivfpq_retrain",
 ]
 
 
@@ -619,6 +621,46 @@ def _probe_ivfpq_query_fixed(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_results"))
 
 
+def _prepare_ivfpq_retrain_copy(spark, sf):
+    # UNTIMED: retrain is measured on a THROWAWAY copy of the fixture
+    # store — on the pristine fixture the deterministic sample would
+    # make it the identity, but an earlier upsert probe in the same run
+    # may have minted rows into the fixture, and retraining THAT in
+    # place would permanently shift the fixture's artifacts (the
+    # fingerprint guard can't see content drift under an unchanged
+    # source). The copy inherits any minted rows; the probe's corpus
+    # includes them too, so the count guard holds in every probe order.
+    import shutil
+
+    _prepare_ivfpq_index(spark, sf)
+    dst = str(REPO / ".scale" / "ivfpq_retrain_scratch" / Path(sf).name)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(_ivfpq_index_path(sf), dst)
+
+
+def _probe_ivfpq_retrain(spark, sf):
+    # the PERIODIC op for the compressed tier (r10): re-learn centroids
+    # + residual codebooks on the corpus (read once from the
+    # full-precision cold tier — the documented cost of storing codes
+    # only) and re-encode in one linear Arrow pass + atomic swap.
+    # Expected curve: ~linear, the same law as ann_ivf_retrain.
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_retrain_index,
+    )
+
+    corpus = _embeddings(spark, sf)
+    for kind, s, off in _MINTED:
+        if kind == "ivfpq" and s == sf:
+            corpus = corpus.unionByName(_lsh_batch(spark, sf, off))
+    ivfpq_retrain_index(
+        spark,
+        str(REPO / ".scale" / "ivfpq_retrain_scratch" / Path(sf).name),
+        corpus,
+    )
+    return None
+
+
 def _probe_ivfpq_upsert_fixed(spark, sf):
     # compressed-tier maintenance cost (r10): upsert a FIXED 64-vector
     # batch — one Arrow assign+encode pass over the batch + appends
@@ -659,6 +701,7 @@ COMPONENT_PROBES = {
     "pq_query_fixed": (_prepare_pq_index, _probe_pq_query_fixed),
     "ann_ivfpq_query_fixed": (_prepare_ivfpq_index, _probe_ivfpq_query_fixed),
     "ann_ivfpq_upsert_fixed": (_prepare_ivfpq_index, _probe_ivfpq_upsert_fixed),
+    "ann_ivfpq_retrain": (_prepare_ivfpq_retrain_copy, _probe_ivfpq_retrain),
 }
 
 
