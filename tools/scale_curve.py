@@ -621,42 +621,48 @@ def _probe_ivfpq_query_fixed(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_results"))
 
 
-def _prepare_ivfpq_retrain_copy(spark, sf):
-    # UNTIMED: retrain is measured on a THROWAWAY copy of the fixture
-    # store — on the pristine fixture the deterministic sample would
-    # make it the identity, but an earlier upsert probe in the same run
-    # may have minted rows into the fixture, and retraining THAT in
-    # place would permanently shift the fixture's artifacts (the
-    # fingerprint guard can't see content drift under an unchanged
-    # source). The copy inherits any minted rows; the probe's corpus
-    # includes them too, so the count guard holds in every probe order.
-    import shutil
+def _ivfpq_retrain_scratch_path(sf: str) -> str:
+    return str(REPO / ".scale" / "ivfpq_retrain_scratch" / Path(sf).name)
 
-    _prepare_ivfpq_index(spark, sf)
-    dst = str(REPO / ".scale" / "ivfpq_retrain_scratch" / Path(sf).name)
-    if os.path.isdir(dst):
-        shutil.rmtree(dst)
-    shutil.copytree(_ivfpq_index_path(sf), dst)
+
+def _prepare_ivfpq_retrain_copy(spark, sf):
+    # UNTIMED: retrain is measured against its OWN store, built fresh
+    # from the source embeddings (fingerprint-guarded like every other
+    # fixture) — NOT the shared query/upsert fixture, which may carry
+    # minted upsert residue (from this run, or from a crashed prior run
+    # whose end-of-run cleanup never fired) that would trip retrain's
+    # corpus-count guard. A dedicated store keeps corpus == store
+    # content true by construction, in every probe order.
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+    from flink_quickstart_spark.operators.quantization import ivfpq_build_index
+
+    src = str(Path(sf) / "embeddings.parquet")
+    _ensure_index(
+        lambda: ivfpq_build_index(
+            _embeddings(spark, sf), _ivfpq_retrain_scratch_path(sf),
+            n_clusters=16,
+        ),
+        _ivfpq_retrain_scratch_path(sf),
+        src,
+        "codebooks",
+    )
 
 
 def _probe_ivfpq_retrain(spark, sf):
     # the PERIODIC op for the compressed tier (r10): re-learn centroids
     # + residual codebooks on the corpus (read once from the
     # full-precision cold tier — the documented cost of storing codes
-    # only) and re-encode in one linear Arrow pass + atomic swap.
+    # only) and re-encode in one linear Arrow pass + atomic swap. On
+    # this pristine store the deterministic sample reproduces the
+    # build's own artifacts, so the op is semantically the identity —
+    # full retrain cost measured, store unchanged, probe re-runnable.
     # Expected curve: ~linear, the same law as ann_ivf_retrain.
     from flink_quickstart_spark.operators.quantization import (
         ivfpq_retrain_index,
     )
 
-    corpus = _embeddings(spark, sf)
-    for kind, s, off in _MINTED:
-        if kind == "ivfpq" and s == sf:
-            corpus = corpus.unionByName(_lsh_batch(spark, sf, off))
     ivfpq_retrain_index(
-        spark,
-        str(REPO / ".scale" / "ivfpq_retrain_scratch" / Path(sf).name),
-        corpus,
+        spark, _ivfpq_retrain_scratch_path(sf), _embeddings(spark, sf)
     )
     return None
 
