@@ -396,15 +396,25 @@ def _ivfpq_encode_df(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<smallint>, cluster_id) — assign each vector to
-    its nearest stored centroid (cosine argmax, the
-    :func:`~.similarity._assign_members_df` metric) and PQ-encode its
-    RESIDUAL against the stored codebooks, in one Arrow-batched
-    map-only pass. Deterministic given (centroids, codebooks)."""
+    """(id, codes array<smallint>, [extra metadata cols], cluster_id) —
+    assign each vector to its nearest stored centroid (cosine argmax,
+    the :func:`~.similarity._assign_members_df` metric) and PQ-encode
+    its RESIDUAL against the stored codebooks, in one Arrow-batched
+    map-only pass. Deterministic given (centroids, codebooks).
+
+    ``extra_cols`` are metadata columns of ``df`` carried through into
+    the codes store verbatim — the filtered-ANN substrate: a query-time
+    predicate over them is a pushed-down columnar filter on the codes
+    scan (zero shuffle, zero side lookups), the FAISS-IDSelector
+    semantics at parquet-scan cost."""
     m, _k, dsub = codebooks.shape
     bc = df.sparkSession.sparkContext.broadcast((centroids, codebooks))
     id_t = df.schema[id_col].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents, books = bc.value
@@ -418,13 +428,25 @@ def _ivfpq_encode_df(
                 sub = resid[:, s * dsub : (s + 1) * dsub]
                 d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = np.argmin(d2, axis=1).astype(np.int16)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes), "cluster_id": cl}
-            )
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["cluster_id"] = cl
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} {id_t}, codes array<smallint>, cluster_id int"
+    return df.select(id_col, vec_col, *extra_cols).mapInPandas(
+        encode,
+        f"{id_col} {id_t}, codes array<smallint>{extra_schema}, cluster_id int",
     )
+
+
+def _store_extra_cols(spark, path: str, id_col: str) -> tuple[str, ...]:
+    """The metadata columns a codes store carries (everything beyond
+    id/codes/cluster_id) — read from the store's own schema so upsert,
+    delete and retrain stay schema-faithful without the caller
+    re-declaring them."""
+    cols = spark.read.parquet(f"{path}/codes").columns
+    return tuple(c for c in cols if c not in (id_col, "codes", "cluster_id"))
 
 
 def ivfpq_build_index(
@@ -439,12 +461,16 @@ def ivfpq_build_index(
     kmeans_iters: int = 5,
     sample_rows: int = 20_000,
     pq_iters: int = 10,
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Materialize the pruned+compressed search form:
 
-    - ``{path}/codes`` — (id, codes array<smallint>) PARTITIONED BY
-      cluster_id: the IVF layout over the PQ payload, so a probe reads
-      n_probe/n_clusters of the directories and m bytes per vector;
+    - ``{path}/codes`` — (id, codes array<smallint>, [extra_cols])
+      PARTITIONED BY cluster_id: the IVF layout over the PQ payload, so
+      a probe reads n_probe/n_clusters of the directories and m bytes
+      per vector; ``extra_cols`` (metadata columns of ``df``, e.g.
+      lang/source) ride along for filtered ANN — a query `where` over
+      them is a pushed-down columnar predicate on this scan;
     - ``{path}/centroids`` — the IVF centroid table (same format as
       :func:`~.similarity.ivf_build_index`);
     - ``{path}/codebooks`` — the residual PQ codebooks (same format as
@@ -469,7 +495,7 @@ def ivfpq_build_index(
         resid, m, k, seed, pq_iters, "ivfpq_build_index"
     )
     (
-        _ivfpq_encode_df(df, centroids, books, id_col, vec_col)
+        _ivfpq_encode_df(df, centroids, books, id_col, vec_col, extra_cols)
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
@@ -511,6 +537,7 @@ def ivfpq_query_index(
     max_broadcast_bytes: int = DEFAULT_BROADCAST_BUDGET_BYTES,
     shortlist: int | None = 32,
     vectors: DataFrame | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Pruned + compressed ANN: assign each query its ``n_probe``
     nearest stored centroids driver-side (the query batch is already a
@@ -522,6 +549,15 @@ def ivfpq_query_index(
     per-partition shortlist, merge with one bounded window, and
     exact-re-rank the shortlist from the full-precision table
     (:func:`_exact_rerank` — point-fetch, the corpus is never shuffled).
+
+    ``where`` is FILTERED ANN (the FAISS IDSelector semantics, at
+    parquet-scan cost): a SQL predicate over the store's metadata
+    columns (``extra_cols`` at build time, e.g. ``"lang = 'en'"``)
+    applied to the codes scan BEFORE scoring — PRE-filtering, so the
+    top-k is exact over the eligible subset (post-filtering a fixed
+    top-k would under-fill whenever the filter is selective). The
+    predicate pushes down to the parquet scan (row-group stats +
+    column pruning); no side lookup, no shuffle.
 
     Self-matches excluded; ties broken by (sim desc, nbr id asc) —
     deterministic. ``shortlist=None`` returns raw ADC top-k (no re-rank,
@@ -548,6 +584,9 @@ def ivfpq_query_index(
     codes = spark.read.parquet(f"{path}/codes").where(
         F.col("cluster_id").isin(probed)
     )
+    if where is not None:
+        codes = codes.where(where)
+    codes = codes.select(id_col, "codes", "cluster_id")
     cut = shortlist if shortlist else k
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -620,8 +659,9 @@ def ivfpq_upsert_index(
 
     with store_writer_lease(path, "ivfpq_upsert_index"):
         cents, books = load_ivfpq_artifacts(spark, path)
+        extras = _store_extra_cols(spark, path, id_col)
         (
-            _ivfpq_encode_df(new_df, cents, books, id_col, vec_col)
+            _ivfpq_encode_df(new_df, cents, books, id_col, vec_col, extras)
             .write.mode("append")
             .partitionBy("cluster_id")
             .parquet(f"{path}/codes")
@@ -669,6 +709,7 @@ def ivfpq_delete_index(
             ]
             if not clusters:
                 return
+            extras = _store_extra_cols(spark, path, id_col)
             survivors = (
                 spark.read.parquet(f"{path}/codes")
                 .where(F.col("cluster_id").isin(clusters))
@@ -677,7 +718,7 @@ def ivfpq_delete_index(
                     F.col(id_col) == F.col("_del_id"),
                     "left_anti",
                 )
-                .select(id_col, "codes", "cluster_id")
+                .select(id_col, "codes", *extras, "cluster_id")
                 .localCheckpoint(eager=True)
             )
             try:
@@ -804,8 +845,11 @@ def ivfpq_retrain_index(
         for d in staging.values():
             if os.path.isdir(d):
                 shutil.rmtree(d)  # residue of a crashed prior retrain
+        extras = _store_extra_cols(spark, path, id_col)
         (
-            _ivfpq_encode_df(corpus, new_cents, new_books, id_col, vec_col)
+            _ivfpq_encode_df(
+                corpus, new_cents, new_books, id_col, vec_col, extras
+            )
             .write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(staging["codes"])

@@ -566,3 +566,85 @@ def q_llm_ivfpq_retrain(spark, sf_dir):
     ).select("artifacts_eq_rebuild")
     # 1-row × 1-row fold-in (the repo's accepted scalar-combine shape)
     return codes_eq.crossJoin(arts_eq)
+
+
+@register(
+    "q_llm_ivfpq_filtered",
+    # Recall contract for FILTERED ANN (the FAISS-IDSelector semantics
+    # at parquet-scan cost): top-3 among lang='en' vectors only, via a
+    # metadata predicate pushed down onto the compressed codes scan —
+    # must recover ≥ 0.5 of the exact brute-force top-3 over the same
+    # eligible subset. Measured 0.73 at sf0.001 / 0.71 at sf0.01 at
+    # n_probe=6 (the filter thins eligible candidates per probed
+    # cluster, so the filtered tier buys margin with two extra probes —
+    # still reading 6/16 of the partitions at 1/16th the bytes).
+    # PRE-filtering semantics: the predicate applies BEFORE scoring, so
+    # the top-k is exact over the eligible subset — post-filtering a
+    # fixed top-k would under-fill wherever the filter is selective.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    tags=("batch", "llm", "similarity", "approx", "compression"),
+)
+def q_llm_ivfpq_filtered(spark, sf_dir):
+    """K4i (r10, filtered side): metadata-filtered ANN over the
+    pruned+compressed store — "nearest neighbors among lang='en' docs"
+    is the production retrieval shape (corpus filtering by language,
+    license, source, date is the rule, not the exception). The store
+    carries the metadata columns IN the codes partitions
+    (extra_cols at build — operators/quantization._ivfpq_encode_df), so
+    the filter is a pushed-down columnar predicate on the already
+    partition-pruned codes scan: zero shuffle, zero side lookups, and
+    upsert/delete/retrain carry the columns through automatically
+    (schema-faithful via _store_extra_cols). The brute tier over the
+    eligible subset is the oracle's truth machinery (q_llm_knn's waiver
+    class); the production path is the filtered compressed scan."""
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        brute_knn,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    docs = t.documents.select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    path = _scratch("ivfpq_index_meta", sf_name)
+    _ensure_index(
+        lambda: ivfpq_build_index(
+            t.embeddings.join(docs, "vec_id"),
+            path,
+            n_clusters=16,
+            extra_cols=("lang", "source"),
+        ),
+        path,
+        src,
+        "codebooks",
+    )
+    # left-semi keeps Catalyst stats at the scan's footer size (an
+    # inner join's sizeInBytes product would trip the broadcast budget
+    # estimator on a driver-sized subset)
+    en = t.embeddings.join(
+        docs.where(F.col("lang") == "en").select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    brute = brute_knn(en, k=3).select("query_id", "nbr_id")
+    got = ivfpq_query_index(
+        spark, path, en, k=3, n_probe=6, shortlist=32,
+        vectors=t.embeddings, where="lang = 'en'",
+    ).select("query_id", "nbr_id", F.lit(1).alias("hit"))
+    return brute.join(got, ["query_id", "nbr_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.5
+        ).alias("recall_ok"),
+    )

@@ -278,3 +278,83 @@ def test_ivfpq_retrain_guards(spark, tmp_path):
     path = _build(spark, tmp_path)
     with pytest.raises(ValueError, match="logical content"):
         ivfpq_retrain_index(spark, path, emb.where(F.col("vec_id") % 2 == 0))
+
+
+def _docs_meta(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+
+
+def test_ivfpq_filtered_prefilter_exact_within_probes(spark, tmp_path):
+    """Filtered ANN is PRE-filtering: for every query (filtered or
+    not), the re-ranked top-k equals the exact cosine top-k over
+    (probed clusters ∩ eligible rows) — numpy reference. Pinned with
+    ALL vectors as queries while only lang='en' rows are eligible, so
+    the test also covers queries that are themselves ineligible."""
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+        load_ivfpq_artifacts,
+    )
+
+    emb = _emb(spark)
+    meta = emb.join(_docs_meta(spark), "vec_id")
+    path = str(tmp_path / "ivfpq_meta")
+    ivfpq_build_index(meta, path, n_clusters=16, extra_cols=("lang", "source"))
+    k, n_probe = 3, 4
+    got = {
+        (r.query_id, r.rank): r.nbr_id
+        for r in ivfpq_query_index(
+            spark, path, emb, k=k, n_probe=n_probe, shortlist=32,
+            vectors=emb, where="lang = 'en'",
+        ).collect()
+    }
+    cents, _books = load_ivfpq_artifacts(spark, path)
+    pdf = meta.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    eligible = (pdf["lang"] == "en").to_numpy()
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    clus = np.argmax(vn @ cents.T, axis=1)
+    probes = np.argsort(-(vn @ cents.T), axis=1)[:, :n_probe]
+    sims = vn @ vn.T
+    n_checked = 0
+    for i, qid in enumerate(ids):
+        ok = np.isin(clus, probes[i]) & eligible & (ids != qid)
+        s = np.where(ok, sims[i], -np.inf)
+        top = np.lexsort((ids, -s))[:k]
+        for rank, t in enumerate(top, start=1):
+            if s[t] == -np.inf:
+                break
+            assert got[(qid, rank)] == ids[t]
+            n_checked += 1
+    assert n_checked > len(ids)  # the reference actually produced ranks
+
+
+def test_ivfpq_metadata_survives_the_lifecycle(spark, tmp_path):
+    """extra_cols are schema-faithful through upsert, delete and
+    retrain (auto-carried via _store_extra_cols): after all three, the
+    store's (id → lang, source) mapping equals the source metadata."""
+    from flink_quickstart_spark.operators.quantization import (
+        ivfpq_build_index,
+        ivfpq_delete_index,
+        ivfpq_retrain_index,
+        ivfpq_upsert_index,
+    )
+
+    emb = _emb(spark)
+    meta = emb.join(_docs_meta(spark), "vec_id")
+    path = str(tmp_path / "ivfpq_meta")
+    base = meta.where(F.col("vec_id") % 10 != 0)
+    batch = meta.where(F.col("vec_id") % 10 == 0)
+    ivfpq_build_index(base, path, n_clusters=16, extra_cols=("lang", "source"))
+    ivfpq_upsert_index(spark, path, batch)
+    ivfpq_delete_index(spark, path, meta.where(F.col("vec_id") % 7 == 0))
+    remaining = meta.where(F.col("vec_id") % 7 != 0)
+    ivfpq_retrain_index(spark, path, remaining)
+    got = _multiset(
+        spark.read.parquet(f"{path}/codes"), ["vec_id", "lang", "source"]
+    )
+    want = _multiset(remaining, ["vec_id", "lang", "source"])
+    assert got == want

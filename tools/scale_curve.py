@@ -80,6 +80,15 @@ DOCUMENTED_SUPERLINEAR = {
         "partitions × 1/16th of the bytes — is measured by "
         "ann_ivfpq_query_fixed and must stay ~linear-or-better"
     ),
+    "q_llm_ivfpq_filtered": (
+        "SELF-JOIN-shaped by construction (the q_llm_ann_ivf law): the "
+        "contract key computes brute-force truth over the eligible "
+        "subset AND runs every eligible vector as a query, so pair "
+        "work is Θ(n²). The production shape — fixed query batch, "
+        "metadata predicate pushed down onto the pruned compressed "
+        "scan — is measured by ann_ivfpq_filtered_fixed and must stay "
+        "~linear-or-better"
+    ),
     "q_text_fuzzy_match": (
         "OUTPUT-bound: the matching-pair count itself grows "
         "superlinearly in this name distribution (165× rows for 10× "
@@ -234,6 +243,9 @@ DEFAULT_KEYS = [
     "q_llm_ivfpq_query", "q_llm_ivfpq_upsert",
     # r10c retrain side: linear periodic op on a throwaway store copy
     "ann_ivfpq_retrain", "q_llm_ivfpq_retrain",
+    # r10d filtered ANN: metadata predicate pushed down onto the pruned
+    # compressed scan (contract key quadratic by its brute truth side)
+    "ann_ivfpq_filtered_fixed", "q_llm_ivfpq_filtered",
 ]
 
 
@@ -683,6 +695,47 @@ def _probe_ivfpq_upsert_fixed(spark, sf):
     return None
 
 
+def _ivfpq_meta_index_path(sf: str) -> str:
+    return str(REPO / ".scale" / "ivfpq_meta_index" / Path(sf).name)
+
+
+def _prepare_ivfpq_meta_index(spark, sf):
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+    from flink_quickstart_spark.operators.quantization import ivfpq_build_index
+
+    docs = spark.read.parquet(str(Path(sf) / "documents.parquet")).select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    src = str(Path(sf) / "embeddings.parquet")
+    _ensure_index(
+        lambda: ivfpq_build_index(
+            _embeddings(spark, sf).join(docs, "vec_id"),
+            _ivfpq_meta_index_path(sf),
+            n_clusters=16,
+            extra_cols=("lang", "source"),
+        ),
+        _ivfpq_meta_index_path(sf),
+        src,
+        "codebooks",
+    )
+
+
+def _probe_ivfpq_filtered_fixed(spark, sf):
+    # filtered-ANN production shape (r10): a FIXED 64-query batch with
+    # a metadata predicate (lang='en') pushed down onto the pruned
+    # compressed scan — same cost law as ann_ivfpq_query_fixed at
+    # n_probe=6 (the filtered tier's calibrated probe budget), the
+    # filter only SHRINKS the scanned rows.
+    from flink_quickstart_spark.operators.quantization import ivfpq_query_index
+
+    emb = _embeddings(spark, sf)
+    queries = emb.orderBy("vec_id").limit(64)
+    return ivfpq_query_index(
+        spark, _ivfpq_meta_index_path(sf), queries, k=3, n_probe=6,
+        shortlist=32, vectors=emb, where="lang = 'en'",
+    ).agg(F.count(F.lit(1)).alias("n_results"))
+
+
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
@@ -708,6 +761,10 @@ COMPONENT_PROBES = {
     "ann_ivfpq_query_fixed": (_prepare_ivfpq_index, _probe_ivfpq_query_fixed),
     "ann_ivfpq_upsert_fixed": (_prepare_ivfpq_index, _probe_ivfpq_upsert_fixed),
     "ann_ivfpq_retrain": (_prepare_ivfpq_retrain_copy, _probe_ivfpq_retrain),
+    "ann_ivfpq_filtered_fixed": (
+        _prepare_ivfpq_meta_index,
+        _probe_ivfpq_filtered_fixed,
+    ),
 }
 
 
