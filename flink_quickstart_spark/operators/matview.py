@@ -1,0 +1,418 @@
+"""Incremental materialized-view maintenance for grouped aggregates.
+
+The aggregate analog of the persisted-index lifecycle (K2g/K4e/K4f):
+a 100 TB deployment serves dashboards and feature lookups from
+pre-aggregated GROUP BY results, and recomputing the full groupBy on
+every daily 0.1% ingest re-scans the corpus for no reason. This module
+persists the grouped aggregate as a *partial-aggregate state store* —
+one row per group holding the mergeable partials (count, sum, min,
+max; avg as sum+count), Hive-partitioned by a hash bucket of the group
+key — and maintains it with batch-priced deltas:
+
+- :func:`mv_build` — one full groupBy (the only corpus-scale pass).
+- :func:`mv_refresh` — INSERT maintenance: partial-aggregate the batch
+  alone (map-side combinable, one small shuffle), read ONLY the hash
+  buckets its groups land in (static partition prune on ``_gmod``),
+  merge partials group-wise, dynamic-partition-overwrite the touched
+  buckets. Cost ∝ batch + rows in touched buckets, never the corpus.
+- :func:`mv_retract` — DELETE maintenance. count/sum/avg are
+  subtractable, so a pure delta (negated partials) suffices; min/max
+  are NOT algebraically subtractable (the deleted row may have been
+  the extremum), so a spec containing them recomputes the AFFECTED
+  GROUPS from the post-delete source — one source pass whose shuffle
+  carries only the affected groups' rows, the textbook non-subtractable
+  retraction strategy. Either way untouched buckets are never opened.
+- :func:`mv_read` — finalize partials into user-facing values
+  (a bucket-pruned point lookup when ``where`` is provided).
+
+Every mutation runs under the store writer lease
+(operators/maintenance.store_writer_lease) — dynamic overwrite races
+silently under concurrency — and the refresh == rebuild / retract ==
+rebuild-on-complement row-identity contracts are pinned in
+tests/test_matview_r10.py. Distinct-count is deliberately rejected:
+it is not mergeable from partials without a sketch — that workload is
+q_agg_hll_rollup's (HLL sketch rollup), and the error says so.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_quickstart_spark.operators.iterative import _release
+from flink_quickstart_spark.operators.maintenance import (
+    require_local_path,
+    store_writer_lease,
+)
+
+# Aggregate ops the partial-state layout can merge. Each maps the user
+# spec to (partial expr, merge expr, subtractable?).
+_SUBTRACTABLE = {"count", "sum", "avg"}
+_SUPPORTED = {"count", "sum", "min", "max", "avg"}
+
+# Internal bookkeeping column: per-group row count. Always stored —
+# retraction uses it to detect vanished groups (cnt hits 0) and
+# over-retraction (cnt goes negative: retracting rows never inserted).
+_CNT = "_cnt"
+
+
+def _validate_spec(aggs: list[tuple[str, str, str]]) -> None:
+    for op, col, alias in aggs:
+        if op not in _SUPPORTED:
+            hint = (
+                " Distinct-count is not mergeable from partials without a "
+                "sketch — use the HLL sketch rollup (q_agg_hll_rollup) for "
+                "that workload."
+                if op in ("countdistinct", "count_distinct", "approx_count_distinct")
+                else ""
+            )
+            raise ValueError(
+                f"matview: unsupported aggregate {op!r} (of {alias!r}); "
+                f"supported: {sorted(_SUPPORTED)}.{hint}"
+            )
+        if op != "count" and col == "*":
+            raise ValueError(f"matview: {op}('*') is not meaningful (alias {alias!r})")
+
+
+def _partial_exprs(aggs: list[tuple[str, str, str]]) -> list:
+    """Partial-aggregate expressions for one groupBy over RAW rows."""
+    out = [F.count(F.lit(1)).cast("bigint").alias(_CNT)]
+    for op, col, alias in aggs:
+        if op == "count":
+            src = F.lit(1) if col == "*" else F.col(col)
+            out.append(F.count(src).cast("bigint").alias(alias))
+        elif op == "sum":
+            out.append(F.sum(col).alias(alias))
+        elif op == "min":
+            out.append(F.min(col).alias(alias))
+        elif op == "max":
+            out.append(F.max(col).alias(alias))
+        elif op == "avg":
+            out.append(F.sum(col).alias(f"{alias}__sum"))
+            out.append(F.count(col).cast("bigint").alias(f"{alias}__cnt"))
+    return out
+
+
+def _merge_exprs(aggs: list[tuple[str, str, str]]) -> list:
+    """Re-aggregate expressions merging PARTIAL rows of the same group."""
+    out = [F.sum(_CNT).cast("bigint").alias(_CNT)]
+    for op, col, alias in aggs:
+        if op in ("count", "sum"):
+            expr = F.sum(alias)
+            out.append((expr.cast("bigint") if op == "count" else expr).alias(alias))
+        elif op == "min":
+            out.append(F.min(alias).alias(alias))
+        elif op == "max":
+            out.append(F.max(alias).alias(alias))
+        elif op == "avg":
+            out.append(F.sum(f"{alias}__sum").alias(f"{alias}__sum"))
+            out.append(F.sum(f"{alias}__cnt").cast("bigint").alias(f"{alias}__cnt"))
+    return out
+
+
+def _with_gmod(df: DataFrame, group_cols: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "_gmod", F.pmod(F.xxhash64(*group_cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _partials(
+    df: DataFrame, group_cols: list[str], aggs, n_buckets: int
+) -> DataFrame:
+    return _with_gmod(
+        df.groupBy(*group_cols).agg(*_partial_exprs(aggs)), group_cols, n_buckets
+    )
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta.json")
+
+
+def _read_meta(path: str) -> dict:
+    with open(_meta_path(path)) as fh:
+        return json.load(fh)
+
+
+def _write_groups(df: DataFrame, path: str, group_cols: list[str]) -> None:
+    (
+        df.repartition("_gmod")
+        .sortWithinPartitions("_gmod", *group_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_gmod")
+        .parquet(os.path.join(path, "groups"))
+    )
+
+
+def mv_build(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    n_buckets: int = 32,
+) -> None:
+    """Materialize ``df.groupBy(group_cols).agg(aggs)`` as a partial
+    state store at ``path`` — the one corpus-scale pass of the MV's
+    life. ``aggs`` is ``[(op, col, alias), ...]`` with op in
+    {count, sum, min, max, avg} (count accepts col='*'). The group rows
+    are partitioned by ``_gmod = pmod(xxhash64(group_cols), n_buckets)``
+    so later deltas prune to the buckets their groups hash into; size
+    n_buckets so one bucket's groups fit an executor (at 1e9 groups and
+    4096 buckets, ~250k group rows per bucket — a broadcast-sized
+    merge side against any daily batch)."""
+    aggs = [tuple(a) for a in aggs]
+    _validate_spec(aggs)
+    # meta.json + the emptied-bucket drops are filesystem-level — fail
+    # loudly on remote URI schemes rather than silently misbehave.
+    require_local_path(path, "mv_build")
+    with store_writer_lease(path, "mv_build"):
+        parts = _partials(df, group_cols, aggs, n_buckets)
+        parts.repartition("_gmod").sortWithinPartitions(
+            "_gmod", *group_cols
+        ).write.mode("overwrite").partitionBy("_gmod").parquet(
+            os.path.join(path, "groups")
+        )
+        tmp = _meta_path(path) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "group_cols": list(group_cols),
+                    "aggs": [list(a) for a in aggs],
+                    "n_buckets": int(n_buckets),
+                },
+                fh,
+            )
+        os.replace(tmp, _meta_path(path))
+
+
+def _affected_buckets(parts: DataFrame) -> list[int]:
+    # ≤ n_buckets distinct values by construction — a driver pull that
+    # is bounded by the LAYOUT, not the batch (unlike the index ops'
+    # combo collects, no budget guard is needed: the bucket-id space IS
+    # the cap).
+    return [int(r._gmod) for r in parts.select("_gmod").distinct().collect()]
+
+
+def mv_refresh(spark, path: str, batch_df: DataFrame) -> dict:
+    """INSERT maintenance: merge a batch of NEW source rows into the
+    store. Partial-aggregates the batch alone (map-side combine does
+    most of the work before the one small shuffle), statically prunes
+    the store scan to the batch's ``_gmod`` buckets, merges partials
+    group-wise (count/sum/avg add; min/max take the extremum — both
+    exact for inserts), and dynamic-overwrites only those buckets.
+    Returns {'buckets_touched', 'groups_in_batch'}.
+
+    The batch must be NEW rows (not corrections): re-refreshing the
+    same rows double-counts — the same append-only contract as
+    minhash_upsert_store; use :func:`mv_retract` + refresh for updates.
+    refresh == rebuild-on-union row identity is pinned in
+    tests/test_matview_r10.py."""
+    meta = _read_meta(path)
+    group_cols, aggs, n_buckets = (
+        meta["group_cols"],
+        [tuple(a) for a in meta["aggs"]],
+        meta["n_buckets"],
+    )
+    with store_writer_lease(path, "mv_refresh"):
+        batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
+        batch_parts = batch_parts.localCheckpoint(eager=True)
+        try:
+            buckets = _affected_buckets(batch_parts)
+            if not buckets:
+                return {"buckets_touched": 0, "groups_in_batch": 0}
+            groups_dir = os.path.join(path, "groups")
+            store_sub = spark.read.parquet(groups_dir).where(
+                F.col("_gmod").isin(buckets)
+            )
+            merged = (
+                store_sub.unionByName(batch_parts)
+                .groupBy("_gmod", *group_cols)
+                .agg(*_merge_exprs(aggs))
+            )
+            _write_groups(merged, path, group_cols)
+            return {
+                "buckets_touched": len(buckets),
+                "groups_in_batch": batch_parts.count(),
+            }
+        finally:
+            _release(batch_parts)
+
+
+def mv_retract(
+    spark, path: str, batch_df: DataFrame, source_df: DataFrame | None = None
+) -> dict:
+    """DELETE maintenance: remove a batch of PREVIOUSLY-INSERTED rows'
+    contribution. With an all-subtractable spec (count/sum/avg) the op
+    is a pure delta — negate the batch partials and merge, no source
+    access at all. A spec holding min/max cannot subtract (the deleted
+    row may have been the extremum), so ``source_df`` — the source AS
+    IT STANDS AFTER the delete — is required, and the affected groups
+    are recomputed from it: one source pass whose shuffle carries only
+    rows of the batch's groups (a group-key semi-join against the
+    batch's distinct groups), then the recomputed partials replace
+    those groups inside the pruned buckets. Groups whose last row was
+    deleted vanish from the store; emptied buckets drop their
+    partition directory (dynamic overwrite alone would leave stale
+    files — the same subtle bug the index deletes guard against).
+    Over-retraction (a batch row that was never inserted) drives a
+    group's count negative and raises — silent corruption is never an
+    outcome. Returns {'buckets_touched', 'groups_retracted'}."""
+    meta = _read_meta(path)
+    group_cols, aggs, n_buckets = (
+        meta["group_cols"],
+        [tuple(a) for a in meta["aggs"]],
+        meta["n_buckets"],
+    )
+    subtractable = all(op in _SUBTRACTABLE for op, _c, _a in aggs)
+    if not subtractable and source_df is None:
+        raise ValueError(
+            "mv_retract: the spec holds min/max, which are not "
+            "subtractable — pass source_df (the source after the "
+            "delete) so the affected groups can be recomputed, or "
+            "restrict the spec to count/sum/avg for delta-only "
+            "retraction."
+        )
+    with store_writer_lease(path, "mv_retract"):
+        batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
+        batch_parts = batch_parts.localCheckpoint(eager=True)
+        try:
+            buckets = _affected_buckets(batch_parts)
+            if not buckets:
+                return {"buckets_touched": 0, "groups_retracted": 0}
+            groups_dir = os.path.join(path, "groups")
+            store_sub = spark.read.parquet(groups_dir).where(
+                F.col("_gmod").isin(buckets)
+            )
+            if subtractable:
+                negated = batch_parts.select(
+                    "_gmod",
+                    *group_cols,
+                    *((-F.col(c)).alias(c) for c in _state_cols(aggs)),
+                )
+                merged = (
+                    store_sub.unionByName(negated)
+                    .groupBy("_gmod", *group_cols)
+                    .agg(*_merge_exprs(aggs))
+                )
+                merged = merged.localCheckpoint(eager=True)
+                try:
+                    bad = merged.where(F.col(_CNT) < 0).limit(1).count()
+                    if bad:
+                        raise ValueError(
+                            "mv_retract: batch retracts rows that were never "
+                            "inserted (a group's row count went negative); "
+                            "the store is unchanged."
+                        )
+                    survivors = merged.where(F.col(_CNT) > 0)
+                    n_gone = merged.where(F.col(_CNT) == 0).count()
+                    _write_and_drop(
+                        spark, path, survivors, buckets, group_cols
+                    )
+                finally:
+                    _release(merged)
+            else:
+                # Non-subtractable path: recompute the affected groups
+                # from the post-delete source. The semi-join keys are
+                # the batch's DISTINCT groups (already a DataFrame —
+                # stays distributed, no driver pull).
+                batch_groups = batch_parts.select(*group_cols).distinct()
+                recomputed = _partials(
+                    source_df.join(batch_groups, on=group_cols, how="left_semi"),
+                    group_cols,
+                    aggs,
+                    n_buckets,
+                )
+                untouched = store_sub.join(
+                    batch_groups, on=group_cols, how="left_anti"
+                )
+                n_gone = (
+                    batch_groups.count()
+                    - recomputed.count()
+                )
+                survivors = untouched.unionByName(recomputed)
+                _write_and_drop(spark, path, survivors, buckets, group_cols)
+            return {"buckets_touched": len(buckets), "groups_retracted": int(n_gone)}
+        finally:
+            _release(batch_parts)
+
+
+def _state_cols(aggs: list[tuple[str, str, str]]) -> list[str]:
+    """The mergeable state columns in store order (subtractable specs)."""
+    out = [_CNT]
+    for op, _col, alias in aggs:
+        if op == "avg":
+            out += [f"{alias}__sum", f"{alias}__cnt"]
+        else:
+            out.append(alias)
+    return out
+
+
+def _write_and_drop(
+    spark, path: str, survivors: DataFrame, buckets: list[int], group_cols: list[str]
+) -> None:
+    """Dynamic-overwrite the affected buckets with the surviving group
+    rows, then drop the partition directories of buckets left with ZERO
+    survivors (dynamic overwrite only replaces partitions present in
+    the written data — an emptied bucket would silently keep stale
+    files, the bug _drop_empty_partitions exists for)."""
+    from flink_quickstart_spark.operators.similarity import _drop_empty_partitions
+
+    survivors = survivors.localCheckpoint(eager=True)
+    try:
+        _write_groups(survivors, path, group_cols)
+        alive = {
+            (str(r._gmod),)
+            for r in survivors.select("_gmod").distinct().collect()
+        }
+        _drop_empty_partitions(
+            os.path.join(path, "groups"),
+            [(str(b),) for b in buckets],
+            alive,
+            ["_gmod"],
+        )
+    finally:
+        _release(survivors)
+
+
+def mv_read(spark, path: str, where=None) -> DataFrame:
+    """Finalize the store into the user-facing aggregate: group columns
+    plus one value per spec entry (avg divides its sum/count pair).
+    ``where`` (a Column predicate over the GROUP columns) is applied to
+    the scan — combined with a ``_gmod`` equality it prunes to one
+    bucket, the point-lookup path; without it this is a full (but
+    corpus-independent: one row per group) MV scan."""
+    meta = _read_meta(path)
+    aggs = [tuple(a) for a in meta["aggs"]]
+    df = spark.read.parquet(os.path.join(path, "groups"))
+    if where is not None:
+        df = df.where(where)
+    final = []
+    for op, _col, alias in aggs:
+        if op == "avg":
+            final.append(
+                (F.col(f"{alias}__sum") / F.col(f"{alias}__cnt")).alias(alias)
+            )
+        else:
+            final.append(F.col(alias))
+    return df.select(*meta["group_cols"], *final)
+
+
+def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
+    """OPTIMIZE for the MV store: fold each bucket's accumulated delta
+    files into one sorted file (sorted by the group key — restores
+    page-level min/max pruning for point lookups). Delegates to
+    operators/maintenance.compact_partitions under the writer lease;
+    ``max_files=N`` compacts only over-threshold buckets."""
+    from flink_quickstart_spark.operators.maintenance import compact_partitions
+
+    meta = _read_meta(path)
+    with store_writer_lease(path, "compact_mv"):
+        return compact_partitions(
+            spark,
+            os.path.join(path, "groups"),
+            ["_gmod"],
+            meta["group_cols"],
+            max_files=max_files,
+        )

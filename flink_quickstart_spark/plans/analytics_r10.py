@@ -648,3 +648,162 @@ def q_llm_ivfpq_filtered(spark, sf_dir):
             (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.5
         ).alias("recall_ok"),
     )
+
+
+@register(
+    "q_mv_incremental",
+    # TRUE VALUE oracle — not a contract boolean: the incrementally
+    # maintained store must finalize to exactly the aggregate DuckDB
+    # computes over the full source with one GROUP BY. Any merge bug
+    # (double-counted partial, missed bucket, stale min/max, avg
+    # finalized from mismatched sum/cnt pairs) changes real values.
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           round(min(o_totalprice), 2)   AS min_price,
+           round(max(o_totalprice), 2)   AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("batch", "agg", "matview", "index-maintenance"),
+)
+def q_mv_incremental(spark, sf_dir):
+    """D-ext (r10): INCREMENTAL MATERIALIZED-VIEW maintenance — the
+    aggregate analog of the K2g/K4e index lifecycle. A 100 TB
+    deployment serves its dashboards from a persisted GROUP BY; this
+    key builds the MV's partial-aggregate state store on 90% of orders
+    (operators/matview.mv_build — the one corpus-scale pass), then
+    folds in the remaining 10% as an ingest batch via mv_refresh:
+    partial-aggregate the BATCH alone, statically prune the store scan
+    to the batch's hash buckets (_gmod partition values), merge
+    partials group-wise, dynamic-overwrite only those buckets. Cost is
+    ∝ batch + touched buckets — the corpus is never rescanned. The
+    result is mv_read's finalized view, value-compared against a flat
+    GROUP BY over everything; refresh == rebuild row identity, bucket
+    prune (untouched files byte-identical) and the retract/compact
+    lifecycle are pinned in tests/test_matview_r10.py."""
+    from flink_quickstart_spark.operators.matview import (
+        mv_build,
+        mv_read,
+        mv_refresh,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    corpus = t.orders.where(F.col("o_orderkey") % 10 != 0)
+    batch = t.orders.where(F.col("o_orderkey") % 10 == 0)
+    path = _scratch("mv_orders_incr", sf_name)
+    spec = [
+        ("count", "*", "n_orders"),
+        ("sum", "o_totalprice", "sum_price"),
+        ("min", "o_totalprice", "min_price"),
+        ("max", "o_totalprice", "max_price"),
+        ("avg", "o_totalprice", "avg_price"),
+    ]
+    _ensure_index(
+        lambda: (
+            mv_build(corpus, path, ["o_custkey"], spec, n_buckets=32),
+            mv_refresh(spark, path, batch),
+        ),
+        path,
+        src,
+        "meta.json",
+    )
+    mv = mv_read(spark, path)
+    return mv.select(
+        "o_custkey",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        # avg is deliberately NOT in the hashed output: per-customer
+        # sums divided by small counts land on EXACT half-way points
+        # (e.g. 1287637.63 / 8 = 160954.70375) where Spark's HALF_UP
+        # decimal rounding and DuckDB's binary-double rounding disagree
+        # by one ulp of the last digit — an engine-rounding artifact,
+        # not a maintenance bug. sum+count (both hashed) determine avg
+        # exactly; the avg__sum/avg__cnt finalize path is pinned in
+        # tests/test_matview_r10.py.
+    )
+
+
+@register(
+    "q_mv_retract",
+    # TRUE VALUE oracle on the COMPLEMENT: after retracting the batch,
+    # the store must finalize to the aggregate over the remaining rows.
+    # The spec includes min/max, forcing the non-subtractable strategy
+    # (recompute affected groups from the post-delete source) — a
+    # deleted row that WAS the extremum must be replaced by the true
+    # runner-up, which no pure delta can produce.
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           round(min(o_totalprice), 2)   AS min_price,
+           round(max(o_totalprice), 2)   AS max_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    GROUP BY o_custkey
+    """,
+    tags=("batch", "agg", "matview", "index-maintenance"),
+)
+def q_mv_retract(spark, sf_dir):
+    """D-ext (r10): MV DELETE maintenance — retraction, the half of
+    incremental view maintenance inserts-only systems skip. count/sum/
+    avg subtract cleanly (pure delta, zero source access — that path
+    is pinned in tests/test_matview_r10.py); min/max do NOT (the
+    deleted row may have been the extremum), so this spec's retraction
+    recomputes the AFFECTED GROUPS from the post-delete source: one
+    pass whose shuffle carries only the batch's groups' rows (group-key
+    semi-join), replaced inside the pruned buckets, vanished groups
+    dropped (emptied bucket dirs removed — dynamic overwrite alone
+    would leave stale files). Over-retraction fails loudly instead of
+    corrupting silently."""
+    from flink_quickstart_spark.operators.matview import (
+        mv_build,
+        mv_read,
+        mv_retract,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    batch = t.orders.where(F.col("o_orderkey") % 10 == 0)
+    remaining = t.orders.where(F.col("o_orderkey") % 10 != 0)
+    path = _scratch("mv_orders_retract", sf_name)
+    spec = [
+        ("count", "*", "n_orders"),
+        ("sum", "o_totalprice", "sum_price"),
+        ("min", "o_totalprice", "min_price"),
+        ("max", "o_totalprice", "max_price"),
+        ("avg", "o_totalprice", "avg_price"),
+    ]
+    _ensure_index(
+        lambda: (
+            mv_build(t.orders, path, ["o_custkey"], spec, n_buckets=32),
+            mv_retract(spark, path, batch, source_df=remaining),
+        ),
+        path,
+        src,
+        "meta.json",
+    )
+    mv = mv_read(spark, path)
+    return mv.select(
+        "o_custkey",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+        # avg is deliberately NOT in the hashed output: per-customer
+        # sums divided by small counts land on EXACT half-way points
+        # (e.g. 1287637.63 / 8 = 160954.70375) where Spark's HALF_UP
+        # decimal rounding and DuckDB's binary-double rounding disagree
+        # by one ulp of the last digit — an engine-rounding artifact,
+        # not a maintenance bug. sum+count (both hashed) determine avg
+        # exactly; the avg__sum/avg__cnt finalize path is pinned in
+        # tests/test_matview_r10.py.
+    )

@@ -86,7 +86,8 @@ def kafka_stream(
     MISSING_KAFKA_PACKAGE AnalysisException. Tests use the directory-
     monitoring file source instead (streaming/harness.py). Offline
     acquisition re-attempted and still unavailable r9 (2026-08-15 AM)
-    and r10 (2026-08-15 PM): no kafka jar anywhere on disk, and the
+    and r10 (2026-08-15 PM, re-checked 2026-08-16: no kafka jar
+    anywhere on disk, PyPI unreachable — DNS resolution fails): the
     environment contract forbids package installs.
     """
     return (
