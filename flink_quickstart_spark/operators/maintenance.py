@@ -326,6 +326,143 @@ def compact_ivfpq_index(
         )
 
 
+# ---------------------------------------------------------------------------
+# Cascading forget — right-to-be-forgotten across every derived store.
+#
+# Deleting a document from the corpus is the easy half; a 100 TB
+# deployment also holds its DERIVATIVES — minhash band rows, LSH
+# postings, IVF members, IVFPQ codes, MV group contributions — and a
+# compliance delete that misses one of them keeps the data recoverable
+# (band rows leak shingle hashes; PQ codes reconstruct the embedding to
+# quantization error). forget_rows runs every store's incremental
+# delete as ONE audited cascade and (optionally) verifies residue is
+# zero afterwards.
+
+# Store-subdir + id-column defaults per store kind; the residue check
+# reads ONLY the id column (column-pruned parquet scan).
+_FORGET_KINDS = {
+    "minhash": ("bands", "doc_id"),
+    "lsh": ("postings", "vec_id"),
+    "ivf": ("members", "vec_id"),
+    "ivfpq": ("codes", "vec_id"),
+    "mv": ("groups", None),  # retraction is by group contribution, not id
+}
+
+
+def forget_rows(spark, jobs: list[dict], verify: bool = True) -> list[dict]:
+    """Cascade a forget batch across derived stores, returning an audit
+    trail (one dict per store: kind, path, seconds, status, residue).
+
+    Each job is ``{"kind": ..., "path": ..., "df": <forget rows>}`` plus
+    optional column-name overrides (``id_col``, ``text_col``,
+    ``vec_col``) and, for ``kind="mv"``, ``source_df`` (the source AFTER
+    the delete — required when the MV spec holds min/max). ``df`` must
+    carry the forgotten rows' PAYLOAD, not just ids: every store's
+    delete locates the affected partitions by re-deriving the same
+    hashes/assignments the build wrote (re-shingle for minhash, re-band
+    for LSH, centroid-assign for IVF/IVFPQ) — that is what makes each
+    delete partition-local instead of a full-store anti-join.
+
+    ``verify=True`` re-reads each id-keyed store's id column and counts
+    rows whose id is in the forget batch — a column-pruned scan, the
+    audit-grade full check a compliance job runs (cost: one id-column
+    pass per store; set False for routine retention where the per-store
+    delete == rebuild invariants already carry the guarantee). A
+    non-zero residue raises — partial forgetting must be loud.
+
+    Stores fail independently: a failing store records
+    ``status='error'`` and the cascade continues, so one wedged store
+    does not leave the others unforgotten; the first error re-raises
+    AFTER the cascade with the audit attached."""
+    from pyspark.sql import functions as F
+
+    audit: list[dict] = []
+    first_err: Exception | None = None
+    for job in jobs:
+        kind, path, df = job["kind"], job["path"], job["df"]
+        if kind not in _FORGET_KINDS:
+            raise ValueError(
+                f"forget_rows: unknown store kind {kind!r}; "
+                f"supported: {sorted(_FORGET_KINDS)}"
+            )
+        subdir, default_id = _FORGET_KINDS[kind]
+        id_col = job.get("id_col", default_id)
+        t0 = time.time()
+        entry = {"kind": kind, "path": path, "status": "ok", "residue": None}
+        try:
+            if kind == "minhash":
+                from flink_quickstart_spark.operators.dedup import (
+                    minhash_delete_store,
+                )
+
+                minhash_delete_store(
+                    spark, path, df, id_col=id_col,
+                    text_col=job.get("text_col", "text"),
+                )
+            elif kind == "lsh":
+                from flink_quickstart_spark.operators.similarity import (
+                    lsh_delete_index,
+                )
+
+                lsh_delete_index(
+                    spark, path, df, id_col=id_col,
+                    vec_col=job.get("vec_col", "embedding"),
+                )
+            elif kind == "ivf":
+                from flink_quickstart_spark.operators.similarity import (
+                    ivf_delete_index,
+                )
+
+                ivf_delete_index(
+                    spark, path, df, id_col=id_col,
+                    vec_col=job.get("vec_col", "embedding"),
+                )
+            elif kind == "ivfpq":
+                from flink_quickstart_spark.operators.quantization import (
+                    ivfpq_delete_index,
+                )
+
+                ivfpq_delete_index(
+                    spark, path, df, id_col=id_col,
+                    vec_col=job.get("vec_col", "embedding"),
+                )
+            elif kind == "mv":
+                from flink_quickstart_spark.operators.matview import mv_retract
+
+                mv_retract(spark, path, df, source_df=job.get("source_df"))
+            if verify and id_col is not None:
+                store_ids = spark.read.parquet(
+                    os.path.join(path, subdir)
+                ).select(id_col)
+                residue = (
+                    store_ids.join(
+                        df.select(id_col).distinct(), on=id_col, how="left_semi"
+                    ).count()
+                )
+                entry["residue"] = int(residue)
+                if residue:
+                    raise RuntimeError(
+                        f"forget_rows: {kind} store {path!r} still holds "
+                        f"{residue} rows of the forget batch after its "
+                        "delete — the store layout and the delete's "
+                        "partition pruning disagree; do NOT report this "
+                        "forget as complete."
+                    )
+        except Exception as exc:  # noqa: BLE001 — audit then re-raise
+            entry["status"] = "error"
+            entry["error"] = f"{type(exc).__name__}: {exc}"
+            if first_err is None:
+                first_err = exc
+        entry["seconds"] = round(time.time() - t0, 3)
+        audit.append(entry)
+    if first_err is not None:
+        raise RuntimeError(
+            f"forget_rows: {sum(1 for a in audit if a['status'] == 'error')} "
+            f"of {len(audit)} stores failed; audit: {audit}"
+        ) from first_err
+    return audit
+
+
 __all__ = [
     "StoreWriterConflict",
     "store_writer_lease",
@@ -336,4 +473,5 @@ __all__ = [
     "compact_ivf_index",
     "compact_ivfpq_index",
     "data_file_counts",
+    "forget_rows",
 ]

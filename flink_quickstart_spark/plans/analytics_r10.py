@@ -807,3 +807,118 @@ def q_mv_retract(spark, sf_dir):
         # exactly; the avg__sum/avg__cnt finalize path is pinned in
         # tests/test_matview_r10.py.
     )
+
+
+@register(
+    "q_llm_forget",
+    # Count-law + audit oracle: after the cascade, every derived store
+    # holds exactly the complement's rows — band rows follow the
+    # 16-per-(>=3-word)-doc law, LSH postings the 4-per-vector law, IVF
+    # members and IVFPQ codes one row per vector — and the verify
+    # pass's residue (rows of the forget batch still present anywhere)
+    # is zero. A delete that silently missed a partition changes
+    # total_residue or a count; a cascade that skipped a store flips
+    # cascade_ok.
+    oracle="""
+    SELECT
+      CAST(16 * (SELECT count(*) FROM documents
+                 WHERE doc_id % 10 <> 0
+                   AND len(string_split(text, ' ')) >= 3) AS BIGINT) AS n_bands_after,
+      CAST(4 * (SELECT count(*) FROM embeddings
+                WHERE vec_id % 10 <> 0) AS BIGINT)                   AS n_postings_after,
+      CAST((SELECT count(*) FROM embeddings
+            WHERE vec_id % 10 <> 0) AS BIGINT)                       AS n_members_after,
+      CAST((SELECT count(*) FROM embeddings
+            WHERE vec_id % 10 <> 0) AS BIGINT)                       AS n_codes_after,
+      CAST(0 AS BIGINT)                                              AS total_residue,
+      TRUE                                                           AS cascade_ok
+    """,
+    tags=("batch", "llm", "index-maintenance", "governance"),
+)
+def q_llm_forget(spark, sf_dir):
+    """K-gov (r10): CASCADING FORGET — right-to-be-forgotten across
+    every derived store in one audited call
+    (operators/maintenance.forget_rows). Deleting corpus rows is the
+    easy half of a compliance delete; the DERIVATIVES — minhash band
+    rows (leak shingle hashes), LSH postings, IVF members, IVFPQ codes
+    (reconstruct the embedding to quantization error) — must go too,
+    and a partial forget must be loud, not silent. The cascade runs
+    each store's incremental partition-pruned delete (batch-priced,
+    delete == rebuild pinned per store), then an audit-grade verify
+    pass: a column-pruned id scan per store counting surviving forget
+    rows — non-zero raises. This key forgets 10% of documents from a
+    signature store and 10% of vectors from LSH + IVF + IVFPQ, then
+    returns the per-store count laws and the summed residue."""
+    from flink_quickstart_spark.operators.dedup import minhash_build_store
+    from flink_quickstart_spark.operators.maintenance import forget_rows
+    from flink_quickstart_spark.operators.quantization import ivfpq_build_index
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        ivf_build_index,
+        lsh_build_index,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    vec_src = os.path.join(sf_dir, "embeddings.parquet")
+    p_minhash = _scratch("forget_minhash", sf_name)
+    p_lsh = _scratch("forget_lsh", sf_name)
+    p_ivf = _scratch("forget_ivf", sf_name)
+    p_ivfpq = _scratch("forget_ivfpq", sf_name)
+    fdocs = t.documents.where(F.col("doc_id") % 10 == 0)
+    fvecs = t.embeddings.where(F.col("vec_id") % 10 == 0)
+    audit_file = os.path.join(p_minhash, "_forget_audit.json")
+
+    def build_docs() -> None:
+        minhash_build_store(t.documents, p_minhash)
+        audit = forget_rows(
+            spark,
+            [{"kind": "minhash", "path": p_minhash, "df": fdocs}],
+            verify=True,
+        )
+        tmp = audit_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(audit, fh)
+        os.replace(tmp, audit_file)
+
+    vec_audit_file = os.path.join(p_lsh, "_forget_audit.json")
+
+    def build_vecs() -> None:
+        lsh_build_index(t.embeddings, p_lsh)
+        ivf_build_index(t.embeddings, p_ivf, n_clusters=16)
+        ivfpq_build_index(t.embeddings, p_ivfpq, n_clusters=16, m=4, k=16)
+        audit = forget_rows(
+            spark,
+            [
+                {"kind": "lsh", "path": p_lsh, "df": fvecs},
+                {"kind": "ivf", "path": p_ivf, "df": fvecs},
+                {"kind": "ivfpq", "path": p_ivfpq, "df": fvecs},
+            ],
+            verify=True,
+        )
+        tmp = vec_audit_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(audit, fh)
+        os.replace(tmp, vec_audit_file)
+
+    _ensure_index(build_docs, p_minhash, doc_src, "meta")
+    _ensure_index(build_vecs, p_lsh, vec_src, "postings")
+    with open(audit_file) as fh:
+        audit = json.load(fh)
+    with open(vec_audit_file) as fh:
+        audit += json.load(fh)
+    ok = all(a["status"] == "ok" for a in audit) and len(audit) == 4
+    residue = sum(a["residue"] or 0 for a in audit)
+    n_bands = spark.read.parquet(f"{p_minhash}/bands").count()
+    n_post = spark.read.parquet(f"{p_lsh}/postings").count()
+    n_mem = spark.read.parquet(f"{p_ivf}/members").count()
+    n_codes = spark.read.parquet(f"{p_ivfpq}/codes").count()
+    return spark.range(1).select(
+        F.lit(n_bands).cast("bigint").alias("n_bands_after"),
+        F.lit(n_post).cast("bigint").alias("n_postings_after"),
+        F.lit(n_mem).cast("bigint").alias("n_members_after"),
+        F.lit(n_codes).cast("bigint").alias("n_codes_after"),
+        F.lit(residue).cast("bigint").alias("total_residue"),
+        F.lit(bool(ok)).alias("cascade_ok"),
+    )

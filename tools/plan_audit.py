@@ -220,6 +220,16 @@ MATERIALIZE_ALLOWED = {
         "O(buckets) per-bucket sums (≤ 64 rows, N columns in one job) "
         "for the distributed prefix-sum offsets"
     ),
+    "operators/matview.py:_affected_buckets:collect": (
+        "distinct _gmod bucket ids of the delta batch (≤ n_buckets "
+        "values — bounded by the store LAYOUT, not the batch) driving "
+        "the static partition prune of the MV refresh/retract (r10)"
+    ),
+    "operators/matview.py:_write_and_drop:collect": (
+        "distinct surviving _gmod bucket ids (≤ n_buckets values) "
+        "deciding which emptied bucket directories to drop after a "
+        "retraction (r10)"
+    ),
     "operators/similarity.py:_collect_corpus:first": (
         "1-row probe to learn the embedding dimension before the "
         "budget check"
