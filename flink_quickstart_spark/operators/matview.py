@@ -135,13 +135,18 @@ def _read_meta(path: str) -> dict:
         return json.load(fh)
 
 
-def _write_groups(df: DataFrame, path: str, group_cols: list[str]) -> None:
+def _write_groups(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    part_cols: tuple[str, ...] = ("_gmod",),
+) -> None:
     (
-        df.repartition("_gmod")
-        .sortWithinPartitions("_gmod", *group_cols)
+        df.repartition(*part_cols)
+        .sortWithinPartitions(*part_cols, *group_cols)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_gmod")
+        .partitionBy(*part_cols)
         .parquet(os.path.join(path, "groups"))
     )
 
@@ -152,6 +157,7 @@ def mv_build(
     group_cols: list[str],
     aggs: list[tuple[str, str, str]],
     n_buckets: int = 32,
+    epoch_partitioned: bool = False,
 ) -> None:
     """Materialize ``df.groupBy(group_cols).agg(aggs)`` as a partial
     state store at ``path`` — the one corpus-scale pass of the MV's
@@ -161,7 +167,16 @@ def mv_build(
     so later deltas prune to the buckets their groups hash into; size
     n_buckets so one bucket's groups fit an executor (at 1e9 groups and
     4096 buckets, ~250k group rows per bucket — a broadcast-sized
-    merge side against any daily batch)."""
+    merge side against any daily batch).
+
+    ``epoch_partitioned=True`` is the STREAMING layout (the same design
+    as the epoch-partitioned signature store): the base sits at
+    ``(_gmod, _epoch=0)`` and each refresh writes its batch's partial
+    rows as its OWN epoch via dynamic overwrite — a replayed micro-batch
+    REPLACES its first attempt, so exactly-once holds BY LAYOUT with no
+    marker and no crash window. The read side merges epochs group-wise
+    (merge-on-read); :func:`compact_mv` folds accumulated epochs back
+    into the base."""
     aggs = [tuple(a) for a in aggs]
     _validate_spec(aggs)
     # meta.json + the emptied-bucket drops are filesystem-level — fail
@@ -169,9 +184,13 @@ def mv_build(
     require_local_path(path, "mv_build")
     with store_writer_lease(path, "mv_build"):
         parts = _partials(df, group_cols, aggs, n_buckets)
-        parts.repartition("_gmod").sortWithinPartitions(
-            "_gmod", *group_cols
-        ).write.mode("overwrite").partitionBy("_gmod").parquet(
+        part_cols = ["_gmod"]
+        if epoch_partitioned:
+            parts = parts.withColumn("_epoch", F.lit(0).cast("int"))
+            part_cols = ["_gmod", "_epoch"]
+        parts.repartition(*part_cols).sortWithinPartitions(
+            *part_cols, *group_cols
+        ).write.mode("overwrite").partitionBy(*part_cols).parquet(
             os.path.join(path, "groups")
         )
         tmp = _meta_path(path) + ".tmp"
@@ -181,6 +200,7 @@ def mv_build(
                     "group_cols": list(group_cols),
                     "aggs": [list(a) for a in aggs],
                     "n_buckets": int(n_buckets),
+                    "epoch_partitioned": bool(epoch_partitioned),
                 },
                 fh,
             )
@@ -195,7 +215,9 @@ def _affected_buckets(parts: DataFrame) -> list[int]:
     return [int(r._gmod) for r in parts.select("_gmod").distinct().collect()]
 
 
-def mv_refresh(spark, path: str, batch_df: DataFrame) -> dict:
+def mv_refresh(
+    spark, path: str, batch_df: DataFrame, epoch: int | None = None
+) -> dict:
     """INSERT maintenance: merge a batch of NEW source rows into the
     store. Partial-aggregates the batch alone (map-side combine does
     most of the work before the one small shuffle), statically prunes
@@ -208,13 +230,30 @@ def mv_refresh(spark, path: str, batch_df: DataFrame) -> dict:
     same rows double-counts — the same append-only contract as
     minhash_upsert_store; use :func:`mv_retract` + refresh for updates.
     refresh == rebuild-on-union row identity is pinned in
-    tests/test_matview_r10.py."""
+    tests/test_matview_r10.py.
+
+    On an EPOCH-PARTITIONED store, pass ``epoch`` (the micro-batch id,
+    ≥ 1 — the base owns epoch 0): the batch's partials are written as
+    that epoch's own ``(_gmod, _epoch)`` partitions via dynamic
+    overwrite and the store is never read — a replayed epoch REPLACES
+    its first attempt (exactly-once by layout, zero crash window), and
+    refresh cost is pure batch. Merge happens at read/compact time."""
     meta = _read_meta(path)
     group_cols, aggs, n_buckets = (
         meta["group_cols"],
         [tuple(a) for a in meta["aggs"]],
         meta["n_buckets"],
     )
+    is_epoch = bool(meta.get("epoch_partitioned", False))
+    if is_epoch != (epoch is not None):
+        raise ValueError(
+            "mv_refresh: epoch-partitioned stores require an epoch id "
+            "(>= 1) and flat stores forbid one — the layouts must not "
+            "mix (a flat write into an epoch store would sit outside "
+            "every epoch's replay domain)."
+        )
+    if epoch is not None and int(epoch) < 1:
+        raise ValueError("mv_refresh: epoch must be >= 1 (0 is the base)")
     with store_writer_lease(path, "mv_refresh"):
         batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
         batch_parts = batch_parts.localCheckpoint(eager=True)
@@ -222,6 +261,18 @@ def mv_refresh(spark, path: str, batch_df: DataFrame) -> dict:
             buckets = _affected_buckets(batch_parts)
             if not buckets:
                 return {"buckets_touched": 0, "groups_in_batch": 0}
+            if is_epoch:
+                delta = batch_parts.withColumn(
+                    "_epoch", F.lit(int(epoch)).cast("int")
+                )
+                _write_groups(
+                    delta, path, group_cols, part_cols=("_gmod", "_epoch")
+                )
+                return {
+                    "buckets_touched": len(buckets),
+                    "groups_in_batch": batch_parts.count(),
+                    "epoch": int(epoch),
+                }
             groups_dir = os.path.join(path, "groups")
             store_sub = spark.read.parquet(groups_dir).where(
                 F.col("_gmod").isin(buckets)
@@ -241,7 +292,11 @@ def mv_refresh(spark, path: str, batch_df: DataFrame) -> dict:
 
 
 def mv_retract(
-    spark, path: str, batch_df: DataFrame, source_df: DataFrame | None = None
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    source_df: DataFrame | None = None,
+    epoch: int | None = None,
 ) -> dict:
     """DELETE maintenance: remove a batch of PREVIOUSLY-INSERTED rows'
     contribution. With an all-subtractable spec (count/sum/avg) the op
@@ -265,6 +320,7 @@ def mv_retract(
         [tuple(a) for a in meta["aggs"]],
         meta["n_buckets"],
     )
+    is_epoch = bool(meta.get("epoch_partitioned", False))
     subtractable = all(op in _SUBTRACTABLE for op, _c, _a in aggs)
     if not subtractable and source_df is None:
         raise ValueError(
@@ -274,6 +330,23 @@ def mv_retract(
             "restrict the spec to count/sum/avg for delta-only "
             "retraction."
         )
+    if is_epoch:
+        if not subtractable:
+            raise ValueError(
+                "mv_retract: an epoch-partitioned store records "
+                "retractions as negative-delta epochs, which min/max "
+                "cannot express (the deleted row may have been the "
+                "extremum and history epochs are immutable) — fold the "
+                "store with compact_mv and retract on the flat form, "
+                "or restrict the spec to count/sum/avg."
+            )
+        if epoch is None or int(epoch) < 1:
+            raise ValueError(
+                "mv_retract: epoch-partitioned stores require an epoch "
+                "id (>= 1) so the retraction replays idempotently."
+            )
+    elif epoch is not None:
+        raise ValueError("mv_retract: flat stores take no epoch id")
     with store_writer_lease(path, "mv_retract"):
         batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
         batch_parts = batch_parts.localCheckpoint(eager=True)
@@ -285,6 +358,49 @@ def mv_retract(
             store_sub = spark.read.parquet(groups_dir).where(
                 F.col("_gmod").isin(buckets)
             )
+            if is_epoch:
+                # Negative-delta epoch: merge-on-read makes the balance
+                # visible only at read time, so over-retraction is
+                # checked HERE (merge the pruned buckets without
+                # writing the merge — cost ∝ touched buckets, exactly
+                # the flat retract's read side) and the write is just
+                # the negated delta's own idempotent epoch partitions.
+                # The check excludes the store's OWN epoch rows — a
+                # REPLAYED retraction's first attempt must not count
+                # against the balance (the same strictly-other-epochs
+                # rule the admission gate applies), or every replay
+                # would look like an over-retraction.
+                negated = batch_parts.select(
+                    "_gmod",
+                    *group_cols,
+                    *((-F.col(c)).alias(c) for c in _state_cols(aggs)),
+                )
+                balance = (
+                    store_sub.where(F.col("_epoch") != int(epoch))
+                    .drop("_epoch")
+                    .unionByName(negated)
+                    .groupBy("_gmod", *group_cols)
+                    .agg(*_merge_exprs(aggs))
+                )
+                bad = balance.where(F.col(_CNT) < 0).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        "mv_retract: batch retracts rows that were never "
+                        "inserted (a group's row count went negative); "
+                        "the store is unchanged."
+                    )
+                n_gone = balance.where(F.col(_CNT) == 0).count()
+                delta = negated.withColumn(
+                    "_epoch", F.lit(int(epoch)).cast("int")
+                )
+                _write_groups(
+                    delta, path, group_cols, part_cols=("_gmod", "_epoch")
+                )
+                return {
+                    "buckets_touched": len(buckets),
+                    "groups_retracted": int(n_gone),
+                    "epoch": int(epoch),
+                }
             if subtractable:
                 negated = batch_parts.select(
                     "_gmod",
@@ -382,12 +498,25 @@ def mv_read(spark, path: str, where=None) -> DataFrame:
     ``where`` (a Column predicate over the GROUP columns) is applied to
     the scan — combined with a ``_gmod`` equality it prunes to one
     bucket, the point-lookup path; without it this is a full (but
-    corpus-independent: one row per group) MV scan."""
+    corpus-independent: one row per group) MV scan.
+
+    On an epoch-partitioned store this is MERGE-ON-READ: the base and
+    every delta epoch's partial rows for a group are re-merged before
+    finalizing, and groups whose balance hit zero (fully retracted by
+    a negative-delta epoch) are filtered out. Read cost grows with the
+    number of unfolded epochs — :func:`compact_mv` folds them back."""
     meta = _read_meta(path)
     aggs = [tuple(a) for a in meta["aggs"]]
     df = spark.read.parquet(os.path.join(path, "groups"))
     if where is not None:
         df = df.where(where)
+    if meta.get("epoch_partitioned", False):
+        df = (
+            df.drop("_epoch")
+            .groupBy("_gmod", *meta["group_cols"])
+            .agg(*_merge_exprs(aggs))
+            .where(F.col(_CNT) > 0)
+        )
     final = []
     for op, _col, alias in aggs:
         if op == "avg":
@@ -404,11 +533,48 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
     files into one sorted file (sorted by the group key — restores
     page-level min/max pruning for point lookups). Delegates to
     operators/maintenance.compact_partitions under the writer lease;
-    ``max_files=N`` compacts only over-threshold buckets."""
-    from flink_quickstart_spark.operators.maintenance import compact_partitions
+    ``max_files=N`` compacts only over-threshold buckets.
+
+    On an epoch-partitioned store the OPTIMIZE is EPOCH FOLDING: all
+    epochs' partials merge group-wise into ``_epoch=0`` (zero-balance
+    groups dropped), restoring O(1)-epochs read cost; already-folded
+    epochs cannot replay into the folded store (folding runs in a
+    maintenance window behind the same writer lease, mirroring the
+    signature store's epoch folding)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_partitions,
+        data_file_counts,
+    )
 
     meta = _read_meta(path)
+    groups_dir = os.path.join(path, "groups")
     with store_writer_lease(path, "compact_mv"):
+        if meta.get("epoch_partitioned", False):
+            aggs = [tuple(a) for a in meta["aggs"]]
+            counts = data_file_counts(groups_dir)
+            before = sum(counts.values())
+            folded = (
+                spark.read.parquet(groups_dir)
+                .drop("_epoch")
+                .groupBy("_gmod", *meta["group_cols"])
+                .agg(*_merge_exprs(aggs))
+                .where(F.col(_CNT) > 0)
+                .withColumn("_epoch", F.lit(0).cast("int"))
+            )
+            (
+                folded.repartition("_gmod")
+                .sortWithinPartitions("_gmod", *meta["group_cols"])
+                .write.mode("overwrite")
+                .partitionBy("_gmod", "_epoch")
+                .parquet(groups_dir)
+            )
+            after_counts = data_file_counts(groups_dir)
+            return {
+                "files_before": before,
+                "files_after": sum(after_counts.values()),
+                "partitions_total": len(counts),
+                "partitions_compacted": len(counts),
+            }
         return compact_partitions(
             spark,
             os.path.join(path, "groups"),

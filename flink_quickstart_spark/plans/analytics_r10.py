@@ -922,3 +922,82 @@ def q_llm_forget(spark, sf_dir):
         F.lit(residue).cast("bigint").alias("total_residue"),
         F.lit(bool(ok)).alias("cascade_ok"),
     )
+
+
+@register(
+    "q_mv_epoch_refresh",
+    # TRUE VALUE oracle: after five epoch appends and one negative-delta
+    # retraction epoch, the merge-on-read finalize must equal DuckDB's
+    # flat GROUP BY over exactly the surviving rows. Any exactly-once
+    # defect (double-counted replayed epoch, missed delta, retraction
+    # applied twice) shifts real sums/counts.
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 OR o_orderkey % 10 = 0
+    GROUP BY o_custkey
+    """,
+    tags=("batch", "agg", "matview", "streaming-analog", "index-maintenance"),
+)
+def q_mv_epoch_refresh(spark, sf_dir):
+    """D-ext/I-ext (r10): EPOCH-PARTITIONED MV — the exactly-once
+    streaming layout (the aggregate twin of the admission gate's epoch
+    store). Base owns epoch 0; each micro-batch's partials are written
+    as the batch's OWN (_gmod, _epoch) partitions via dynamic
+    overwrite, so a replayed batch REPLACES its first attempt — no
+    marker, no crash window, per-batch cost pure batch (the store is
+    never read on the write path). Retraction is a NEGATIVE-DELTA
+    epoch (subtractable specs), idempotent the same way. Staging: base
+    on o_orderkey%5==1; insert epochs 1-4 add %5∈{2,3,4,0}, with epoch
+    2 DELIBERATELY replayed (must be absorbed); retraction epoch 5
+    removes the %10≠0 half of epoch 4's rows and is itself replayed
+    (its first attempt is excluded from the over-retraction balance —
+    the strictly-other-epochs rule). Survivors: %5≠0 OR %10==0,
+    exactly the oracle's WHERE. Reads
+    merge epochs group-wise and drop zero-balance groups
+    (merge-on-read); compact_mv folds epochs back (pinned in
+    tests/test_matview_stream_r10.py). Streamed-vs-batch equivalence
+    over a real foreachBatch availableNow stream is pinned there too."""
+    from flink_quickstart_spark.operators.matview import (
+        mv_build,
+        mv_read,
+        mv_refresh,
+        mv_retract,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    path = _scratch("mv_orders_epoch", sf_name)
+    spec = [
+        ("count", "*", "n_orders"),
+        ("sum", "o_totalprice", "sum_price"),
+    ]
+    okey = F.col("o_orderkey")
+    base = t.orders.where(okey % 5 == 1)
+    e1 = t.orders.where(okey % 5 == 2)
+    e2 = t.orders.where(okey % 5 == 3)
+    e3 = t.orders.where(okey % 5 == 4)
+    e4 = t.orders.where(okey % 5 == 0)  # inserted, then half retracted
+    retracted = t.orders.where((okey % 5 == 0) & (okey % 10 != 0))
+
+    def build() -> None:
+        mv_build(base, path, ["o_custkey"], spec, n_buckets=32,
+                 epoch_partitioned=True)
+        mv_refresh(spark, path, e1, epoch=1)
+        mv_refresh(spark, path, e2, epoch=2)
+        mv_refresh(spark, path, e2, epoch=2)  # replayed micro-batch
+        mv_refresh(spark, path, e3, epoch=3)
+        mv_refresh(spark, path, e4, epoch=4)
+        mv_retract(spark, path, retracted, epoch=5)
+        mv_retract(spark, path, retracted, epoch=5)  # replayed retraction
+
+    _ensure_index(build, path, src, "meta.json")
+    return mv_read(spark, path).select(
+        "o_custkey",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+    )

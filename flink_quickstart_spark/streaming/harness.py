@@ -373,3 +373,35 @@ def foreach_batch_ingest_admission(
             _release(batch)
 
     return handle
+
+
+def foreach_batch_mv_refresh(mv_path: str):
+    """STREAMING MATERIALIZED-VIEW maintenance (r10): a foreachBatch
+    handler folding each micro-batch into an EPOCH-PARTITIONED MV
+    store (operators/matview.mv_build(..., epoch_partitioned=True)) —
+    the continuously-served dashboard aggregate of a 100 TB pipeline.
+
+    Exactly-once BY LAYOUT, the same design the admission gate's epoch
+    store uses: each micro-batch's partial aggregates are written as
+    the batch's OWN ``(_gmod, _epoch = batch_id + 1)`` partitions via
+    dynamic overwrite (the base owns epoch 0), so a replayed
+    micro-batch REPLACES its first attempt — no marker, no crash
+    window, and per-batch cost is pure batch (the store is never even
+    read on the write path). Readers merge epochs on read
+    (matview.mv_read); a maintenance window folds epochs back with
+    matview.compact_mv. streamed == batch-incremental and
+    replay-idempotence are pinned in tests/test_matview_stream_r10.py.
+    """
+    from flink_quickstart_spark.operators.matview import mv_refresh
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # empty micro-batch: no epoch partition is written, and a
+            # later replay of a non-empty attempt still lands in its
+            # own epoch — nothing to guard
+            return
+        mv_refresh(
+            batch_df.sparkSession, mv_path, batch_df, epoch=int(batch_id) + 1
+        )
+
+    return handle
