@@ -246,6 +246,16 @@ DEFAULT_KEYS = [
     # r10d filtered ANN: metadata predicate pushed down onto the pruned
     # compressed scan (contract key quadratic by its brute truth side)
     "ann_ivfpq_filtered_fixed", "q_llm_ivfpq_filtered",
+    # r10e: incremental MV maintenance — the refresh probe merges a
+    # FIXED 64-order batch into the persisted partial-agg store whose
+    # bucket count was sized to the corpus at build time (groups/bucket
+    # bounded), so cost ∝ batch + touched-bucket occupancy: near-flat.
+    # The registered keys add the full staging + value-oracle sides
+    # (linear: one corpus groupBy each); the forget key stages FOUR
+    # stores + an id-column audit scan per store (linear by
+    # construction).
+    "mv_refresh_fixed", "q_mv_incremental", "q_mv_retract",
+    "q_mv_epoch_refresh", "q_llm_forget",
 ]
 
 
@@ -737,6 +747,70 @@ def _probe_ivfpq_filtered_fixed(spark, sf):
 
 
 # name -> (prepare(spark, sf) | None, builder(spark, sf) -> DataFrame | None)
+def _mv_store_path(sf: str) -> str:
+    return str(REPO / ".scale" / "mv_store" / Path(sf).name)
+
+
+_MV_SPEC = [("count", "*", "n_orders"), ("sum", "o_totalprice", "sum_price")]
+_MV_REFRESHED: dict[str, int] = {}
+
+
+def _prepare_mv_store(spark, sf):
+    # Bucket count sized to the corpus (groups/bucket ~1k) — the 100 TB
+    # sizing rule the module docstring states; a FIXED bucket count
+    # would make every refresh read a corpus-proportional bucket and
+    # fake a linear trend onto the batch-priced op. The distinct-count
+    # here is PREPARE-time (untimed), mirroring _capture_upsert_base.
+    from flink_quickstart_spark.operators.matview import mv_build
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    orders = registry.tables(spark, sf).orders
+    path = _mv_store_path(sf)
+
+    def build() -> None:
+        n_groups = orders.select("o_custkey").distinct().count()
+        mv_build(
+            orders, path, ["o_custkey"], _MV_SPEC,
+            n_buckets=max(8, n_groups // 1024),
+        )
+
+    _ensure_index(build, path, str(Path(sf) / "orders.parquet"), "meta.json")
+
+
+def _mv_batch(spark, sf):
+    # deterministic head-64 batch, so the run-end cleanup retraction is
+    # an exact inverse (subtractable spec: count/sum)
+    return registry.tables(spark, sf).orders.orderBy("o_orderkey").limit(64)
+
+
+def _probe_mv_refresh_fixed(spark, sf):
+    # incremental MV maintenance (r10): merge a FIXED 64-order batch
+    # into the persisted partial-agg store — batch partials + a read of
+    # ONLY the batch's hash buckets (≤ 64 groups → ≤ 64 buckets of
+    # ~1k group rows each) + dynamic overwrite of those buckets. Cost
+    # ∝ batch + touched-bucket occupancy BY CONSTRUCTION; the curve
+    # must stay near-flat. Run-end cleanup retracts every refresh
+    # (count/sum subtract exactly), restoring the fixture.
+    from flink_quickstart_spark.operators.matview import mv_refresh
+
+    mv_refresh(spark, _mv_store_path(sf), _mv_batch(spark, sf))
+    _MV_REFRESHED[sf] = _MV_REFRESHED.get(sf, 0) + 1
+    return None
+
+
+def cleanup_mv_refreshes(spark) -> None:
+    """Retract every batch the MV refresh probe merged (untimed, run
+    end) — count/sum retraction is the exact algebraic inverse, so the
+    shared .scale fixture returns to its built state (up to
+    floating-point ulps in the sums, which no probe reads)."""
+    from flink_quickstart_spark.operators.matview import mv_retract
+
+    for sf, n in list(_MV_REFRESHED.items()):
+        for _ in range(n):
+            mv_retract(spark, _mv_store_path(sf), _mv_batch(spark, sf))
+    _MV_REFRESHED.clear()
+
+
 COMPONENT_PROBES = {
     "ann_lsh_candidates": (None, _probe_lsh_candidates),
     "semantic_lsh_cc": (None, _probe_semantic_lsh_cc),
@@ -765,6 +839,7 @@ COMPONENT_PROBES = {
         _prepare_ivfpq_meta_index,
         _probe_ivfpq_filtered_fixed,
     ),
+    "mv_refresh_fixed": (_prepare_mv_store, _probe_mv_refresh_fixed),
 }
 
 
@@ -982,6 +1057,7 @@ def main() -> int:
     if _MINTED:
         print(f"cleanup: deleting {len(_MINTED)} minted upsert batches (untimed)")
         cleanup_minted_batches(spark)
+        cleanup_mv_refreshes(spark)
     print(f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed (threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x data) ==")
     if args.json:
         with open(args.json, "w") as fh:
