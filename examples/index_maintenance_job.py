@@ -199,6 +199,65 @@ def main() -> None:
     after = lsh_query_index(spark, lsh, queries, radius=1.2).count()
     print(f"LSH delete == rebuild-from-remainder: OK "
           f"(radius matches {before} -> {after})")
+
+    # 5. the SERVING side: an incrementally maintained MV (r10) ------
+    # dashboards read mv_read(store); ingest days call mv_refresh with
+    # just the batch — the corpus GROUP BY never re-runs
+    from flink_quickstart_spark.operators.matview import (
+        mv_build,
+        mv_read,
+        mv_refresh,
+        mv_retract,
+    )
+
+    mv = f"{work}/mv_doclen"
+    doc_stats = lambda df: df.select(  # noqa: E731
+        "doc_id", "lang", F.length("text").alias("n")
+    )
+    mv_build(
+        doc_stats(corpus_docs), mv, ["lang"],
+        [("count", "*", "n_docs"), ("sum", "n", "total_chars")],
+        n_buckets=8,
+    )
+    mv_refresh(spark, mv, doc_stats(batch1))
+    mv_refresh(spark, mv, doc_stats(batch2))
+    mv_retract(spark, mv, doc_stats(batch1))  # batch1 rolled back
+    got = {
+        (r.lang, r.n_docs, r.total_chars) for r in mv_read(spark, mv).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in doc_stats(corpus_docs.unionByName(batch2))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("total_chars"))
+        .collect()
+    }
+    assert got == expect
+    print(f"MV refresh+retract == flat groupBy: OK ({len(got)} langs)")
+
+    # 6. GOVERNANCE: cascade a right-to-be-forgotten batch across the
+    # surviving stores with residue verification (r10)
+    from flink_quickstart_spark.operators.maintenance import forget_rows
+
+    forget_docs = t.documents.where(F.col("doc_id") % 40 == 1)
+    audit = forget_rows(
+        spark,
+        [
+            {"kind": "minhash", "path": store, "df": forget_docs},
+            {
+                "kind": "mv",
+                "path": mv,
+                "df": doc_stats(forget_docs),
+            },
+        ],
+        verify=True,
+    )
+    for a in audit:
+        print(
+            f"forget {a['kind']:8s}: {a['status']} "
+            f"(residue={a['residue']}, {a['seconds']}s)"
+        )
+    assert all(a["status"] == "ok" for a in audit)
     print("index maintenance lifecycle complete")
 
 
