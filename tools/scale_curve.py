@@ -63,6 +63,22 @@ DOCUMENTED_SUPERLINEAR = {
         "contract is the fail-fast broadcast budget guard "
         "(operators/similarity.py) + the IVF/LSH tiers, not the ratio"
     ),
+    "ann_ivfpq_retrain": (
+        "LINEAR periodic op BY DESIGN flagged only by the accel "
+        "heuristic: r12 13.3x for 10x data IS the linear re-encode of "
+        "the grown corpus (retrain reads the full-precision cold tier "
+        "once — the documented cost of storing codes only), while r01 "
+        "is fixed-overhead-dominated at the tiny points, so accel = "
+        "r12/r01 trips; the xl segment (e23 ~ -0.3 … 0.4 across runs) "
+        "confirms no superlinear growth"
+    ),
+    "q_mv_epoch_refresh": (
+        "sub-second key end-to-end (0.5-2s at every point): the accel "
+        "flag is the r01 < 1 fixed-overhead artifact (sf0.01 staging "
+        "costs more than the probe), not growth — the xl segment "
+        "(e23 0.64) is sublinear; the op itself writes only the "
+        "batch's own epoch partitions"
+    ),
     "q_llm_pq_query": (
         "SELF-JOIN-shaped by construction (the q_llm_ann_ivf law): the "
         "contract key computes brute-force truth AND runs ALL n vectors "

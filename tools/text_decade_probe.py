@@ -78,6 +78,12 @@ DEFAULT_KEYS = [
     "minhash_store_maintain_fixed",
     # r10b: PQ compressed-scan query path (fixed 64-query batch)
     "pq_query_fixed",
+    # r10c/d: IVFPQ — pruned+compressed fixed-batch query, batch-priced
+    # upsert, and the metadata-filtered variant (predicate only shrinks
+    # the pruned scan)
+    "ann_ivfpq_query_fixed",
+    "ann_ivfpq_upsert_fixed",
+    "ann_ivfpq_filtered_fixed",
 ]
 
 # r8 (VERDICT r7 #7): keys whose decade exponent sits AT the linear
@@ -155,6 +161,13 @@ RELATIONAL_KEYS = [
     # from sf1), so its 100× measurement belongs to this tier; the
     # deletion-neighborhood blocking must hold the r6 fix at the decade
     "q_text_fuzzy_match",
+    # r10e: incremental MV maintenance — the fixed-batch refresh must
+    # stay ~flat across the decade (bucket count sized to the corpus at
+    # build time); the registered keys add the staging + oracle sides
+    # (linear: one orders groupBy each)
+    "mv_refresh_fixed",
+    "q_mv_incremental",
+    "q_mv_epoch_refresh",
 ]
 
 
