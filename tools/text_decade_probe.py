@@ -167,6 +167,7 @@ RELATIONAL_KEYS = [
     # (linear: one orders groupBy each)
     "mv_refresh_fixed",
     "q_mv_incremental",
+    "q_mv_retract",
     "q_mv_epoch_refresh",
 ]
 
