@@ -431,14 +431,22 @@ def forget_rows(spark, jobs: list[dict], verify: bool = True) -> list[dict]:
 
                 mv_retract(spark, path, df, source_df=job.get("source_df"))
             if verify and id_col is not None:
-                store_ids = spark.read.parquet(
-                    os.path.join(path, subdir)
-                ).select(id_col)
-                residue = (
-                    store_ids.join(
-                        df.select(id_col).distinct(), on=id_col, how="left_semi"
-                    ).count()
-                )
+                data_dir = os.path.join(path, subdir)
+                if not data_file_counts(data_dir):
+                    # The forget batch removed EVERY row: the emptied-
+                    # partition cleanup dropped all data files, and
+                    # spark.read.parquet on the empty directory would
+                    # raise "unable to infer schema" — a fully
+                    # successful compliance delete must not be reported
+                    # as an error (r10 ADVICE). No files == no residue.
+                    residue = 0
+                else:
+                    store_ids = spark.read.parquet(data_dir).select(id_col)
+                    residue = (
+                        store_ids.join(
+                            df.select(id_col).distinct(), on=id_col, how="left_semi"
+                        ).count()
+                    )
                 entry["residue"] = int(residue)
                 if residue:
                     raise RuntimeError(

@@ -135,6 +135,78 @@ def _read_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _update_meta(path: str, **kv) -> None:
+    meta = _read_meta(path)
+    meta.update(kv)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(path))
+
+
+def _existing_epoch_buckets(groups_dir: str, epoch: int) -> set[str]:
+    """_gmod string values that already hold ``_epoch=<id>`` data files
+    (fs metadata only)."""
+    from flink_quickstart_spark.operators.maintenance import data_file_counts
+
+    seg = f"_epoch={int(epoch)}"
+    out: set[str] = set()
+    for rel in data_file_counts(groups_dir):
+        parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+        if parts.get("_epoch") == str(int(epoch)) or seg in rel.split(os.sep):
+            if "_gmod" in parts:
+                out.add(parts["_gmod"])
+    return out
+
+
+def _guard_epoch_reuse(
+    path: str, epoch: int, op: str, batch_buckets: list[int]
+) -> None:
+    """Fail LOUDLY when an epoch id is being reused for a different
+    batch or a different op kind (r10 ADVICE). An epoch's replay domain
+    is its OWN partitions: a second write under the same id dynamic-
+    overwrites only the NEW batch's buckets, so if the id already holds
+    partitions OUTSIDE those buckets the result would be a silently
+    MIXED epoch (part old batch, part new) — and the retract balance
+    check excludes the store's own epoch rows, so the corruption would
+    also be invisible to it. Two guards:
+
+    - meta.json tracks ``epoch_ops`` ({epoch: 'refresh'|'retract'}):
+      reusing a refresh id for a retract (or vice versa) raises even
+      when the buckets happen to align.
+    - the filesystem check: existing ``_epoch=<id>`` partitions must be
+      a SUBSET of the incoming batch's buckets — a true replay always
+      covers its own buckets; anything outside means a different batch.
+    """
+    meta = _read_meta(path)
+    prior = (meta.get("epoch_ops") or {}).get(str(int(epoch)))
+    if prior is not None and prior != op:
+        raise ValueError(
+            f"mv epoch reuse: epoch {epoch} was written by {prior!r} and "
+            f"is now being reused by {op!r} — refresh and retract epoch "
+            "namespaces must stay disjoint (a reused id would silently "
+            "replace the prior contribution); pick a fresh epoch id."
+        )
+    existing = _existing_epoch_buckets(os.path.join(path, "groups"), epoch)
+    outside = existing - {str(b) for b in batch_buckets}
+    if outside:
+        raise ValueError(
+            f"mv epoch reuse: epoch {epoch} already holds partitions in "
+            f"buckets {sorted(outside)} that this batch does not touch — "
+            "this is a DIFFERENT batch reusing the epoch id (a replay "
+            "always covers its own buckets); dynamic overwrite would "
+            "leave a mixed epoch. The store is unchanged; pick a fresh "
+            "epoch id."
+        )
+
+
+def _record_epoch_op(path: str, epoch: int, op: str) -> None:
+    meta = _read_meta(path)
+    ops = dict(meta.get("epoch_ops") or {})
+    ops[str(int(epoch))] = op
+    _update_meta(path, epoch_ops=ops)
+
+
 def _write_groups(
     df: DataFrame,
     path: str,
@@ -262,12 +334,14 @@ def mv_refresh(
             if not buckets:
                 return {"buckets_touched": 0, "groups_in_batch": 0}
             if is_epoch:
+                _guard_epoch_reuse(path, int(epoch), "refresh", buckets)
                 delta = batch_parts.withColumn(
                     "_epoch", F.lit(int(epoch)).cast("int")
                 )
                 _write_groups(
                     delta, path, group_cols, part_cols=("_gmod", "_epoch")
                 )
+                _record_epoch_op(path, int(epoch), "refresh")
                 return {
                     "buckets_touched": len(buckets),
                     "groups_in_batch": batch_parts.count(),
@@ -370,6 +444,7 @@ def mv_retract(
                 # against the balance (the same strictly-other-epochs
                 # rule the admission gate applies), or every replay
                 # would look like an over-retraction.
+                _guard_epoch_reuse(path, int(epoch), "retract", buckets)
                 negated = batch_parts.select(
                     "_gmod",
                     *group_cols,
@@ -396,6 +471,7 @@ def mv_retract(
                 _write_groups(
                     delta, path, group_cols, part_cols=("_gmod", "_epoch")
                 )
+                _record_epoch_op(path, int(epoch), "retract")
                 return {
                     "buckets_touched": len(buckets),
                     "groups_retracted": int(n_gone),
@@ -434,6 +510,24 @@ def mv_retract(
                 # the batch's DISTINCT groups (already a DataFrame —
                 # stays distributed, no driver pull).
                 batch_groups = batch_parts.select(*group_cols).distinct()
+                # Over-retraction guard (r10 ADVICE): a batch group that
+                # was never inserted into the MV would otherwise be
+                # silently INSERTED (recomputed from source_df and
+                # unioned into the survivors) and miscounted. The store
+                # scan is already pruned to the batch's buckets, and
+                # every present group hashes into them, so this check
+                # is bucket-local.
+                missing = batch_groups.join(
+                    store_sub.select(*group_cols).distinct(),
+                    on=group_cols,
+                    how="left_anti",
+                ).limit(1).count()
+                if missing:
+                    raise ValueError(
+                        "mv_retract: batch retracts rows of groups that "
+                        "were never inserted into the store; the store "
+                        "is unchanged."
+                    )
                 recomputed = _partials(
                     source_df.join(batch_groups, on=group_cols, how="left_semi"),
                     group_cols,
@@ -443,6 +537,9 @@ def mv_retract(
                 untouched = store_sub.join(
                     batch_groups, on=group_cols, how="left_anti"
                 )
+                # After the membership check batch_groups is a subset of
+                # the store's groups, so vanished == batch groups with
+                # no surviving recomputed row.
                 n_gone = (
                     batch_groups.count()
                     - recomputed.count()
@@ -569,6 +666,11 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
                 .parquet(groups_dir)
             )
             after_counts = data_file_counts(groups_dir)
+            # Every epoch folded into the base: the used-epoch-id map
+            # resets — folded ids may be reused (their replay domain no
+            # longer exists; the reuse guard would otherwise reject
+            # legitimate post-fold ids forever).
+            _update_meta(path, epoch_ops={})
             return {
                 "files_before": before,
                 "files_after": sum(after_counts.values()),

@@ -128,6 +128,23 @@ def test_cascade_forgets_everywhere(spark, stores, tmp_path):
     }
 
 
+def test_full_forget_empties_store_ok(spark, tmp_path):
+    """Forgetting EVERY row drops all data files; the verify pass must
+    report residue 0 — not the parquet schema-inference error an empty
+    directory raises (r10 ADVICE: a fully successful compliance delete
+    was reported as status='error')."""
+    from flink_quickstart_spark.operators.similarity import lsh_build_index
+
+    path = str(tmp_path / "lsh_all")
+    vecs = _vecs(spark, None)
+    lsh_build_index(vecs, path, num_tables=2)
+    audit = forget_rows(
+        spark, [{"kind": "lsh", "path": path, "df": vecs}], verify=True
+    )
+    assert audit[0]["status"] == "ok"
+    assert audit[0]["residue"] == 0
+
+
 def test_verify_catches_residue(spark, tmp_path):
     """A store whose delete 'missed' rows (simulated by re-appending
     them) must fail the cascade loudly — and the audit shows which."""

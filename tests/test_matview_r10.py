@@ -201,6 +201,24 @@ def test_over_retraction_fails_loudly(spark, tmp_path):
     assert {t for t in before if t[0] != 7} == after
 
 
+def test_minmax_over_retraction_never_inserted(spark, tmp_path):
+    """Non-subtractable (min/max) retract path: a batch group that was
+    never inserted must raise, not be silently INSERTED via the
+    recompute-and-union (r10 ADVICE)."""
+    path = str(tmp_path / "mv")
+    full = _rows(spark, 0, 1000)  # groups k = 0..39
+    mv_build(full, path, ["k"], SPEC, n_buckets=16)
+    phantom = spark.range(0, 10).select(
+        F.lit(999).cast("bigint").alias("k"),
+        (F.col("id") * 3 % 100).cast("double").alias("v"),
+    )
+    before = _finalized(spark, path)
+    with pytest.raises(ValueError, match="never inserted"):
+        mv_retract(spark, path, phantom, source_df=full.unionByName(phantom))
+    assert _finalized(spark, path) == before  # store unchanged
+    assert 999 not in {t[0] for t in _finalized(spark, path)}
+
+
 def test_writer_lease_blocks_concurrent_maintenance(spark, tmp_path):
     path = str(tmp_path / "mv")
     mv_build(_rows(spark, 0, 500), path, ["k"], SPEC_SUB, n_buckets=8)

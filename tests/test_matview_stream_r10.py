@@ -125,6 +125,39 @@ def test_epoch_retract_vanish_and_over_retraction(spark, tmp_path):
     assert _group_rows(spark, path) == before  # checked BEFORE any write
 
 
+def test_epoch_id_reuse_guards(spark, tmp_path):
+    """An epoch id's replay domain is ONE batch of ONE op kind (r10
+    ADVICE): reusing a refresh id for a retract raises, and reusing an
+    id for a DIFFERENT batch whose buckets don't cover the existing
+    partitions raises (dynamic overwrite would leave a mixed epoch)."""
+    path = str(tmp_path / "emv")
+    mv_build(
+        _rows(spark, 0, 2000), path, ["k"], SPEC_SUB, n_buckets=8,
+        epoch_partitioned=True,
+    )
+    wide = _rows(spark, 2000, 2500)  # 23 groups -> every bucket
+    mv_refresh(spark, path, wide, epoch=1)
+    before = _group_rows(spark, path)
+    # (a) op-kind collision: epoch 1 was a refresh, retract must not reuse it
+    with pytest.raises(ValueError, match="refresh.*retract|reuse"):
+        mv_retract(spark, path, wide.where(F.col("k") == 3), epoch=1)
+    assert _group_rows(spark, path) == before
+    # (b) different-batch collision: a narrow batch (one group, one
+    # bucket) under epoch 1 leaves the wide batch's other buckets as a
+    # mixed epoch — must raise before any write
+    narrow = wide.where(F.col("k") == 3)
+    with pytest.raises(ValueError, match="different batch|does not touch"):
+        mv_refresh(spark, path, narrow, epoch=1)
+    assert _group_rows(spark, path) == before
+    # (c) a true replay (same batch, same op) still passes
+    mv_refresh(spark, path, wide, epoch=1)
+    assert _group_rows(spark, path) == before
+    # (d) epoch folding resets the id space: after compact_mv the
+    # folded ids are reusable
+    compact_mv(spark, path)
+    mv_refresh(spark, path, _rows(spark, 2500, 3000), epoch=1)
+
+
 def test_minmax_epoch_rules(spark, tmp_path):
     path = str(tmp_path / "emv")
     full = _rows(spark, 0, 1000)

@@ -1073,6 +1073,15 @@ def main() -> int:
     if _MINTED:
         print(f"cleanup: deleting {len(_MINTED)} minted upsert batches (untimed)")
         cleanup_minted_batches(spark)
+    # MV cleanup gates on ITS OWN state, not _MINTED: a run selecting MV
+    # probes but no minting upsert keys (e.g. --keys mv_refresh_fixed)
+    # must still retract its merged batches or the shared .scale MV
+    # fixture drifts across runs (r10 ADVICE).
+    if _MV_REFRESHED:
+        print(
+            f"cleanup: retracting MV refresh batches for "
+            f"{len(_MV_REFRESHED)} sf(s) (untimed)"
+        )
         cleanup_mv_refreshes(spark)
     print(f"\n== {len(results)} keys probed, {n_flag} superlinear, {n_fail} failed (threshold {GROWTH * LINEAR_SLACK:.0f}x for {GROWTH:.0f}x data) ==")
     if args.json:
