@@ -52,9 +52,11 @@ from flink_quickstart_spark.sources.tables import load_tables
 
 
 def _postings(spark, path):
+    from flink_quickstart_spark.operators.maintenance import store_data_dir
+
     return {
         tuple(r)
-        for r in spark.read.parquet(f"{path}/postings")
+        for r in spark.read.parquet(store_data_dir(path, "postings"))
         .select("vec_id", "band_id", "bucket", "pos")
         .collect()
     }
@@ -76,11 +78,21 @@ def main() -> None:
     vec_batch = t.embeddings.where(F.col("vec_id") % 10 == 0)
 
     # 1. build once --------------------------------------------------
+    from flink_quickstart_spark.operators.similarity import ivf_drift_stats
+
     lsh, ivf, store = f"{work}/lsh", f"{work}/ivf", f"{work}/minhash"
     lsh_build_index(corpus_vecs, lsh)
     ivf_build_index(corpus_vecs, ivf, n_clusters=16)
     minhash_build_store(corpus_docs, store)
-    print(f"built LSH/IVF/minhash stores under {work}")
+    # the post-build monitor readings are the drift BASELINE: retrain
+    # decisions below compare against them, not against absolute
+    # numbers (corpora differ in intrinsic spread and balance)
+    ivf_baseline = ivf_drift_stats(spark, ivf)
+    print(
+        f"built LSH/IVF/minhash stores under {work} "
+        f"(IVF baseline qerr {ivf_baseline['qerr_mean']:.4f}, "
+        f"skew {ivf_baseline['occupancy_skew']:.2f})"
+    )
 
     # 2. upsert the vector batch ------------------------------------
     lsh_upsert_index(spark, lsh, vec_batch)
@@ -118,9 +130,13 @@ def main() -> None:
         data_file_counts,
     )
 
+    from flink_quickstart_spark.operators.maintenance import store_data_dir
+
     max_files = 1
     over = sum(
-        1 for n in data_file_counts(f"{store}/bands").values() if n > max_files
+        1
+        for n in data_file_counts(store_data_dir(store, "bands")).values()
+        if n > max_files
     )
     stats = compact_minhash_store(spark, store, max_files=max_files)
     print(
@@ -130,25 +146,73 @@ def main() -> None:
         f"{stats['files_before']} -> {stats['files_after']} data files"
     )
 
-    # 3c. MONITOR → TRIGGER → RETRAIN (r10): the read-only drift check
-    # runs per ingest day (one aggregate + one bounded sample scan);
-    # retrain — linear in corpus — fires only when the signal says the
-    # stored centroids no longer describe the corpus
+    # 3c. MONITOR → TRIGGER → RETRAIN (r10; thresholds made MEASURED in
+    # r11, VERDICT r10 item 5): the read-only drift check runs per
+    # ingest day (one aggregate + one bounded sample scan); retrain —
+    # linear in corpus — fires only when a signal says the stored
+    # centroids no longer describe the corpus. The default policy is
+    # BASELINE-RELATIVE, on EITHER monitor signal:
+    #
+    # - qerr_mean > 1.2 × baseline (+0.05 absolute floor): the corpus
+    #   moved away from the centroids (the pinned mode-drift
+    #   experiment in tests/test_invariants_r10.py shows this signal
+    #   separating cleanly on clustered corpora, where recall@1
+    #   measured 0.28 stale vs 0.94 retrained);
+    # - occupancy_skew > 2 × baseline skew: new mass is CROWDING a few
+    #   stale clusters (the mode-collapse face of drift — a
+    #   same-distribution ingest leaves skew ~unchanged because
+    #   assignment is distribution-stable, while a single-mode ingest
+    #   multiplies it toward n_clusters/2).
+    #
+    # Both factors sit well clear of same-distribution noise (a few
+    # percent) and well under real-drift movement (2×–8× on the pinned
+    # experiments). Tune from your recall SLO; this demo EXERCISES
+    # both branches of the decision.
     from flink_quickstart_spark.operators.similarity import (
-        ivf_drift_stats,
+        ivf_delete_index,
         ivf_retrain_index,
     )
 
+    QERR_RETRAIN_FACTOR = 1.2
+    SKEW_RETRAIN_FACTOR = 2.0
+    qerr_limit = max(
+        QERR_RETRAIN_FACTOR * ivf_baseline["qerr_mean"],
+        ivf_baseline["qerr_mean"] + 0.05,
+    )
+    skew_limit = SKEW_RETRAIN_FACTOR * ivf_baseline["occupancy_skew"]
+
+    def needs_retrain(h: dict) -> bool:
+        return h["qerr_mean"] > qerr_limit or h["occupancy_skew"] > skew_limit
+
     health = ivf_drift_stats(spark, ivf)
     print(
-        f"IVF drift check: qerr mean/p95 {health['qerr_mean']:.4f}/"
-        f"{health['qerr_p95']:.4f}, occupancy skew "
-        f"{health['occupancy_skew']:.2f}"
+        f"IVF drift check after ingest: qerr mean {health['qerr_mean']:.4f} "
+        f"(limit {qerr_limit:.4f}), skew {health['occupancy_skew']:.2f} "
+        f"(limit {skew_limit:.2f})"
     )
-    QERR_RETRAIN_THRESHOLD = 0.0  # demo: always retrain; a deployment
-    # sets this from its recall SLO (e.g. retrain when qerr_mean drifts
-    # >20% above the post-build baseline)
-    assert health["qerr_mean"] >= QERR_RETRAIN_THRESHOLD
+    # same-distribution ingest: the monitor must NOT fire
+    assert not needs_retrain(health), "fresh index flagged as drifted"
+    print("no retrain triggered (fresh index) — as expected")
+
+    # inject real drift — a tight new MODE (every vector near e0, the
+    # pinned experiment's shape) — and watch the same monitor fire,
+    # retrain, and clear
+    drifted = corpus_vecs.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x * 0.1 + 1.0).otherwise(x * 0.1),
+        )
+        .cast("array<float>")  # keep the store's element type exactly
+        .alias("embedding"),
+    )
+    ivf_upsert_index(spark, ivf, drifted)
+    health = ivf_drift_stats(spark, ivf)
+    assert needs_retrain(health), "real drift not flagged"
+    print(
+        f"drift injected: qerr mean {health['qerr_mean']:.4f}, skew "
+        f"{health['occupancy_skew']:.2f} — threshold crossed, retraining"
+    )
     report = ivf_retrain_index(spark, ivf)
     print(
         "IVF retrain: centroid shift mean/max "
@@ -156,6 +220,23 @@ def main() -> None:
         f"occupancy skew {report['occupancy_skew_before']:.2f} -> "
         f"{report['occupancy_skew_after']:.2f} over {report['n_members']} members"
     )
+    # post-retrain the monitor must IMPROVE on both axes (full
+    # clearance is data-dependent: a point-mass mode keeps occupancy
+    # inherently skewed even under optimal centroids — half the corpus
+    # is literally one point — so the deployment signal to alarm on is
+    # the before/after delta, and the pinned recall experiment shows
+    # the retrained index is the one that actually serves well)
+    pre_qerr, pre_skew = health["qerr_mean"], health["occupancy_skew"]
+    health = ivf_drift_stats(spark, ivf)
+    assert health["qerr_mean"] < pre_qerr, "retrain did not reduce qerr"
+    assert health["occupancy_skew"] < pre_skew, "retrain did not rebalance"
+    print(
+        f"post-retrain monitor improved: qerr {pre_qerr:.4f} -> "
+        f"{health['qerr_mean']:.4f}, skew {pre_skew:.2f} -> "
+        f"{health['occupancy_skew']:.2f}"
+    )
+    # the injected mode leaves (it was synthetic retention fodder)
+    ivf_delete_index(spark, ivf, drifted)
 
     # 3d. the COMPRESSED tier runs the same lifecycle (r10, K4i):
     # IVFPQ stores 16 residual code bytes per vector partitioned by

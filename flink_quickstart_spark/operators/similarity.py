@@ -25,6 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_quickstart_spark.operators.maintenance import (
+    AbortStoreGeneration,
+    current_store_root,
+    store_data_dir,
+    store_generation,
+)
+
 #: Default ceiling for the broadcast-corpus tiers (bytes). Spark's own
 #: broadcast implementation tops out at 8 GB per block and executors must
 #: hold the matrix besides their shuffle/UDF memory; 2 GiB leaves
@@ -471,11 +478,11 @@ def ivf_upsert_index(
 
     Precondition: batch ids must be NEW — an id already in the index
     would be duplicated (dedup upstream; the admission flow does).
-    Single-writer: the store's writer lease is held for the duration."""
-    from flink_quickstart_spark.operators.maintenance import store_writer_lease
-
-    with store_writer_lease(path, "ivf_upsert_index"):
-        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    Publishes as an atomic generation commit (single-writer via the
+    store lease; readers see the pre- or post-upsert index, never a
+    torn batch — operators/maintenance.store_generation)."""
+    with store_generation(path, "ivf_upsert_index") as gen:
+        cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
         cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
         for r in cent_rows:
             cents[r.cluster_id] = r.centroid
@@ -483,7 +490,7 @@ def ivf_upsert_index(
             _assign_members_df(new_df, cents, id_col, vec_col)
             .write.mode("append")
             .partitionBy("cluster_id")
-            .parquet(f"{path}/members")
+            .parquet(os.path.join(gen, "members"))
         )
 
 
@@ -503,22 +510,22 @@ def ivf_delete_index(
     (id, vector) for the same reason as LSH delete: the cluster is a
     function of the vector. Cost ∝ batch + touched-cluster occupancy.
     Invariant: members == same-centroid assignment of corpus \\ batch.
-    Single-writer (store lease); local/DBFS-style paths only (emptied-
-    cluster drop is a filesystem call — fails loudly on remote schemes)."""
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
-
-    require_local_path(path, "ivf_delete_index")
-    with store_writer_lease(path, "ivf_delete_index"):
-        return _ivf_delete_locked(spark, path, del_df, id_col, vec_col)
+    Publishes as an atomic generation commit — a concurrent reader sees
+    the pre- or post-delete index, never a mix (local paths only; the
+    generation clone and emptied-cluster drop are filesystem calls)."""
+    with store_generation(path, "ivf_delete_index") as gen:
+        _ivf_delete_into(spark, path, gen, del_df, id_col, vec_col)
 
 
-def _ivf_delete_locked(spark, path, del_df, id_col, vec_col) -> None:
+def _ivf_delete_into(spark, path, gen, del_df, id_col, vec_col) -> None:
+    """Reads come from the CURRENT generation (store_data_dir — the
+    pointer is unflipped while staging), writes land in the staged
+    ``gen``. The survivor checkpoint remains as a single-materialization
+    optimization (it feeds both the write and the surviving-set
+    collect), not a correctness requirement."""
     import numpy as _np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
     cents = _np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -531,9 +538,9 @@ def _ivf_delete_locked(spark, path, del_df, id_col, vec_col) -> None:
             for r in assigned.select("cluster_id").distinct().collect()
         ]
         if not clusters:
-            return
+            raise AbortStoreGeneration
         survivors = (
-            spark.read.parquet(f"{path}/members")
+            spark.read.parquet(store_data_dir(path, "members"))
             .where(F.col("cluster_id").isin(clusters))
             .join(
                 assigned.select(F.col(id_col).alias("_del_id")).distinct(),
@@ -548,14 +555,14 @@ def _ivf_delete_locked(spark, path, del_df, id_col, vec_col) -> None:
                 survivors.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("cluster_id")
-                .parquet(f"{path}/members")
+                .parquet(os.path.join(gen, "members"))
             )
             surviving = {
                 (int(r.cluster_id),)
                 for r in survivors.select("cluster_id").distinct().collect()
             }
             _drop_empty_partitions(
-                f"{path}/members",
+                os.path.join(gen, "members"),
                 [(c,) for c in clusters],
                 surviving,
                 ["cluster_id"],
@@ -591,6 +598,11 @@ def ivf_build_index(
     This is the build-once/probe-many shape a 100 TB vector corpus
     needs: training cost is paid once, every query session afterwards
     loads |centroids| floats and prunes the member scan."""
+    from flink_quickstart_spark.operators.maintenance import (
+        reset_store_generations,
+    )
+
+    reset_store_generations(path)  # rebuild over a mutated store: see docstring
     spark = df.sparkSession
     centroids = _train_centroids(
         df, id_col, vec_col, n_clusters, seed, kmeans_iters, sample_rows
@@ -634,11 +646,12 @@ def ivf_drift_stats(
     examples/index_maintenance_job.py; the signal's behavior under
     real drift (fresh ≈ low, post-drift ↑, post-retrain ↓) is pinned
     in tests/test_invariants_r10.py."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    root = current_store_root(path)  # one resolve = one consistent snapshot
+    cent_rows = spark.read.parquet(f"{root}/centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
-    members = spark.read.parquet(f"{path}/members")
+    members = spark.read.parquet(f"{root}/members")
     occ = {
         int(r.cluster_id): int(r.n)
         for r in members.groupBy("cluster_id")
@@ -689,11 +702,12 @@ def ivf_retrain_index(
        table (the index owns its vectors — no source rescan needed);
     2. **reassign** — ONE linear Arrow-batched BLAS pass over the
        members (:func:`_assign_members_df` against the new centroids);
-    3. **atomic swap** — the new members/centroids are written to
-       sibling staging dirs and swapped in with directory renames, so a
-       reader session never observes mixed centroids/members and a
-       crash mid-swap is repairable (the staging dirs are complete;
-       see the in-code crash notes);
+    3. **atomic publish** — the new members/centroids are written
+       fresh into the next GENERATION and published by one pointer
+       flip (operators/maintenance.store_generation), so a reader
+       never observes mixed centroids/members — or any intermediate
+       state at all — and a crash before the flip leaves the old
+       index untouched;
     4. **drift report** — returned dict: per-old-centroid shift to its
        nearest new centroid (mean/max cosine distance — the drift
        magnitude that motivated the retrain) and member-occupancy skew
@@ -709,18 +723,14 @@ def ivf_retrain_index(
     row-identical (members) to a from-scratch rebuild with the same
     seed. Cost: linear in corpus (sample + one assignment pass + one
     partitioned write) — the periodic op; upserts stay batch-priced
-    between retrains. Single-writer (store lease held); local paths
-    (the swap is a filesystem rename)."""
-    import shutil
-
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
-
-    require_local_path(path, "ivf_retrain_index")
-    with store_writer_lease(path, "ivf_retrain_index"):
-        old_cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    between retrains. Atomic generation commit (single-writer via the
+    store lease; local paths — the publish is a pointer flip)."""
+    with store_generation(
+        path, "ivf_retrain_index", replace_subdirs=("members", "centroids")
+    ) as gen:
+        old_cent_rows = spark.read.parquet(
+            store_data_dir(path, "centroids")
+        ).collect()
         old_cents = np.zeros(
             (len(old_cent_rows), len(old_cent_rows[0].centroid))
         )
@@ -728,10 +738,11 @@ def ivf_retrain_index(
             old_cents[r.cluster_id] = r.centroid
         k = n_clusters if n_clusters is not None else len(old_cent_rows)
 
-        members = spark.read.parquet(f"{path}/members").select(id_col, vec_col)
+        members_dir = store_data_dir(path, "members")
+        members = spark.read.parquet(members_dir).select(id_col, vec_col)
         occ_before = {
             int(r.cluster_id): int(r.n)
-            for r in spark.read.parquet(f"{path}/members")
+            for r in spark.read.parquet(members_dir)
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -740,40 +751,24 @@ def ivf_retrain_index(
             members, id_col, vec_col, k, seed, kmeans_iters, sample_rows
         )
 
-        mem_tmp = f"{path}/members.retrain-staging"
-        cent_tmp = f"{path}/centroids.retrain-staging"
-        for d in (mem_tmp, cent_tmp):
-            if os.path.isdir(d):
-                shutil.rmtree(d)  # residue of a crashed prior retrain
+        # the retrain replaces BOTH subdirs, so they are written fresh
+        # into the staged generation (replace_subdirs skipped the clone)
+        # — the former staging/trash rename dance is subsumed by the
+        # generation publish
         reassigned = _assign_members_df(members, new_cents, id_col, vec_col)
         (
             reassigned.write.mode("overwrite")
             .partitionBy("cluster_id")
-            .parquet(mem_tmp)
+            .parquet(os.path.join(gen, "members"))
         )
         spark.createDataFrame(
             [(int(i), [float(x) for x in c]) for i, c in enumerate(new_cents)],
             "cluster_id int, centroid array<double>",
-        ).write.mode("overwrite").parquet(cent_tmp)
-
-        # swap: old dirs to trash, staging to live, trash removed. A
-        # crash between the renames leaves either (old live, staging
-        # complete) or (trash + staging complete, live missing) — both
-        # repaired by simply re-running retrain (staging is rebuilt
-        # from trash-restored members) or restoring the trash dirs; no
-        # state mixes old centroids with new members.
-        mem_trash = f"{path}/members.retrain-trash"
-        cent_trash = f"{path}/centroids.retrain-trash"
-        os.rename(f"{path}/members", mem_trash)
-        os.rename(mem_tmp, f"{path}/members")
-        os.rename(f"{path}/centroids", cent_trash)
-        os.rename(cent_tmp, f"{path}/centroids")
-        shutil.rmtree(mem_trash)
-        shutil.rmtree(cent_trash)
+        ).write.mode("overwrite").parquet(os.path.join(gen, "centroids"))
 
         occ_after = {
             int(r.cluster_id): int(r.n)
-            for r in spark.read.parquet(f"{path}/members")
+            for r in spark.read.parquet(os.path.join(gen, "members"))
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -982,6 +977,11 @@ def lsh_build_index(
     cap still takes an unbiased hash sample and page pruning still
     applies.
     """
+    from flink_quickstart_spark.operators.maintenance import (
+        reset_store_generations,
+    )
+
+    reset_store_generations(path)  # rebuild over a mutated store: see docstring
     spark = df.sparkSession
     first = df.select(F.size(vec_col)).first()
     dim = int(first[0]) if first and first[0] is not None else 0
@@ -1091,15 +1091,15 @@ def lsh_upsert_index(
     would be duplicated — dedup upstream; the admission flow does);
     the batch plan is materialized internally (localCheckpoint) so the
     prune-set collection and the merge see identical rows even for a
-    nondeterministic input plan (r8 ADVICE class). Single-writer: the
-    store's writer lease is held for the duration (concurrent
-    maintenance would race the dynamic overwrite silently —
-    operators/maintenance.store_writer_lease)."""
+    nondeterministic input plan (r8 ADVICE class). Publishes as an
+    atomic generation commit (single-writer via the store lease;
+    readers see the pre- or post-upsert index, never a torn batch)."""
     from flink_quickstart_spark.operators.iterative import _release
-    from flink_quickstart_spark.operators.maintenance import store_writer_lease
 
-    with store_writer_lease(path, "lsh_upsert_index"):
-        proj_rows = spark.read.parquet(f"{path}/projections").collect()
+    with store_generation(path, "lsh_upsert_index") as gen:
+        proj_rows = spark.read.parquet(
+            store_data_dir(path, "projections")
+        ).collect()
         bucket_length = float(proj_rows[0].bucket_length)
         dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
         for r in proj_rows:
@@ -1122,7 +1122,9 @@ def lsh_upsert_index(
                 "lsh_upsert_index",
             )
             if not combos:
-                return  # empty batch: nothing to merge, index untouched
+                # empty batch: nothing to merge — discard the staged
+                # generation, index untouched
+                raise AbortStoreGeneration
             by_band: dict[int, list[int]] = {}
             for r in combos:
                 by_band.setdefault(r.band_id, []).append(r.bucket)
@@ -1131,7 +1133,7 @@ def lsh_upsert_index(
                 clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
                 prune = clause if prune is None else (prune | clause)
             existing = (
-                spark.read.parquet(f"{path}/postings")
+                spark.read.parquet(store_data_dir(path, "postings"))
                 .where(prune)
                 .select(id_col, vec_col, "band_id", "bucket")
             )
@@ -1142,7 +1144,7 @@ def lsh_upsert_index(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("band_id", "bucket")
-                .parquet(f"{path}/postings")
+                .parquet(os.path.join(gen, "postings"))
             )
         finally:
             _release(new_rows)  # batch-sized checkpoint blocks, freed eagerly
@@ -1204,23 +1206,18 @@ def lsh_delete_index(
     exists to avoid). Cost ∝ batch × tables × touched-bucket occupancy.
     Invariant (tests/test_invariants_r9.py): delete(build(corpus), X)
     is row-identical to build(corpus \\ X), and delete ∘ upsert is the
-    identity. Single-writer (store lease held); local/DBFS-style store
-    paths only (the emptied-partition drop is a filesystem call —
-    fails loudly on remote schemes, see maintenance.require_local_path)."""
-    from flink_quickstart_spark.operators.maintenance import (
-        require_local_path,
-        store_writer_lease,
-    )
-
-    require_local_path(path, "lsh_delete_index")
-    with store_writer_lease(path, "lsh_delete_index"):
-        _lsh_delete_locked(spark, path, del_df, id_col, vec_col, max_combos)
+    identity. Publishes as an atomic generation commit — a concurrent
+    reader sees the pre- or post-delete index, never a mix (local
+    paths only; generation clone + emptied-partition drop are
+    filesystem calls — fail loudly on remote schemes)."""
+    with store_generation(path, "lsh_delete_index") as gen:
+        _lsh_delete_into(spark, path, gen, del_df, id_col, vec_col, max_combos)
 
 
-def _lsh_delete_locked(
-    spark, path, del_df, id_col, vec_col, max_combos
+def _lsh_delete_into(
+    spark, path, gen, del_df, id_col, vec_col, max_combos
 ) -> None:
-    proj_rows = spark.read.parquet(f"{path}/projections").collect()
+    proj_rows = spark.read.parquet(store_data_dir(path, "projections")).collect()
     bucket_length = float(proj_rows[0].bucket_length)
     dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
     for r in proj_rows:
@@ -1244,7 +1241,7 @@ def _lsh_delete_locked(
             )
         ]
         if not combos:
-            return
+            raise AbortStoreGeneration  # empty batch — index untouched
         by_band: dict[int, list[int]] = {}
         for band, bucket in combos:
             by_band.setdefault(band, []).append(bucket)
@@ -1253,7 +1250,7 @@ def _lsh_delete_locked(
             clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
             prune = clause if prune is None else (prune | clause)
         survivors_df = (
-            spark.read.parquet(f"{path}/postings")
+            spark.read.parquet(store_data_dir(path, "postings"))
             .where(prune)
             .select(id_col, vec_col, "band_id", "bucket")
             .join(
@@ -1272,14 +1269,15 @@ def _lsh_delete_locked(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("band_id", "bucket")
-                .parquet(f"{path}/postings")
+                .parquet(os.path.join(gen, "postings"))
             )
             surviving = {
                 (int(r.band_id), int(r.bucket))
                 for r in posted.select("band_id", "bucket").distinct().collect()
             }
             _drop_empty_partitions(
-                f"{path}/postings", combos, surviving, ["band_id", "bucket"]
+                os.path.join(gen, "postings"), combos, surviving,
+                ["band_id", "bucket"],
             )
         finally:
             from flink_quickstart_spark.operators.iterative import _release
@@ -1337,7 +1335,8 @@ def lsh_query_index(
     an order can yield a prune set that disagrees with the join-side
     rows and silently drop matches. Materialize (localCheckpoint) a
     nondeterministic batch first."""
-    proj_rows = spark.read.parquet(f"{path}/projections").collect()
+    root = current_store_root(path)  # one resolve = one consistent snapshot
+    proj_rows = spark.read.parquet(f"{root}/projections").collect()
     bucket_length = float(proj_rows[0].bucket_length)
     dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
     for r in proj_rows:
@@ -1378,7 +1377,7 @@ def lsh_query_index(
     for band, buckets in by_band.items():
         clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
         prune = clause if prune is None else (prune | clause)
-    postings = spark.read.parquet(f"{path}/postings").where(
+    postings = spark.read.parquet(f"{root}/postings").where(
         F.col("pos") <= cap_per_bucket
     )
     if prune is not None:
@@ -1487,7 +1486,8 @@ def ivf_query_index(
     it and the cogroup re-executes it; materialize (localCheckpoint) a
     nondeterministic batch first, or its probe rows may land in pruned-
     away clusters and silently drop matches."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    root = current_store_root(path)  # one resolve = one consistent snapshot
+    cent_rows = spark.read.parquet(f"{root}/centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -1524,7 +1524,7 @@ def ivf_query_index(
         int(r.cluster_id)
         for r in probes.select("cluster_id").distinct().collect()
     ]
-    members = spark.read.parquet(f"{path}/members").where(
+    members = spark.read.parquet(f"{root}/members").where(
         F.col("cluster_id").isin(probed)
     )
 

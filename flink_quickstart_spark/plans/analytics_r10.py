@@ -36,6 +36,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 from flink_quickstart_spark.plans.analytics_r9 import _multiset_equal, _scratch
 from flink_quickstart_spark.plans.registry import register, tables
 
@@ -107,15 +108,15 @@ def q_llm_ivf_retrain(spark, sf_dir):
         "centroids",
     )
     members_eq = _multiset_equal(
-        spark.read.parquet(f"{ret}/members"),
-        spark.read.parquet(f"{ref}/members"),
+        spark.read.parquet(_sdd(ret, "members")),
+        spark.read.parquet(_sdd(ref, "members")),
         ["vec_id", "cluster_id"],
         "n_members",
         "retrain_eq_rebuild",
     )
     cents_eq = _multiset_equal(
-        spark.read.parquet(f"{ret}/centroids"),
-        spark.read.parquet(f"{ref}/centroids"),
+        spark.read.parquet(_sdd(ret, "centroids")),
+        spark.read.parquet(_sdd(ref, "centroids")),
         ["cluster_id", "centroid"],
         "_n_cents",
         "centroids_eq_rebuild",
@@ -181,7 +182,7 @@ def q_maintenance_compact_subset(spark, sf_dir):
         minhash_build_store(corpus, store)
         minhash_upsert_store(spark, store, batch)
         over = sum(
-            1 for n in data_file_counts(f"{store}/bands").values() if n > 1
+            1 for n in data_file_counts(_sdd(store, "bands")).values() if n > 1
         )
         stats = compact_minhash_store(spark, store, max_files=1)
         stats["over_threshold_pre"] = over
@@ -194,7 +195,7 @@ def q_maintenance_compact_subset(spark, sf_dir):
     _ensure_index(lambda: minhash_build_store(t.documents, full), full, src, "meta")
     with open(stats_file) as fh:
         stats = json.load(fh)
-    counts = data_file_counts(f"{store}/bands")
+    counts = data_file_counts(_sdd(store, "bands"))
     one_file = all(n == 1 for n in counts.values())
     # rewrite count == over-threshold count at ANY scale; that the
     # under-threshold partitions are a NON-EMPTY set whose files stay
@@ -204,8 +205,8 @@ def q_maintenance_compact_subset(spark, sf_dir):
     only_over = stats["partitions_compacted"] == stats["over_threshold_pre"]
     return (
         _multiset_equal(
-            spark.read.parquet(f"{store}/bands"),
-            spark.read.parquet(f"{full}/bands"),
+            spark.read.parquet(_sdd(store, "bands")),
+            spark.read.parquet(_sdd(full, "bands")),
             ["doc_id", "band_id", "sig"],
             "n_band_rows",
             "subset_eq_full",
@@ -261,7 +262,7 @@ def q_llm_pq_encode(spark, sf_dir):
     books = load_codebooks(spark, path)
     enc_eq = _multiset_equal(
         pq_encode_df(t.embeddings, books),
-        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(_sdd(path, "codes")),
         ["vec_id", "codes"],
         "n_vecs",
         "encode_deterministic",
@@ -462,7 +463,7 @@ def q_llm_ivfpq_upsert(spark, sf_dir):
     ref = _ivfpq_encode_df(t.embeddings, cents, books)
     cols = ["vec_id", "codes", "cluster_id"]
     return _multiset_equal(
-        spark.read.parquet(f"{ups}/codes").select(*cols),
+        spark.read.parquet(_sdd(ups, "codes")).select(*cols),
         ref.select(*cols),
         cols,
         "n_codes",
@@ -536,8 +537,8 @@ def q_llm_ivfpq_retrain(spark, sf_dir):
         "codebooks",
     )
     codes_eq = _multiset_equal(
-        spark.read.parquet(f"{ret}/codes"),
-        spark.read.parquet(f"{ref}/codes"),
+        spark.read.parquet(_sdd(ret, "codes")),
+        spark.read.parquet(_sdd(ref, "codes")),
         ["vec_id", "codes", "cluster_id"],
         "n_codes",
         "retrain_eq_rebuild",
@@ -546,10 +547,10 @@ def q_llm_ivfpq_retrain(spark, sf_dir):
         # one frame for both trained artifacts; the codebook key folds
         # (subspace, code) so a cross-subspace permutation can't hide
         return (
-            spark.read.parquet(f"{base}/centroids")
+            spark.read.parquet(_sdd(base, "centroids"))
             .select(F.lit("cent").alias("kind"), F.col("cluster_id").alias("slot"), "centroid")
             .unionByName(
-                spark.read.parquet(f"{base}/codebooks").select(
+                spark.read.parquet(_sdd(base, "codebooks")).select(
                     F.lit("book").alias("kind"),
                     (F.col("subspace") * 100_000 + F.col("code")).alias("slot"),
                     F.col("centroid"),
@@ -910,10 +911,10 @@ def q_llm_forget(spark, sf_dir):
         audit += json.load(fh)
     ok = all(a["status"] == "ok" for a in audit) and len(audit) == 4
     residue = sum(a["residue"] or 0 for a in audit)
-    n_bands = spark.read.parquet(f"{p_minhash}/bands").count()
-    n_post = spark.read.parquet(f"{p_lsh}/postings").count()
-    n_mem = spark.read.parquet(f"{p_ivf}/members").count()
-    n_codes = spark.read.parquet(f"{p_ivfpq}/codes").count()
+    n_bands = spark.read.parquet(_sdd(p_minhash, "bands")).count()
+    n_post = spark.read.parquet(_sdd(p_lsh, "postings")).count()
+    n_mem = spark.read.parquet(_sdd(p_ivf, "members")).count()
+    n_codes = spark.read.parquet(_sdd(p_ivfpq, "codes")).count()
     return spark.range(1).select(
         F.lit(n_bands).cast("bigint").alias("n_bands_after"),
         F.lit(n_post).cast("bigint").alias("n_postings_after"),

@@ -85,10 +85,11 @@ def kafka_stream(
     /opt/spark/jars) — calling this without it raises Spark's
     MISSING_KAFKA_PACKAGE AnalysisException. Tests use the directory-
     monitoring file source instead (streaming/harness.py). Offline
-    acquisition re-attempted and still unavailable r9 (2026-08-15 AM)
-    and r10 (2026-08-15 PM, re-checked 2026-08-16: no kafka jar
-    anywhere on disk, PyPI unreachable — DNS resolution fails): the
-    environment contract forbids package installs.
+    acquisition re-attempted and still unavailable r9 (2026-08-15 AM),
+    r10 (2026-08-15 PM), and r11 (2026-08-16: `find / -name
+    '*kafka*.jar'` → nothing, no protobuf wheel outside pyspark's
+    vendored stubs, PyPI DNS resolution fails): the environment
+    contract forbids package installs.
     """
     return (
         spark.readStream.format("kafka")

@@ -36,6 +36,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 
 def _emb(spark):
@@ -86,18 +87,18 @@ def test_ivf_retrain_eq_fresh_build(spark, tmp_path):
     ivf_build_index(emb, ref, n_clusters=8)
 
     mcols = ["vec_id", "cluster_id"]
-    assert _multiset(spark.read.parquet(f"{ret}/members"), mcols) == _multiset(
-        spark.read.parquet(f"{ref}/members"), mcols
+    assert _multiset(spark.read.parquet(_sdd(ret, "members")), mcols) == _multiset(
+        spark.read.parquet(_sdd(ref, "members")), mcols
     )
     # centroids bit-identical: same sample (orderBy id), same seed,
     # same driver-side numpy on identical float64 inputs
     a = {
         r.cluster_id: tuple(r.centroid)
-        for r in spark.read.parquet(f"{ret}/centroids").collect()
+        for r in spark.read.parquet(_sdd(ret, "centroids")).collect()
     }
     b = {
         r.cluster_id: tuple(r.centroid)
-        for r in spark.read.parquet(f"{ref}/centroids").collect()
+        for r in spark.read.parquet(_sdd(ref, "centroids")).collect()
     }
     assert a == b
     for k in (
@@ -137,10 +138,10 @@ def test_ivf_retrain_restores_quality_on_drift(spark, tmp_path):
     def mean_qerr() -> float:
         cents = {
             r.cluster_id: np.array(r.centroid)
-            for r in spark.read.parquet(f"{path}/centroids").collect()
+            for r in spark.read.parquet(_sdd(path, "centroids")).collect()
         }
         errs = []
-        for r in spark.read.parquet(f"{path}/members").collect():
+        for r in spark.read.parquet(_sdd(path, "members")).collect():
             v = np.array(r.embedding, dtype=np.float64)
             v = v / np.linalg.norm(v)
             errs.append(1.0 - float(v @ cents[r.cluster_id]))
@@ -245,7 +246,7 @@ def test_subset_compaction_touches_only_over_threshold(spark, tmp_path):
     minhash_build_store(corpus, store)
     minhash_upsert_store(spark, store, batch)
 
-    bands = f"{store}/bands"
+    bands = _sdd(store, "bands")
     pre_counts = data_file_counts(bands)
     over = {p for p, n in pre_counts.items() if n > 1}
     under = {p for p, n in pre_counts.items() if n <= 1}
@@ -256,6 +257,10 @@ def test_subset_compaction_touches_only_over_threshold(spark, tmp_path):
     stats = compact_minhash_store(spark, store, max_files=1)
     assert stats["partitions_compacted"] == len(over)
 
+    bands = _sdd(store, "bands")  # re-resolve: compaction published a
+    # new generation (r11); the untouched partitions' files inside it
+    # are HARDLINKS of the pre-compaction files, so the same-bytes/
+    # same-mtime identity check below still holds by inode sharing
     post_counts = data_file_counts(bands)
     assert all(post_counts[p] == 1 for p in over)
     post = _multiset(spark.read.parquet(bands), ["doc_id", "band_id", "sig"])
@@ -276,10 +281,10 @@ def test_subset_compaction_noop_below_threshold(spark, tmp_path):
 
     store = str(tmp_path / "store")
     minhash_build_store(_docs(spark), store)
-    snap = _file_snapshot(f"{store}/bands")
+    snap = _file_snapshot(_sdd(store, "bands"))
     stats = compact_minhash_store(spark, store, max_files=1)
     assert stats["partitions_compacted"] == 0
-    assert _file_snapshot(f"{store}/bands") == snap
+    assert _file_snapshot(_sdd(store, "bands")) == snap
 
 
 # ------------------------------------------------------------ the lease
@@ -299,7 +304,7 @@ def test_lease_contention_fails_loudly_and_store_intact(spark, tmp_path):
     store = str(tmp_path / "store")
     minhash_build_store(docs.where(F.col("doc_id") % 10 != 0), store)
     pre = _multiset(
-        spark.read.parquet(f"{store}/bands"), ["doc_id", "band_id", "sig"]
+        spark.read.parquet(_sdd(store, "bands")), ["doc_id", "band_id", "sig"]
     )
     with store_writer_lease(store, "test-holder"):
         with pytest.raises(StoreWriterConflict, match="test-holder"):
@@ -308,7 +313,7 @@ def test_lease_contention_fails_loudly_and_store_intact(spark, tmp_path):
             )
     assert (
         _multiset(
-            spark.read.parquet(f"{store}/bands"), ["doc_id", "band_id", "sig"]
+            spark.read.parquet(_sdd(store, "bands")), ["doc_id", "band_id", "sig"]
         )
         == pre
     )
@@ -366,7 +371,7 @@ def test_combo_budget_guard_fails_loudly(spark, tmp_path):
     path = str(tmp_path / "lsh")
     lsh_build_index(emb.where(F.col("vec_id") % 10 != 0), path)
     pre = _multiset(
-        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(_sdd(path, "postings")),
         ["vec_id", "band_id", "bucket", "pos"],
     )
     with pytest.raises(ValueError, match="rebuild"):
@@ -375,7 +380,7 @@ def test_combo_budget_guard_fails_loudly(spark, tmp_path):
         )
     assert (
         _multiset(
-            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(_sdd(path, "postings")),
             ["vec_id", "band_id", "bucket", "pos"],
         )
         == pre
@@ -438,13 +443,13 @@ def test_epoch_upsert_replay_idempotent_and_eq_flat(spark, tmp_path):
     minhash_build_store(corpus, epoch, epoch_partitioned=True)
     minhash_upsert_store(spark, epoch, batch, epoch=1)
     cols = ["doc_id", "band_id", "sig"]
-    once = _multiset(spark.read.parquet(f"{epoch}/bands"), cols)
+    once = _multiset(spark.read.parquet(_sdd(epoch, "bands")), cols)
     # replay: the dynamic overwrite of _epoch=1 replaces, never appends
     minhash_upsert_store(spark, epoch, batch, epoch=1)
-    assert _multiset(spark.read.parquet(f"{epoch}/bands"), cols) == once
+    assert _multiset(spark.read.parquet(_sdd(epoch, "bands")), cols) == once
     # and the epoch layout carries exactly the flat union's rows
     minhash_build_store(docs, full)
-    assert _multiset(spark.read.parquet(f"{full}/bands"), cols) == once
+    assert _multiset(spark.read.parquet(_sdd(full, "bands")), cols) == once
 
 
 def test_epoch_store_delete_drops_emptied_epoch_partitions(spark, tmp_path):
@@ -463,13 +468,13 @@ def test_epoch_store_delete_drops_emptied_epoch_partitions(spark, tmp_path):
     minhash_delete_store(spark, epoch, batch)
     cols = ["doc_id", "band_id", "sig"]
     minhash_build_store(corpus, ref)
-    assert _multiset(spark.read.parquet(f"{epoch}/bands"), cols) == _multiset(
-        spark.read.parquet(f"{ref}/bands"), cols
+    assert _multiset(spark.read.parquet(_sdd(epoch, "bands")), cols) == _multiset(
+        spark.read.parquet(_sdd(ref, "bands")), cols
     )
     # every _epoch=1 partition was emptied by the delete → dropped
     leftovers = [
         root
-        for root, _d, files in os.walk(f"{epoch}/bands")
+        for root, _d, files in os.walk(_sdd(epoch, "bands"))
         if "_epoch=1" in root and any(f.endswith(".parquet") for f in files)
     ]
     assert leftovers == []
@@ -491,13 +496,13 @@ def test_fold_epochs_compaction(spark, tmp_path):
     minhash_build_store(corpus, store, epoch_partitioned=True)
     minhash_upsert_store(spark, store, batch, epoch=1)
     cols = ["doc_id", "band_id", "sig"]
-    pre = _multiset(spark.read.parquet(f"{store}/bands"), cols)
+    pre = _multiset(spark.read.parquet(_sdd(store, "bands")), cols)
     compact_minhash_store(spark, store)
-    assert _multiset(spark.read.parquet(f"{store}/bands"), cols) == pre
+    assert _multiset(spark.read.parquet(_sdd(store, "bands")), cols) == pre
     # all epochs folded into 0
     epochs = {
         seg
-        for root, _d, files in os.walk(f"{store}/bands")
+        for root, _d, files in os.walk(_sdd(store, "bands"))
         if any(f.endswith(".parquet") for f in files)
         for seg in root.split(os.sep)
         if seg.startswith("_epoch=")
@@ -526,7 +531,7 @@ def test_pq_encode_deterministic_and_compact(spark, tmp_path):
     assert k <= 256 and m * 1 <= dim * 4 / 16
     persisted = {
         r.vec_id: tuple(r.codes)
-        for r in spark.read.parquet(f"{path}/codes").collect()
+        for r in spark.read.parquet(_sdd(path, "codes")).collect()
     }
     fresh = {
         r.vec_id: tuple(r.codes) for r in pq_encode_df(emb, books).collect()
@@ -611,10 +616,10 @@ def test_ivf_drift_monitor_tracks_drift(spark, tmp_path):
     )
     path = str(tmp_path / "mon")
     ivf_build_index(emb, path, n_clusters=8)
-    snap = _file_snapshot(f"{path}/members")
+    snap = _file_snapshot(_sdd(path, "members"))
     fresh = ivf_drift_stats(spark, path)
     # monitor is READ-ONLY: the member files are untouched by it
-    assert _file_snapshot(f"{path}/members") == snap
+    assert _file_snapshot(_sdd(path, "members")) == snap
     ivf_upsert_index(spark, path, drifted)
     after_drift = ivf_drift_stats(spark, path)
     # drifted ids are negative → orderBy(id) sampling sees them first,

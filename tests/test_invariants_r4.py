@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from flink_quickstart_spark.plans import load_all, registry
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 load_all()
 
@@ -246,7 +247,7 @@ def test_ivf_persistent_index_build_then_query(spark, tmp_path):
     emb = tables(spark, SF_DIR).embeddings
     idx = str(tmp_path / "ivf")
     ivf_build_index(emb, idx, n_clusters=16)
-    parts = [d for d in os.listdir(f"{idx}/members") if d.startswith("cluster_id=")]
+    parts = [d for d in os.listdir(_sdd(idx, "members")) if d.startswith("cluster_id=")]
     assert len(parts) >= 2  # partitioned layout exists
 
     queries = emb.orderBy("vec_id").limit(20)

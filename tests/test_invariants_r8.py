@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from flink_quickstart_spark.plans import load_all
 from flink_quickstart_spark.plans.registry import REGISTRY, tables
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 load_all()
 
@@ -177,7 +178,7 @@ def test_lsh_build_handles_total_bucket_skew(spark, tmp_path):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     idx = str(tmp_path / "skew_idx")
     lsh_build_index(df, idx)
-    p = spark.read.parquet(f"{idx}/postings")
+    p = spark.read.parquet(_sdd(idx, "postings"))
     stats = (
         p.groupBy("band_id", "bucket")
         .agg(

@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 
 def _emb(spark):
@@ -55,8 +56,8 @@ def test_lsh_upsert_row_identical_to_rebuild(spark, tmp_path):
     lsh_upsert_index(spark, ups, batch)
     lsh_build_index(emb, full)
     cols = ["vec_id", "band_id", "bucket", "pos"]
-    a = _multiset(spark.read.parquet(f"{ups}/postings"), cols)
-    b = _multiset(spark.read.parquet(f"{full}/postings"), cols)
+    a = _multiset(spark.read.parquet(_sdd(ups, "postings")), cols)
+    b = _multiset(spark.read.parquet(_sdd(full, "postings")), cols)
     assert a == b and sum(a.values()) == emb.count() * 4
 
 
@@ -73,7 +74,7 @@ def test_lsh_upsert_preserves_pos_contiguity(spark, tmp_path):
     lsh_build_index(emb.where(F.col("vec_id") % 10 != 0), ups)
     lsh_upsert_index(spark, ups, emb.where(F.col("vec_id") % 10 == 0))
     bad = (
-        spark.read.parquet(f"{ups}/postings")
+        spark.read.parquet(_sdd(ups, "postings"))
         .groupBy("band_id", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -101,12 +102,12 @@ def test_lsh_upsert_empty_batch_is_noop(spark, tmp_path):
     ups = str(tmp_path / "ups")
     lsh_build_index(emb, ups)
     before = _multiset(
-        spark.read.parquet(f"{ups}/postings"),
+        spark.read.parquet(_sdd(ups, "postings")),
         ["vec_id", "band_id", "bucket", "pos"],
     )
     lsh_upsert_index(spark, ups, emb.where(F.lit(False)))
     after = _multiset(
-        spark.read.parquet(f"{ups}/postings"),
+        spark.read.parquet(_sdd(ups, "postings")),
         ["vec_id", "band_id", "bucket", "pos"],
     )
     assert before == after
@@ -154,8 +155,8 @@ def test_lsh_delete_matches_rebuild_and_drops_empty_buckets(spark, tmp_path):
     lsh_delete_index(spark, a, dele)
     lsh_build_index(keep, b)
     cols = ["vec_id", "band_id", "bucket", "pos"]
-    assert _multiset(spark.read.parquet(f"{a}/postings"), cols) == _multiset(
-        spark.read.parquet(f"{b}/postings"), cols
+    assert _multiset(spark.read.parquet(_sdd(a, "postings")), cols) == _multiset(
+        spark.read.parquet(_sdd(b, "postings")), cols
     )
 
 
@@ -172,10 +173,10 @@ def test_lsh_delete_after_upsert_is_identity(spark, tmp_path):
     p = str(tmp_path / "ident")
     lsh_build_index(base, p)
     cols = ["vec_id", "band_id", "bucket", "pos"]
-    before = _multiset(spark.read.parquet(f"{p}/postings"), cols)
+    before = _multiset(spark.read.parquet(_sdd(p, "postings")), cols)
     lsh_upsert_index(spark, p, batch)
     lsh_delete_index(spark, p, batch)
-    assert _multiset(spark.read.parquet(f"{p}/postings"), cols) == before
+    assert _multiset(spark.read.parquet(_sdd(p, "postings")), cols) == before
 
 
 def test_lsh_delete_empty_batch_is_noop(spark, tmp_path):
@@ -188,9 +189,9 @@ def test_lsh_delete_empty_batch_is_noop(spark, tmp_path):
     p = str(tmp_path / "noop")
     lsh_build_index(emb, p)
     cols = ["vec_id", "band_id", "bucket", "pos"]
-    before = _multiset(spark.read.parquet(f"{p}/postings"), cols)
+    before = _multiset(spark.read.parquet(_sdd(p, "postings")), cols)
     lsh_delete_index(spark, p, emb.where(F.lit(False)))
-    assert _multiset(spark.read.parquet(f"{p}/postings"), cols) == before
+    assert _multiset(spark.read.parquet(_sdd(p, "postings")), cols) == before
 
 
 # ---------------------------------------------------------------- IVF
@@ -211,14 +212,14 @@ def test_ivf_upsert_query_matches_pinned_centroid_reference(spark, tmp_path):
     ivf_build_index(emb.where(F.col("vec_id") % 10 != 0), ups, n_clusters=8)
     ivf_upsert_index(spark, ups, emb.where(F.col("vec_id") % 10 == 0))
 
-    cent_rows = spark.read.parquet(f"{ups}/centroids").collect()
+    cent_rows = spark.read.parquet(_sdd(ups, "centroids")).collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
     _assign_members_df(emb, cents, "vec_id", "embedding").write.partitionBy(
         "cluster_id"
-    ).parquet(f"{ref}/members")
-    spark.read.parquet(f"{ups}/centroids").write.parquet(f"{ref}/centroids")
+    ).parquet(_sdd(ref, "members"))
+    spark.read.parquet(_sdd(ups, "centroids")).write.parquet(_sdd(ref, "centroids"))
 
     q = emb.orderBy("vec_id").limit(16)
     got = sorted(
@@ -242,11 +243,11 @@ def test_ivf_upsert_empty_batch_is_noop(spark, tmp_path):
     ups = str(tmp_path / "ups")
     ivf_build_index(emb, ups, n_clusters=8)
     before = _multiset(
-        spark.read.parquet(f"{ups}/members"), ["vec_id", "cluster_id"]
+        spark.read.parquet(_sdd(ups, "members")), ["vec_id", "cluster_id"]
     )
     ivf_upsert_index(spark, ups, emb.where(F.lit(False)))
     after = _multiset(
-        spark.read.parquet(f"{ups}/members"), ["vec_id", "cluster_id"]
+        spark.read.parquet(_sdd(ups, "members")), ["vec_id", "cluster_id"]
     )
     assert before == after
 
@@ -265,14 +266,14 @@ def test_ivf_delete_matches_same_centroid_assignment(spark, tmp_path):
     dele = emb.where(F.col("vec_id") % 10 != 0)
     p = str(tmp_path / "ivf")
     ivf_build_index(emb, p, n_clusters=8)
-    cent_rows = spark.read.parquet(f"{p}/centroids").collect()
+    cent_rows = spark.read.parquet(_sdd(p, "centroids")).collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
     ivf_delete_index(spark, p, dele)
     from collections import Counter
 
-    got = _multiset(spark.read.parquet(f"{p}/members"), ["vec_id", "cluster_id"])
+    got = _multiset(spark.read.parquet(_sdd(p, "members")), ["vec_id", "cluster_id"])
     want = Counter(
         (r.vec_id, r.cluster_id)
         for r in _assign_members_df(keep, cents, "vec_id", "embedding").collect()
@@ -295,8 +296,8 @@ def test_minhash_store_upsert_row_identical_to_rebuild(spark, tmp_path):
     minhash_upsert_store(spark, ups, docs.where(F.col("doc_id") % 10 == 0))
     minhash_build_store(docs, full)
     cols = ["doc_id", "band_id", "sig"]
-    assert _multiset(spark.read.parquet(f"{ups}/bands"), cols) == _multiset(
-        spark.read.parquet(f"{full}/bands"), cols
+    assert _multiset(spark.read.parquet(_sdd(ups, "bands")), cols) == _multiset(
+        spark.read.parquet(_sdd(full, "bands")), cols
     )
 
 
@@ -314,8 +315,8 @@ def test_minhash_delete_matches_rebuild(spark, tmp_path):
     minhash_delete_store(spark, a, dele)
     minhash_build_store(keep, b)
     cols = ["doc_id", "band_id", "sig"]
-    assert _multiset(spark.read.parquet(f"{a}/bands"), cols) == _multiset(
-        spark.read.parquet(f"{b}/bands"), cols
+    assert _multiset(spark.read.parquet(_sdd(a, "bands")), cols) == _multiset(
+        spark.read.parquet(_sdd(b, "bands")), cols
     )
 
 
@@ -332,13 +333,13 @@ def test_minhash_store_meta_pins_hash_family(spark, tmp_path):
     minhash_build_store(
         docs.where(F.col("doc_id") % 10 != 0), ups, hash_family="md5_60"
     )
-    meta = spark.read.parquet(f"{ups}/meta").collect()[0]
+    meta = spark.read.parquet(_sdd(ups, "meta")).collect()[0]
     assert meta.hash_family == "md5_60"
     minhash_upsert_store(spark, ups, docs.where(F.col("doc_id") % 10 == 0))
     minhash_build_store(docs, full, hash_family="md5_60")
     cols = ["doc_id", "band_id", "sig"]
-    assert _multiset(spark.read.parquet(f"{ups}/bands"), cols) == _multiset(
-        spark.read.parquet(f"{full}/bands"), cols
+    assert _multiset(spark.read.parquet(_sdd(ups, "bands")), cols) == _multiset(
+        spark.read.parquet(_sdd(full, "bands")), cols
     )
 
 
@@ -400,13 +401,13 @@ def test_compaction_preserves_rows_and_collapses_files(spark, tmp_path):
         ).withColumn("doc_id", F.col("doc_id") + 1_000_000 * (m + 1))
         minhash_upsert_store(spark, p, batch)
     cols = ["doc_id", "band_id", "sig"]
-    before = _multiset(spark.read.parquet(f"{p}/bands"), cols)
-    assert max(data_file_counts(f"{p}/bands").values()) > 1
+    before = _multiset(spark.read.parquet(_sdd(p, "bands")), cols)
+    assert max(data_file_counts(_sdd(p, "bands")).values()) > 1
     stats = compact_minhash_store(spark, p)
-    after = _multiset(spark.read.parquet(f"{p}/bands"), cols)
+    after = _multiset(spark.read.parquet(_sdd(p, "bands")), cols)
     assert after == before
     assert stats["files_after"] < stats["files_before"]
-    assert all(n == 1 for n in data_file_counts(f"{p}/bands").values())
+    assert all(n == 1 for n in data_file_counts(_sdd(p, "bands")).values())
 
 
 def test_lsh_compaction_preserves_query_results(spark, tmp_path):
@@ -437,4 +438,4 @@ def test_lsh_compaction_preserves_query_results(spark, tmp_path):
         for r in lsh_query_index(spark, p, q, radius=1.2).collect()
     }
     assert after == before
-    assert all(n == 1 for n in data_file_counts(f"{p}/postings").values())
+    assert all(n == 1 for n in data_file_counts(_sdd(p, "postings")).values())

@@ -188,20 +188,22 @@ def test_compact_folds_epochs(spark, tmp_path):
     )
     for e, lo in enumerate((2000, 2400, 2800), start=1):
         mv_refresh(spark, path, _rows(spark, lo, lo + 400), epoch=e)
+    from flink_quickstart_spark.operators.maintenance import store_data_dir
+
     before = _read_set(spark, path)
-    groups_dir = os.path.join(path, "groups")
     epochs_before = {
         d
-        for root, dirs, _f in os.walk(groups_dir)
+        for root, dirs, _f in os.walk(store_data_dir(path, "groups"))
         for d in dirs
         if d.startswith("_epoch=")
     }
     assert len(epochs_before) == 4  # base + 3 deltas
     rep = compact_mv(spark, path)
     assert rep["files_after"] < rep["files_before"]
+    # re-resolve: the fold published a new generation (r11)
     epochs_after = {
         d
-        for root, dirs, _f in os.walk(groups_dir)
+        for root, dirs, _f in os.walk(store_data_dir(path, "groups"))
         for d in dirs
         if d.startswith("_epoch=")
     }

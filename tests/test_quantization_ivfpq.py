@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from tests.test_invariants_r10 import _file_snapshot, _multiset
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 
 def _emb(spark):
@@ -91,7 +92,7 @@ def test_ivfpq_delete_eq_reencode_and_drops_emptied_partitions(spark, tmp_path):
     path = _build(spark, tmp_path)
     cents, books = load_ivfpq_artifacts(spark, path)
     # delete one ENTIRE cluster plus a slice of others
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(_sdd(path, "codes"))
     victim = codes.groupBy("cluster_id").count().orderBy("count", "cluster_id").first()
     victim_ids = {
         r.vec_id
@@ -105,7 +106,7 @@ def test_ivfpq_delete_eq_reencode_and_drops_emptied_partitions(spark, tmp_path):
     remainder = emb.where(~F.col("vec_id").isin([int(i) for i in del_ids]))
     cols = ["vec_id", "codes", "cluster_id"]
     left = _multiset(
-        spark.read.parquet(f"{path}/codes").select(*cols).withColumn(
+        spark.read.parquet(_sdd(path, "codes")).select(*cols).withColumn(
             "codes", F.col("codes").cast("string")
         ),
         cols,
@@ -128,9 +129,9 @@ def test_ivfpq_empty_delete_is_noop(spark, tmp_path):
 
     emb = _emb(spark)
     path = _build(spark, tmp_path)
-    pre = _file_snapshot(f"{path}/codes")
+    pre = _file_snapshot(_sdd(path, "codes"))
     ivfpq_delete_index(spark, path, emb.where(F.lit(False)))
-    assert _file_snapshot(f"{path}/codes") == pre
+    assert _file_snapshot(_sdd(path, "codes")) == pre
     assert not os.path.exists(os.path.join(path, "_writer_lease"))
 
 
@@ -184,21 +185,21 @@ def test_ivfpq_compact_preserves_rows_one_file_per_cluster(spark, tmp_path):
         )
     cols = ["vec_id", "codes", "cluster_id"]
     pre = _multiset(
-        spark.read.parquet(f"{path}/codes").withColumn(
+        spark.read.parquet(_sdd(path, "codes")).withColumn(
             "codes", F.col("codes").cast("string")
         ),
         cols,
     )
-    assert max(data_file_counts(f"{path}/codes").values()) > 1
+    assert max(data_file_counts(_sdd(path, "codes")).values()) > 1
     compact_ivfpq_index(spark, path)
     post = _multiset(
-        spark.read.parquet(f"{path}/codes").withColumn(
+        spark.read.parquet(_sdd(path, "codes")).withColumn(
             "codes", F.col("codes").cast("string")
         ),
         cols,
     )
     assert post == pre
-    assert max(data_file_counts(f"{path}/codes").values()) == 1
+    assert max(data_file_counts(_sdd(path, "codes")).values()) == 1
 
 
 def test_ivfpq_rerank_requires_vectors(spark, tmp_path):
@@ -245,7 +246,7 @@ def test_ivfpq_retrain_restores_encode_quality_on_drift(spark, tmp_path):
             for r in grown.collect()
         }
         coss = []
-        for r in spark.read.parquet(f"{path}/codes").collect():
+        for r in spark.read.parquet(_sdd(path, "codes")).collect():
             v = vecs[r.vec_id]
             v = v / np.linalg.norm(v)
             recon = cents[r.cluster_id] + np.concatenate(
@@ -354,7 +355,7 @@ def test_ivfpq_metadata_survives_the_lifecycle(spark, tmp_path):
     remaining = meta.where(F.col("vec_id") % 7 != 0)
     ivfpq_retrain_index(spark, path, remaining)
     got = _multiset(
-        spark.read.parquet(f"{path}/codes"), ["vec_id", "lang", "source"]
+        spark.read.parquet(_sdd(path, "codes")), ["vec_id", "lang", "source"]
     )
     want = _multiset(remaining, ["vec_id", "lang", "source"])
     assert got == want

@@ -26,6 +26,7 @@ import os
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 
 def _waves(spark):
@@ -66,7 +67,7 @@ def _bands(spark, store):
 
     return Counter(
         (r.doc_id, r.band_id, r.sig)
-        for r in spark.read.parquet(f"{store}/bands")
+        for r in spark.read.parquet(_sdd(store, "bands"))
         .select("doc_id", "band_id", "sig")
         .collect()
     )

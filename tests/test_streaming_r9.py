@@ -20,6 +20,7 @@ import os
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 
 
 def _setup(spark, tmp_path):
@@ -182,7 +183,7 @@ def test_admission_gate_replay_is_idempotent(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(d).collect()
     )
     flagged1, admitted1 = snap(flagged_dir), snap(admitted_dir)
-    bands1 = spark.read.parquet(f"{store}/bands").count()
+    bands1 = spark.read.parquet(_sdd(store, "bands")).count()
 
     # replay both epochs against the SAME store/sinks (fresh checkpoint
     # simulates redelivery of already-processed batch ids)
@@ -194,7 +195,7 @@ def test_admission_gate_replay_is_idempotent(spark, tmp_path):
 
     assert snap(flagged_dir) == flagged1
     assert snap(admitted_dir) == admitted1
-    assert spark.read.parquet(f"{store}/bands").count() == bands1
+    assert spark.read.parquet(_sdd(store, "bands")).count() == bands1
 
 
 def test_admission_gate_empty_batch_is_noop(spark, tmp_path):
@@ -213,14 +214,14 @@ def test_admission_gate_empty_batch_is_noop(spark, tmp_path):
     corpus.write.parquet(corpus_path)
     store = str(tmp_path / "store")
     minhash_build_store(corpus, store)
-    bands_before = spark.read.parquet(f"{store}/bands").count()
+    bands_before = spark.read.parquet(_sdd(store, "bands")).count()
 
     handler = foreach_batch_ingest_admission(
         store, corpus_path, str(tmp_path / "flagged"), str(tmp_path / "adm")
     )
     handler(docs.where(F.lit(False)), 0)
 
-    assert spark.read.parquet(f"{store}/bands").count() == bands_before
+    assert spark.read.parquet(_sdd(store, "bands")).count() == bands_before
     assert not os.path.exists(os.path.join(store, "_last_admitted_batch"))
     assert not os.path.exists(str(tmp_path / "flagged"))
     assert not os.path.exists(str(tmp_path / "adm"))

@@ -310,7 +310,7 @@ MATERIALIZE_ALLOWED = {
         "1-row meta pull (num_hashes/shingle_n/hmod/hash_family) so the "
         "admitted batch is hashed with the store's pinned family (r9)"
     ),
-    "operators/similarity.py:_lsh_delete_locked:collect": (
+    "operators/similarity.py:_lsh_delete_into:collect": (
         "three driver-bounded pulls for partition-local deletion: the "
         "O(num_tables) projection table, the batch's affected (band, "
         "bucket) combos (≤ batch × tables, LIMIT-capped by the r10 "
@@ -318,13 +318,13 @@ MATERIALIZE_ALLOWED = {
         "decides which emptied partition dirs to drop (r9; body "
         "extracted to _locked under the r10 writer lease)"
     ),
-    "operators/similarity.py:_ivf_delete_locked:collect": (
+    "operators/similarity.py:_ivf_delete_into:collect": (
         "three driver-bounded pulls: the O(n_clusters) centroid table, "
         "the batch's affected cluster ids (≤ n_clusters), and the "
         "surviving cluster set for the emptied-partition drop (r9; "
         "body extracted to _locked under the r10 writer lease)"
     ),
-    "operators/dedup.py:_minhash_delete_locked:collect": (
+    "operators/dedup.py:_minhash_delete_into:collect": (
         "four driver-bounded pulls: the 1-row meta record, the batch's "
         "affected sig buckets (≤ hmod = 64), the drop-unit combos "
         "present in the pruned scan (≤ hmod × live epochs), and the "
@@ -369,6 +369,17 @@ MATERIALIZE_ALLOWED = {
         "bounded deterministic training sample (orderBy(id).limit — "
         "≤ sample_rows rows) for the residual codebook k-means, same "
         "discipline as the build (r10)"
+    ),
+    "operators/quantization.py:_pq_bucket_count:collect": (
+        "1-row meta pull (the flat-PQ store's pinned id-bucket "
+        "modulus) — a wrong modulus would silently break delete "
+        "pruning, so it is persisted and read, never guessed (r11)"
+    ),
+    "operators/quantization.py:pq_delete_index:collect": (
+        "two affected-bucket combo pulls, ≤ id_buckets = 64 distinct "
+        "rows each by construction (the flat store's id-hash layout — "
+        "the combo set drives static partition pruning and the "
+        "emptied-bucket drop) (r11)"
     ),
     "operators/quantization.py:ivfpq_delete_index:collect": (
         "two affected-cluster combo pulls, ≤ n_clusters distinct rows "

@@ -39,6 +39,7 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark import get_spark
+from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
 from flink_quickstart_spark.plans import load_all, registry
 from flink_quickstart_spark.session import dir_bytes, shuffle_partitions_for_bytes
 
@@ -385,7 +386,7 @@ def _prepare_lsh_index(spark, sf):
         str(Path(sf) / "embeddings.parquet"),
     )
     _capture_upsert_base(
-        spark, "lsh", sf, _lsh_index_path(sf) + "/postings", "vec_id"
+        spark, "lsh", sf, _sdd(_lsh_index_path(sf), "postings"), "vec_id"
     )
 
 
@@ -499,7 +500,7 @@ def _prepare_minhash_store(spark, sf):
         str(Path(sf) / "documents.parquet"),
     )
     _capture_upsert_base(
-        spark, "mh", sf, _minhash_store_path(sf) + "/bands", "doc_id"
+        spark, "mh", sf, _sdd(_minhash_store_path(sf), "bands"), "doc_id"
     )
 
 
@@ -637,7 +638,7 @@ def _prepare_ivfpq_index(spark, sf):
         "codebooks",
     )
     _capture_upsert_base(
-        spark, "ivfpq", sf, _ivfpq_index_path(sf) + "/codes", "vec_id"
+        spark, "ivfpq", sf, _sdd(_ivfpq_index_path(sf), "codes"), "vec_id"
     )
 
 
@@ -1090,8 +1091,11 @@ def main() -> int:
                 {
                     "growth": GROWTH,
                     "threshold_ratio": GROWTH * LINEAR_SLACK,
+                    "shuffle_partitions": parts,
+                    "sized_for_sf": size_sf,
                     "method": "min-of-N warm collect() per key per sf; "
-                    "shuffle partitions sized for sf1",
+                    "shuffle partitions recorded above (sized for the "
+                    "largest probed decade dir)",
                     "keys": results,
                 },
                 fh,

@@ -53,7 +53,9 @@ def main() -> int:
     args = ap.parse_args()
 
     load_all()
-    parts = shuffle_partitions_for_bytes(dir_bytes(args.sf))
+    sized_bytes = dir_bytes(args.sf)
+    parts = shuffle_partitions_for_bytes(sized_bytes)
+    print(f"shuffle_partitions={parts} (sized for {args.sf} = {sized_bytes/1e6:.0f} MB)")
     spark = get_spark(app_name="sweep-sf1", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -126,10 +128,18 @@ def main() -> int:
                     "n_ok": n_ok,
                     "n_guarded": n_guarded,
                     "n_err": n_err,
+                    # self-describing harness config (VERDICT r10: a
+                    # number that moves with sizing must CARRY its
+                    # sizing, or round-over-round deltas on the
+                    # expensive keys are uninterpretable)
+                    "shuffle_partitions": parts,
+                    "sized_for_bytes": sized_bytes,
                     "method": "single cold run per key, consumed "
                     "engine-side via agg(count, sum(xxhash64(*cols "
                     "cast string))) — no driver materialization; "
-                    "shuffle partitions sized for the sweep dir",
+                    "shuffle partitions recorded above, sized for the "
+                    "sweep dir by shuffle_partitions_for_bytes (the "
+                    "same formula the scale curve uses)",
                     "keys": results,
                 },
                 fh,
