@@ -22,7 +22,10 @@ import os
 import pytest
 from pyspark.sql import functions as F, types as T
 
-from flink_quickstart_spark.operators.maintenance import forget_rows
+from flink_quickstart_spark.operators.maintenance import (
+    forget_rows,
+    store_data_dir as _sdd,
+)
 
 N_DOCS = 60
 N_VECS = 80
@@ -105,12 +108,12 @@ def test_cascade_forgets_everywhere(spark, stores, tmp_path):
     # and the stores equal rebuilds on the complement (spot: row counts
     # per store id — the full multiset invariants are pinned in the
     # per-store delete tests)
-    bands = spark.read.parquet(os.path.join(stores["minhash"], "bands"))
+    bands = spark.read.parquet(_sdd(stores["minhash"], "bands"))
     assert bands.where(F.col("doc_id").isin(forget_doc_ids)).count() == 0
-    post = spark.read.parquet(os.path.join(stores["lsh"], "postings"))
+    post = spark.read.parquet(_sdd(stores["lsh"], "postings"))
     assert post.where(F.col("vec_id").isin(forget_vec_ids)).count() == 0
     assert post.select("vec_id").distinct().count() == N_VECS - 5
-    codes = spark.read.parquet(os.path.join(stores["ivfpq"], "codes"))
+    codes = spark.read.parquet(_sdd(stores["ivfpq"], "codes"))
     assert codes.count() == N_VECS - 5
     # MV: the forgotten docs' length contributions are retracted
     from flink_quickstart_spark.operators.matview import mv_read
@@ -156,8 +159,9 @@ def test_verify_catches_residue(spark, tmp_path):
     fdocs = _docs(spark, [7, 21])
     # sabotage: squirrel away copies of the victim band rows, then
     # re-append them after the delete via a second forged cascade
-    bands_dir = os.path.join(path, "bands")
-    victim = spark.read.parquet(bands_dir).where(F.col("doc_id").isin(7, 21))
+    victim = spark.read.parquet(_sdd(path, "bands")).where(
+        F.col("doc_id").isin(7, 21)
+    )
     victim_rows = victim.collect()
     audit = forget_rows(
         spark, [{"kind": "minhash", "path": path, "df": fdocs}], verify=True
@@ -173,7 +177,11 @@ def test_verify_catches_residue(spark, tmp_path):
     forged = spark.createDataFrame(victim_rows, victim.schema).withColumn(
         "_hmod", F.lit(free)
     )
-    forged.write.mode("append").partitionBy("_hmod").parquet(bands_dir)
+    # forge into the CURRENT generation — the one the verify pass (and
+    # every reader) resolves to; the root dir is the frozen gen-0 build
+    forged.write.mode("append").partitionBy("_hmod").parquet(
+        _sdd(path, "bands")
+    )
     with pytest.raises(RuntimeError, match="still holds|stores failed"):
         forget_rows(
             spark, [{"kind": "minhash", "path": path, "df": fdocs}], verify=True
@@ -206,5 +214,5 @@ def test_error_isolation(spark, tmp_path):
             ],
             verify=True,
         )
-    bands = spark.read.parquet(os.path.join(good, "bands"))
+    bands = spark.read.parquet(_sdd(good, "bands"))
     assert bands.where(F.col("doc_id") == 2).count() == 0

@@ -36,6 +36,7 @@ from flink_quickstart_spark.operators.matview import (
 )
 from flink_quickstart_spark.operators.maintenance import (
     StoreWriterConflict,
+    store_data_dir as _sdd,
     store_writer_lease,
 )
 
@@ -86,7 +87,7 @@ def test_refresh_equals_rebuild_and_prunes(spark, tmp_path):
     path, ref = str(tmp_path / "mv"), str(tmp_path / "mv_ref")
     corpus, batch = _rows(spark, 0, 4000), _rows(spark, 4000, 4400)
     mv_build(corpus, path, ["k"], SPEC, n_buckets=16)
-    before = _file_stats(os.path.join(path, "groups"))
+    before = _file_stats(_sdd(path, "groups"))
 
     stats = mv_refresh(spark, path, batch)
     assert 0 < stats["buckets_touched"] <= 16
@@ -99,10 +100,10 @@ def test_refresh_equals_rebuild_and_prunes(spark, tmp_path):
     # so re-run with a 2-group batch — only its buckets' files change.
     path2 = str(tmp_path / "mv2")
     mv_build(corpus, path2, ["k"], SPEC, n_buckets=16)
-    before2 = _file_stats(os.path.join(path2, "groups"))
+    before2 = _file_stats(_sdd(path2, "groups"))
     small = batch.where(F.col("k").isin(3, 17))
     mv_refresh(spark, path2, small)
-    after2 = _file_stats(os.path.join(path2, "groups"))
+    after2 = _file_stats(_sdd(path2, "groups"))
     touched_dirs = {
         os.path.dirname(p)
         for p in (set(before2) ^ set(after2))
@@ -118,10 +119,10 @@ def test_refresh_equals_rebuild_and_prunes(spark, tmp_path):
 def test_empty_batch_noop(spark, tmp_path):
     path = str(tmp_path / "mv")
     mv_build(_rows(spark, 0, 1000), path, ["k"], SPEC, n_buckets=8)
-    before = _file_stats(os.path.join(path, "groups"))
+    before = _file_stats(_sdd(path, "groups"))
     stats = mv_refresh(spark, path, _rows(spark, 0, 10).where(F.lit(False)))
     assert stats == {"buckets_touched": 0, "groups_in_batch": 0}
-    assert _file_stats(os.path.join(path, "groups")) == before
+    assert _file_stats(_sdd(path, "groups")) == before
 
 
 def test_retract_delta_equals_rebuild(spark, tmp_path):
@@ -158,9 +159,8 @@ def test_group_vanish_and_bucket_drop(spark, tmp_path):
     path = str(tmp_path / "mv")
     full = _rows(spark, 0, 2000)
     mv_build(full, path, ["k"], SPEC_SUB, n_buckets=64)
-    groups_dir = os.path.join(path, "groups")
     n_dirs_before = len(
-        [d for d in os.listdir(groups_dir) if d.startswith("_gmod=")]
+        [d for d in os.listdir(_sdd(path, "groups")) if d.startswith("_gmod=")]
     )
     # retract ALL rows of groups k in {0, 1}
     batch = full.where(F.col("k").isin(0, 1))
@@ -170,8 +170,8 @@ def test_group_vanish_and_bucket_drop(spark, tmp_path):
     assert 0 not in keys and 1 not in keys and len(keys) == 38
     # with 64 buckets over 40 groups, collisions are rare — at least
     # one of the two vanished groups' buckets should now be gone
-    n_dirs_after = len(
-        [d for d in os.listdir(groups_dir) if d.startswith("_gmod=")]
+    n_dirs_after = len(  # re-resolve: the retract published a new gen
+        [d for d in os.listdir(_sdd(path, "groups")) if d.startswith("_gmod=")]
     )
     assert n_dirs_after < n_dirs_before
 
@@ -246,11 +246,10 @@ def test_compact_mv(spark, tmp_path):
     for lo in (2000, 2400, 2800):
         mv_refresh(spark, path, _rows(spark, lo, lo + 400))
     before = _finalized_sub(spark, path)
-    groups_dir = os.path.join(path, "groups")
     rep = compact_mv(spark, path)
     assert rep["files_after"] <= rep["files_before"]
     per_dir: dict[str, int] = {}
-    for root, _d, files in os.walk(groups_dir):
+    for root, _d, files in os.walk(_sdd(path, "groups")):
         n = sum(1 for f in files if f.endswith(".parquet"))
         if n:
             per_dir[root] = n

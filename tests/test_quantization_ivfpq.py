@@ -118,9 +118,10 @@ def test_ivfpq_delete_eq_reencode_and_drops_emptied_partitions(spark, tmp_path):
         cols,
     )
     assert left == right
-    # the fully-deleted cluster's directory is gone, not just empty
+    # the fully-deleted cluster's directory is gone from the PUBLISHED
+    # generation, not just empty (the root dir is the frozen gen-0 build)
     assert not os.path.exists(
-        os.path.join(path, "codes", f"cluster_id={victim.cluster_id}")
+        os.path.join(_sdd(path, "codes"), f"cluster_id={victim.cluster_id}")
     )
 
 
