@@ -73,6 +73,17 @@ DOCUMENTED_SUPERLINEAR = {
         "r12/r01 trips; the xl segment (e23 ~ -0.3 … 0.4 across runs) "
         "confirms no superlinear growth"
     ),
+    "q_llm_ivfpq_retrain": (
+        "LINEAR periodic op BY DESIGN flagged only by the accel "
+        "heuristic (the ann_ivfpq_retrain artifact class): r01 < 1 — "
+        "the sf0.01 point costs MORE than sf0.1 because the key's "
+        "store staging + retrain fixed overhead dominates at tiny "
+        "scale — so accel = r12/r01 trips while every real segment is "
+        "tame (r12 ~2 for 10x data, xl e23 ~ -0.2 … 0.5 across runs: "
+        "flat). The op is one bounded-sample train + one linear "
+        "re-encode; its component probe ann_ivfpq_retrain carries the "
+        "same documented waiver"
+    ),
     "q_mv_epoch_refresh": (
         "sub-second key end-to-end (0.5-2s at every point): the accel "
         "flag is the r01 < 1 fixed-overhead artifact (sf0.01 staging "
@@ -273,6 +284,14 @@ DEFAULT_KEYS = [
     # construction).
     "mv_refresh_fixed", "q_mv_incremental", "q_mv_retract",
     "q_mv_epoch_refresh", "q_llm_forget",
+    # r11: the flat-PQ lifecycle (generation-published) — the upsert
+    # probe must stay near-flat (encode ∝ batch + hardlink clone, which
+    # is fs metadata only); the registered keys add the full re-encode
+    # truth sides (linear: one Arrow pass over the corpus each).
+    # q_store_snapshot_isolation / q_mv_approx_distinct rebuild their
+    # stores per run BY DESIGN (the mutation protocol is the subject),
+    # so they are sweep-covered rather than curve-probed.
+    "pq_upsert_fixed", "q_llm_pq_upsert", "q_llm_pq_delete",
 ]
 
 
@@ -449,7 +468,7 @@ def _probe_ivf_query_fixed(spark, sf):
 # pinned invariant, so the store returns to its pristine fixture state
 # and the shared ann_lsh_query_fixed probe is never skewed).
 _UPSERT_BASE: dict[tuple[str, str], int] = {}
-_UPSERT_RUN = {"lsh": 0, "mh": 0, "ivfpq": 0}
+_UPSERT_RUN = {"lsh": 0, "mh": 0, "ivfpq": 0, "pq": 0}
 _MINTED: list[tuple[str, str, int]] = []  # (kind, sf, offset)
 
 _MINT_STRIDE = 100_000_000  # > any staged table's id range
@@ -545,6 +564,16 @@ def cleanup_minted_batches(spark) -> None:
             ivfpq_delete_index(
                 spark, _ivfpq_index_path(sf), _lsh_batch(spark, sf, off)
             )
+        elif kind == "pq":
+            from flink_quickstart_spark.operators.quantization import (
+                pq_delete_index,
+            )
+
+            pq_delete_index(
+                spark,
+                _pq_index_path(sf),
+                _lsh_batch(spark, sf, off).select("vec_id"),
+            )
         else:
             minhash_delete_store(
                 spark, _minhash_store_path(sf), _mh_batch(spark, sf, off)
@@ -567,6 +596,28 @@ def _prepare_pq_index(spark, sf):
         src,
         "codebooks",
     )
+    _capture_upsert_base(
+        spark, "pq", sf, _sdd(_pq_index_path(sf), "codes"), "vec_id"
+    )
+
+
+def _probe_pq_upsert_fixed(spark, sf):
+    # flat-PQ maintenance cost (r11): upsert a FIXED 64-vector batch —
+    # one Arrow encode pass against the STORED codebooks + appends into
+    # the batch's _idmod buckets (plus the generation hardlink clone,
+    # which is fs-metadata work independent of data volume); corpus
+    # codes never read, so the curve must stay near-flat. Minted ids
+    # follow the r9-ADVICE discipline: fresh negative ids each run,
+    # deleted untimed at run end (the pq delete needs IDS ONLY — the
+    # bucket is a function of the id hash).
+    from flink_quickstart_spark.operators.quantization import pq_upsert_index
+
+    pq_upsert_index(
+        spark,
+        _pq_index_path(sf),
+        _lsh_batch(spark, sf, _next_offset("pq", sf)),
+    )
+    return None
 
 
 def _probe_pq_query_fixed(spark, sf):
@@ -849,6 +900,7 @@ COMPONENT_PROBES = {
         _probe_minhash_store_maintain_fixed,
     ),
     "pq_query_fixed": (_prepare_pq_index, _probe_pq_query_fixed),
+    "pq_upsert_fixed": (_prepare_pq_index, _probe_pq_upsert_fixed),
     "ann_ivfpq_query_fixed": (_prepare_ivfpq_index, _probe_ivfpq_query_fixed),
     "ann_ivfpq_upsert_fixed": (_prepare_ivfpq_index, _probe_ivfpq_upsert_fixed),
     "ann_ivfpq_retrain": (_prepare_ivfpq_retrain_copy, _probe_ivfpq_retrain),
