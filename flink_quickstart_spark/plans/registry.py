@@ -198,6 +198,17 @@ _EVER_DRIVER_SAMPLED: frozenset[str] = frozenset(
         # are now the sole never-sampled tier and sort first.
         "q_llm_ivf_upsert", "q_llm_lsh_delete", "q_llm_lsh_upsert",
         "q_llm_store_compact", "q_llm_store_upsert", "q_ts_znorm_topk",
+        # round-10 driver sample (CORRECTNESS_r10.json, 50 keys, all
+        # green) — frozen r11; cumulative coverage 266/266. The twelve
+        # r10-new keys join here; the four r11 additions
+        # (q_store_snapshot_isolation, q_llm_pq_upsert/q_llm_pq_delete,
+        # q_mv_approx_distinct) are now the never-sampled tier and
+        # sort first.
+        "q_llm_forget", "q_llm_ivf_retrain", "q_llm_ivfpq_filtered",
+        "q_llm_ivfpq_query", "q_llm_ivfpq_retrain",
+        "q_llm_ivfpq_upsert", "q_llm_pq_encode", "q_llm_pq_query",
+        "q_maintenance_compact_subset", "q_mv_epoch_refresh",
+        "q_mv_incremental", "q_mv_retract",
     }
 )
 
@@ -218,36 +229,35 @@ _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 # the set (last sample ≥3 rounds old AND a dep file changed since, from
 # CORRECTNESS_r*.json × git history); this frozen ordering (stalest
 # first — last-sample round ascending, name within) drains the backlog
-# right after any never-sampled keys. Regenerate at round close (r10:
-# 67 keys, every one re-verified builder-side this round —
-# STALENESS_r10.json; the r9-sampled tier dropped off, the llm_ops/
-# rank/similarity dep-module churn of r9/r10 keeps the r4–r6 backlog):
+# right after any never-sampled keys. Regenerate at round close (r11:
+# 72 keys, every one re-verified builder-side this round —
+# STALENESS_r11.json; the generation refactor touched dedup/
+# similarity/quantization/matview/maintenance, keeping the store-key
+# dep churn plus the r4–r6 backlog):
 #   python tools/staleness_report.py --json STALENESS_r{N}.json --verify-json VERIFY_r{N}.json
 _STALE_PRIORITY: tuple[str, ...] = (
-    "q_text_fuzzy_match", "q_text_gopher_filters", "q_text_pii_scrub",
-    "q_ts_features", "q_ts_ffill", "q_wf_laglead", "q_wf_nth",
-    "q_dq_constraints", "q_dq_referential_integrity",
-    "q_embed_centroid", "q_embed_norm", "q_embed_quantize_int8",
-    "q_graph_common_neighbors", "q_graph_degree_stats",
-    "q_graph_triangles", "q_join_asof_tolerance", "q_join_nullsafe",
-    "q_join_pit_features", "q_join_skew_salted", "q_llm_bm25",
-    "q_llm_bpe_merges", "q_llm_ingest_dedup",
-    "q_llm_minhash_signatures", "q_llm_xent_unigram",
-    "q_maintenance_zorder", "q_anon_kanonymity", "q_dq_sequence_gaps",
-    "q_embed_dim_stats", "q_embed_sign_bits", "q_join_dpp",
-    "q_llm_cooccur_pmi", "q_llm_dedup_cascade", "q_llm_dedup_paragraph",
-    "q_llm_dedup_prefix", "q_llm_domain_budget", "q_llm_global_shuffle",
-    "q_llm_heavy_hitters", "q_llm_mix_datasets", "q_llm_novelty",
-    "q_llm_shard_assign", "q_llm_source_overlap", "q_llm_tfidf_cosine",
-    "q_llm_token_len_hist", "q_llm_vocab_growth", "q_llm_winnowing",
-    "q_llm_xent_bigram", "q_maintenance_compact", "q_multimodal_resize",
-    "q_sample_group_topk_hash", "q_sample_importance",
-    "q_sample_temperature", "q_scan_merge_schema",
+    "q_llm_novelty", "q_llm_shard_assign", "q_llm_source_overlap",
+    "q_llm_tfidf_cosine", "q_llm_token_len_hist", "q_llm_vocab_growth",
+    "q_llm_winnowing", "q_llm_xent_bigram", "q_maintenance_compact",
+    "q_multimodal_resize", "q_sample_group_topk_hash",
+    "q_sample_importance", "q_sample_temperature", "q_scan_merge_schema",
     "q_scan_partitioned_roundtrip", "q_scan_text_roundtrip",
     "q_sql_division", "q_sql_q11", "q_sql_q12", "q_sql_q16", "q_sql_q2",
     "q_sql_q20", "q_sql_q21", "q_sql_q22", "q_sql_q9",
     "q_text_halves_overlap", "q_text_repetition", "q_ts_ewma",
-    "q_ts_resample_interp",
+    "q_ts_resample_interp", "q_ab_welch_ttest", "q_agg_approx_percentile",
+    "q_agg_approxcd", "q_agg_argminmax", "q_agg_bitops", "q_agg_bool",
+    "q_agg_cohort_ltv", "q_agg_collect", "q_agg_countdistinct",
+    "q_agg_cube", "q_agg_entropy", "q_agg_global", "q_agg_group",
+    "q_agg_groupingsets", "q_agg_having", "q_agg_histogram",
+    "q_agg_hll_rollup", "q_agg_moments", "q_agg_pareto", "q_agg_percentile",
+    "q_agg_quantile_rollup", "q_agg_regression", "q_agg_rfm",
+    "q_agg_rollup", "q_agg_salted", "q_agg_skew_audit",
+    "q_agg_stats_family", "q_cogroup_stats_agg", "q_distinct",
+    "q_llm_ann_query", "q_llm_dedup_semantic", "q_llm_dedup_semantic_ivf",
+    "q_pivot", "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
+    "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",
+    "q_ts_seasonal_profile", "q_udaf_wavg", "q_unpivot", "q_wf_streaks",
 )
 _STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
 
