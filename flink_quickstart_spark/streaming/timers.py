@@ -16,8 +16,9 @@ demonstration.
 ENVIRONMENT DEPENDENCY: transformWithStateInPandas speaks protobuf to its
 state server; the ``protobuf`` package is a deploy-time requirement (not
 present in this container — the test suite skips accordingly; offline
-availability re-checked r10, 2026-08-15: no wheel on disk and the
-environment contract forbids installs). The
+availability re-checked r10 (2026-08-15) and r11 (2026-08-16: the only
+protobuf on disk is pyspark's vendored module stubs, no wheel, PyPI
+DNS unresolvable, and the environment contract forbids installs). The
 equivalent operators on ``applyInPandasWithState`` (streaming/stateful.py)
 have no such dependency and are fully tested here.
 """
