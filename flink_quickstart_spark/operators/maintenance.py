@@ -284,19 +284,25 @@ def store_generation(
                     shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
-def reset_store_generations(path: str) -> None:
+def reset_store_generations(path: str, op: str = "reset_store_generations") -> None:
     """Called by every BUILD op before it overwrites the root subdirs:
     a rebuild over a previously-mutated store must drop the generation
     pointer first, or readers would keep resolving to the (now stale)
     last generation while the fresh build sits unread at the root. The
     pointer is removed before the data is touched, so the failure mode
     of a crash mid-build is the same as it always was for a full
-    overwrite (a visibly incomplete store), never a silently stale one."""
+    overwrite (a visibly incomplete store), never a silently stale one.
+
+    The reset runs UNDER the writer lease (r11 ADVICE): concurrent
+    build+mutate was always undefined, but an unleased reset racing a
+    lease-holding mutator would rmtree the generation the mutator is
+    hardlink-cloning mid-walk — a crash/corruption. Now the racing
+    build fails loudly with :class:`StoreWriterConflict` instead."""
     import shutil
 
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(os.path.join(path, _GEN_POINTER))
-    if os.path.isdir(path):
+    with store_writer_lease(path, op):
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(path, _GEN_POINTER))
         for name in os.listdir(path):
             if name.startswith(_GEN_PREFIX):
                 shutil.rmtree(os.path.join(path, name), ignore_errors=True)
@@ -444,6 +450,39 @@ def _noop_compact_stats(src: str, max_files: int | None) -> dict | None:
     }
 
 
+def _compact_store_subdir(
+    spark,
+    path: str,
+    op: str,
+    subdir: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    max_files: int | None,
+) -> dict[str, int]:
+    """Shared compact entry point: pre-lease no-op fast path, then the
+    generation commit with the read snapshot resolved UNDER the lease
+    (r11 ADVICE — a generation published between a pre-lease resolve
+    and the clone would be read stale here and silently re-published,
+    reverting the concurrent mutation: exactly the lost-update class
+    the generation discipline exists to prevent). The pre-lease check
+    is a benign optimization (no staging, no publish); the under-lease
+    re-check is the authoritative one and aborts the staged generation
+    when a concurrent compact already did the work."""
+    stats = _noop_compact_stats(store_data_dir(path, subdir), max_files)
+    if stats is not None:
+        return stats
+    with store_generation(path, op) as gen:
+        src = store_data_dir(path, subdir)  # resolved under the lease
+        stats = _noop_compact_stats(src, max_files)
+        if stats is not None:
+            raise AbortStoreGeneration  # a concurrent compact won the race
+        return compact_partitions(
+            spark, src, partition_cols, sort_cols,
+            max_files=max_files, target_dir=os.path.join(gen, subdir),
+        )
+    return stats  # reached only via the under-lease no-op abort
+
+
 def compact_minhash_store(
     spark, path: str, max_files: int | None = None
 ) -> dict[str, int]:
@@ -459,20 +498,21 @@ def compact_minhash_store(
     maintenance window behind the same writer lease). Publishes as an
     atomic generation commit — readers see the uncompacted or the
     compacted store, never a mix (:func:`store_generation`)."""
-    bands = store_data_dir(path, "bands")
-    if _is_epoch_partitioned(bands):
+    # Epoch-partitioned-ness is a build-time LAYOUT property (folding
+    # keeps ``_epoch=0``; only a rebuild — which resets generations —
+    # can change it), so checking it pre-lease is safe. The data dir
+    # itself is re-resolved under the lease (r11 ADVICE).
+    if _is_epoch_partitioned(store_data_dir(path, "bands")):
         with store_generation(
             path, "compact_minhash_store", replace_subdirs=("bands",)
         ) as gen:
-            return _fold_store_epochs(spark, bands, os.path.join(gen, "bands"))
-    stats = _noop_compact_stats(bands, max_files)
-    if stats is not None:
-        return stats
-    with store_generation(path, "compact_minhash_store") as gen:
-        return compact_partitions(
-            spark, bands, ["_hmod"], ["band_id", "sig"], max_files=max_files,
-            target_dir=os.path.join(gen, "bands"),
-        )
+            return _fold_store_epochs(
+                spark, store_data_dir(path, "bands"), os.path.join(gen, "bands")
+            )
+    return _compact_store_subdir(
+        spark, path, "compact_minhash_store", "bands",
+        ["_hmod"], ["band_id", "sig"], max_files,
+    )
 
 
 def _is_epoch_partitioned(bands_dir: str) -> bool:
@@ -516,32 +556,24 @@ def compact_lsh_index(
     pos-sorted — restores the page-level ``pos <= cap`` pruning that
     multiple append/merge files dilute. ``max_files=N`` compacts only
     over-threshold buckets (the nightly incremental form). Atomic
-    generation commit (reader snapshot isolation)."""
-    postings = store_data_dir(path, "postings")
-    stats = _noop_compact_stats(postings, max_files)
-    if stats is not None:
-        return stats
-    with store_generation(path, "compact_lsh_index") as gen:
-        return compact_partitions(
-            spark, postings, ["band_id", "bucket"], ["pos"],
-            max_files=max_files, target_dir=os.path.join(gen, "postings"),
-        )
+    generation commit (reader snapshot isolation); the read snapshot
+    is resolved under the writer lease (r11 ADVICE)."""
+    return _compact_store_subdir(
+        spark, path, "compact_lsh_index", "postings",
+        ["band_id", "bucket"], ["pos"], max_files,
+    )
 
 
 def compact_ivf_index(
     spark, path: str, max_files: int | None = None
 ) -> dict[str, int]:
     """OPTIMIZE for the IVF member index: one file per cluster. Atomic
-    generation commit (reader snapshot isolation)."""
-    members = store_data_dir(path, "members")
-    stats = _noop_compact_stats(members, max_files)
-    if stats is not None:
-        return stats
-    with store_generation(path, "compact_ivf_index") as gen:
-        return compact_partitions(
-            spark, members, ["cluster_id"], ["vec_id"],
-            max_files=max_files, target_dir=os.path.join(gen, "members"),
-        )
+    generation commit (reader snapshot isolation); read snapshot
+    resolved under the writer lease (r11 ADVICE)."""
+    return _compact_store_subdir(
+        spark, path, "compact_ivf_index", "members",
+        ["cluster_id"], ["vec_id"], max_files,
+    )
 
 
 def compact_ivfpq_index(
@@ -551,16 +583,12 @@ def compact_ivfpq_index(
     cluster partition — the same nightly incremental form as the other
     stores (``max_files=N`` compacts only over-threshold clusters that
     daily :func:`~.quantization.ivfpq_upsert_index` appends dilute).
-    Atomic generation commit (reader snapshot isolation)."""
-    codes = store_data_dir(path, "codes")
-    stats = _noop_compact_stats(codes, max_files)
-    if stats is not None:
-        return stats
-    with store_generation(path, "compact_ivfpq_index") as gen:
-        return compact_partitions(
-            spark, codes, ["cluster_id"], ["vec_id"],
-            max_files=max_files, target_dir=os.path.join(gen, "codes"),
-        )
+    Atomic generation commit (reader snapshot isolation); read snapshot
+    resolved under the writer lease (r11 ADVICE)."""
+    return _compact_store_subdir(
+        spark, path, "compact_ivfpq_index", "codes",
+        ["cluster_id"], ["vec_id"], max_files,
+    )
 
 
 def compact_pq_index(
@@ -569,16 +597,12 @@ def compact_pq_index(
     """OPTIMIZE for the flat-PQ codes store: one id-sorted file per
     ``_idmod`` bucket (the id-hash layout that makes the flat store's
     delete partition-local — see :func:`~.quantization.pq_build_index`).
-    Atomic generation commit (reader snapshot isolation)."""
-    codes = store_data_dir(path, "codes")
-    stats = _noop_compact_stats(codes, max_files)
-    if stats is not None:
-        return stats
-    with store_generation(path, "compact_pq_index") as gen:
-        return compact_partitions(
-            spark, codes, ["_idmod"], ["vec_id"],
-            max_files=max_files, target_dir=os.path.join(gen, "codes"),
-        )
+    Atomic generation commit (reader snapshot isolation); read snapshot
+    resolved under the writer lease (r11 ADVICE)."""
+    return _compact_store_subdir(
+        spark, path, "compact_pq_index", "codes",
+        ["_idmod"], ["vec_id"], max_files,
+    )
 
 
 # ---------------------------------------------------------------------------

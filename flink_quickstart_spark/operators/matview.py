@@ -696,11 +696,14 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
     )
 
     meta = _read_meta(path)
-    groups_dir = store_data_dir(path, "groups")
     if meta.get("epoch_partitioned", False):
         with store_generation(
             path, "compact_mv", replace_subdirs=("groups",)
         ) as gen:
+            # read snapshot resolved UNDER the lease (r11 ADVICE — a
+            # generation published between a pre-lease resolve and the
+            # clone would be folded stale and its mutation reverted)
+            groups_dir = store_data_dir(path, "groups")
             aggs = [tuple(a) for a in meta["aggs"]]
             counts = data_file_counts(groups_dir)
             before = sum(counts.values())
@@ -720,21 +723,32 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
                 .parquet(os.path.join(gen, "groups"))
             )
             after_counts = data_file_counts(os.path.join(gen, "groups"))
-            # Every epoch folded into the base: the used-epoch-id map
-            # resets — folded ids may be reused (their replay domain no
-            # longer exists; the reuse guard would otherwise reject
-            # legitimate post-fold ids forever).
-            _update_meta(path, epoch_ops={})
-            return {
+            stats = {
                 "files_before": before,
                 "files_after": sum(after_counts.values()),
                 "partitions_total": len(counts),
                 "partitions_compacted": len(counts),
             }
-    stats = _noop_compact_stats(groups_dir, max_files)
+        # Every epoch folded into the base: the used-epoch-id map
+        # resets — folded ids may be reused (their replay domain no
+        # longer exists; the reuse guard would otherwise reject
+        # legitimate post-fold ids forever). The reset runs AFTER the
+        # generation published (pointer flipped at the with-exit) —
+        # a crash in between leaves the unfolded epochs live WITH
+        # their reuse map, the same data-then-meta ordering the r10
+        # epoch write uses (r11 ADVICE: the inverse ordering let a
+        # crash clear the map while the epochs were still live,
+        # re-opening the mixed-epoch reuse hole).
+        _update_meta(path, epoch_ops={})
+        return stats
+    stats = _noop_compact_stats(store_data_dir(path, "groups"), max_files)
     if stats is not None:
         return stats
     with store_generation(path, "compact_mv") as gen:
+        groups_dir = store_data_dir(path, "groups")  # under the lease
+        stats = _noop_compact_stats(groups_dir, max_files)
+        if stats is not None:
+            raise AbortStoreGeneration  # a concurrent compact won the race
         return compact_partitions(
             spark,
             groups_dir,
@@ -743,3 +757,4 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
             max_files=max_files,
             target_dir=os.path.join(gen, "groups"),
         )
+    return stats  # reached only via the under-lease no-op abort
