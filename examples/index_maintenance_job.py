@@ -52,11 +52,11 @@ from flink_quickstart_spark.sources.tables import load_tables
 
 
 def _postings(spark, path):
-    from flink_quickstart_spark.operators.maintenance import store_data_dir
+    from flink_quickstart_spark.operators.maintenance import read_store
 
     return {
         tuple(r)
-        for r in spark.read.parquet(store_data_dir(path, "postings"))
+        for r in read_store(spark, path, "postings")
         .select("vec_id", "band_id", "bucket", "pos")
         .collect()
     }

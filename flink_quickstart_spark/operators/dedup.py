@@ -485,6 +485,7 @@ def minhash_build_store(
     (operators/maintenance.compact_minhash_store)."""
     from flink_quickstart_spark.operators.maintenance import (
         reset_store_generations,
+        write_store_manifest,
     )
 
     reset_store_generations(path)  # rebuild over a mutated store
@@ -521,6 +522,7 @@ def minhash_build_store(
         "num_hashes int, shingle_n int, hmod int, hash_family string,"
         " epoch_partitioned boolean",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def minhash_upsert_store(
@@ -565,11 +567,11 @@ def minhash_upsert_store(
     store lease; readers see the pre- or post-upsert store, never a
     torn batch — operators/maintenance.store_generation)."""
     from flink_quickstart_spark.operators.maintenance import (
-        store_data_dir,
+        read_store,
         store_generation,
     )
 
-    meta = spark.read.parquet(store_data_dir(path, "meta")).collect()[0]
+    meta = read_store(spark, path, "meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     if is_epoch and epoch is None:
@@ -669,10 +671,10 @@ def _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col) -> None:
 
     from flink_quickstart_spark.operators.maintenance import (
         AbortStoreGeneration,
-        store_data_dir,
+        read_store,
     )
 
-    meta = spark.read.parquet(store_data_dir(path, "meta")).collect()[0]
+    meta = read_store(spark, path, "meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     part_cols = ["_hmod", "_epoch"] if is_epoch else ["_hmod"]
@@ -692,7 +694,7 @@ def _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col) -> None:
         ]
         if not probed:
             raise AbortStoreGeneration  # empty batch — store untouched
-        pruned = spark.read.parquet(store_data_dir(path, "bands")).where(
+        pruned = read_store(spark, path, "bands").where(
             F.col("_hmod").isin(probed)
         )
         # drop units actually present in the pruned scan (≤ hmod flat;
@@ -784,10 +786,10 @@ def minhash_ingest_neardup(
     replayed epoch must not see its own first-attempt signatures in
     the store, exactly as it must not see its own first-attempt
     admissions in the corpus."""
-    from flink_quickstart_spark.operators.maintenance import current_store_root
+    from flink_quickstart_spark.operators.maintenance import open_store_snapshot
 
-    root = current_store_root(path)  # one resolve = one consistent snapshot
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
+    meta = snap.read(spark, "meta").collect()[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     if before_epoch is not None and not bool(
         getattr(meta, "epoch_partitioned", False)
@@ -813,7 +815,7 @@ def minhash_ingest_neardup(
         .distinct()
         .collect()
     ]
-    store = spark.read.parquet(f"{root}/bands").where(F.col("_hmod").isin(probed))
+    store = snap.read(spark, "bands").where(F.col("_hmod").isin(probed))
     if before_epoch is not None:
         store = store.where(F.col("_epoch") < int(before_epoch))
     cand = (

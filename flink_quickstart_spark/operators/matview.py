@@ -49,9 +49,11 @@ from flink_quickstart_spark.operators.maintenance import (
     AbortStoreGeneration,
     require_local_path,
     reset_store_generations,
+    read_store,
     store_data_dir,
     store_generation,
     store_writer_lease,
+    write_store_manifest,
 )
 
 # Aggregate ops the partial-state layout can merge. Each maps the user
@@ -309,6 +311,7 @@ def mv_build(
                 fh,
             )
         os.replace(tmp, _meta_path(path))
+        write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def _affected_buckets(parts: DataFrame) -> list[int]:
@@ -379,7 +382,7 @@ def mv_refresh(
                     "groups_in_batch": batch_parts.count(),
                     "epoch": int(epoch),
                 }
-            store_sub = spark.read.parquet(store_data_dir(path, "groups")).where(
+            store_sub = read_store(spark, path, "groups").where(
                 F.col("_gmod").isin(buckets)
             )
             merged = (
@@ -466,7 +469,7 @@ def mv_retract(
             buckets = _affected_buckets(batch_parts)
             if not buckets:
                 raise AbortStoreGeneration  # empty batch — store untouched
-            store_sub = spark.read.parquet(store_data_dir(path, "groups")).where(
+            store_sub = read_store(spark, path, "groups").where(
                 F.col("_gmod").isin(buckets)
             )
             if is_epoch:
@@ -651,7 +654,7 @@ def mv_read(spark, path: str, where=None) -> DataFrame:
     number of unfolded epochs — :func:`compact_mv` folds them back."""
     meta = _read_meta(path)
     aggs = [tuple(a) for a in meta["aggs"]]
-    df = spark.read.parquet(store_data_dir(path, "groups"))
+    df = read_store(spark, path, "groups")
     if where is not None:
         df = df.where(where)
     if meta.get("epoch_partitioned", False):
@@ -708,7 +711,7 @@ def compact_mv(spark, path: str, max_files: int | None = None) -> dict:
             counts = data_file_counts(groups_dir)
             before = sum(counts.values())
             folded = (
-                spark.read.parquet(groups_dir)
+                read_store(spark, path, "groups")
                 .drop("_epoch")
                 .groupBy("_gmod", *meta["group_cols"])
                 .agg(*_merge_exprs(aggs))

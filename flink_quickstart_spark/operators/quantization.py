@@ -46,8 +46,10 @@ from flink_quickstart_spark.operators.maintenance import (
     AbortStoreGeneration,
     current_store_root,
     reset_store_generations,
+    read_store,
     store_data_dir,
     store_generation,
+    write_store_manifest,
 )
 from flink_quickstart_spark.operators.similarity import (
     DEFAULT_BROADCAST_BUDGET_BYTES,
@@ -205,6 +207,7 @@ def pq_build_index(
     spark.createDataFrame(
         [(int(id_buckets),)], "id_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def pq_upsert_index(
@@ -255,7 +258,7 @@ def _pq_bucket_count(spark, path: str) -> int:
             "running maintenance ops (the flat layout cannot locate a "
             "row's bucket)."
         )
-    return int(spark.read.parquet(meta_dir).collect()[0].id_buckets)
+    return int(read_store(spark, path, "meta").collect()[0].id_buckets)
 
 
 def pq_delete_index(
@@ -290,7 +293,7 @@ def pq_delete_index(
             if not probed:
                 raise AbortStoreGeneration  # empty batch — store untouched
             survivors = (
-                spark.read.parquet(store_data_dir(path, "codes"))
+                read_store(spark, path, "codes")
                 .where(F.col("_idmod").isin(probed))
                 .join(
                     del_ids.select(F.col(id_col).alias("_del_id")),
@@ -324,7 +327,7 @@ def pq_delete_index(
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:
-    rows = spark.read.parquet(store_data_dir(path, "codebooks")).collect()
+    rows = read_store(spark, path, "codebooks").collect()
     m = 1 + max(r.subspace for r in rows)
     k = 1 + max(r.code for r in rows)
     dsub = len(rows[0].centroid)
@@ -345,7 +348,7 @@ def pq_decode_df(
     books = load_codebooks(spark, path)
     m, _k, dsub = books.shape
     bc = spark.sparkContext.broadcast(books)
-    codes = spark.read.parquet(store_data_dir(path, "codes")).select(
+    codes = read_store(spark, path, "codes").select(
         id_col, "codes"
     )
     id_t = codes.schema[id_col].dataType.simpleString()
@@ -407,7 +410,7 @@ def pq_query_index(
         axis=1,
     )
     bc = spark.sparkContext.broadcast((q_ids, lut))
-    codes = spark.read.parquet(store_data_dir(path, "codes")).select(
+    codes = read_store(spark, path, "codes").select(
         id_col, "codes"
     )
     cut = shortlist if shortlist else k  # per-partition keep size
@@ -605,7 +608,7 @@ def _store_extra_cols(spark, path: str, id_col: str) -> tuple[str, ...]:
     id/codes/cluster_id and the flat store's ``_idmod`` bucket) — read
     from the store's own schema so upsert, delete and retrain stay
     schema-faithful without the caller re-declaring them."""
-    cols = spark.read.parquet(store_data_dir(path, "codes")).columns
+    cols = read_store(spark, path, "codes").columns
     return tuple(
         c for c in cols if c not in (id_col, "codes", "cluster_id", "_idmod")
     )
@@ -675,13 +678,14 @@ def ivfpq_build_index(
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def load_ivfpq_artifacts(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, codebooks) from a persisted IVFPQ store — two
     driver-sized reads (n_clusters + m×k rows), the everything a query
     or maintenance session needs besides the codes scan."""
-    cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
+    cent_rows = read_store(spark, path, "centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -744,7 +748,7 @@ def ivfpq_query_index(
         (np.asarray(q_ids, dtype=np.int64), base, probe_mask, lut)
     )
     probed = sorted({int(c) for c in order.reshape(-1)})
-    codes = spark.read.parquet(store_data_dir(path, "codes")).where(
+    codes = read_store(spark, path, "codes").where(
         F.col("cluster_id").isin(probed)
     )
     if where is not None:
@@ -869,7 +873,7 @@ def ivfpq_delete_index(
                 raise AbortStoreGeneration  # empty batch — store untouched
             extras = _store_extra_cols(spark, path, id_col)
             survivors = (
-                spark.read.parquet(store_data_dir(path, "codes"))
+                read_store(spark, path, "codes")
                 .where(F.col("cluster_id").isin(clusters))
                 .join(
                     assigned.select(F.col(id_col).alias("_del_id")).distinct(),
@@ -962,7 +966,7 @@ def ivfpq_retrain_index(
         kk = k if k is not None else old_books.shape[1]
 
         occ_rows = (
-            spark.read.parquet(store_data_dir(path, "codes"))
+            read_store(spark, path, "codes")
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from flink_quickstart_spark.operators.maintenance import (
     AbortStoreGeneration,
-    current_store_root,
+    open_store_snapshot,
+    read_store,
     store_data_dir,
     store_generation,
 )
@@ -482,7 +483,7 @@ def ivf_upsert_index(
     store lease; readers see the pre- or post-upsert index, never a
     torn batch — operators/maintenance.store_generation)."""
     with store_generation(path, "ivf_upsert_index") as gen:
-        cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
+        cent_rows = read_store(spark, path, "centroids").collect()
         cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
         for r in cent_rows:
             cents[r.cluster_id] = r.centroid
@@ -525,7 +526,7 @@ def _ivf_delete_into(spark, path, gen, del_df, id_col, vec_col) -> None:
     collect), not a correctness requirement."""
     import numpy as _np
 
-    cent_rows = spark.read.parquet(store_data_dir(path, "centroids")).collect()
+    cent_rows = read_store(spark, path, "centroids").collect()
     cents = _np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -540,7 +541,7 @@ def _ivf_delete_into(spark, path, gen, del_df, id_col, vec_col) -> None:
         if not clusters:
             raise AbortStoreGeneration
         survivors = (
-            spark.read.parquet(store_data_dir(path, "members"))
+            read_store(spark, path, "members")
             .where(F.col("cluster_id").isin(clusters))
             .join(
                 assigned.select(F.col(id_col).alias("_del_id")).distinct(),
@@ -600,6 +601,7 @@ def ivf_build_index(
     loads |centroids| floats and prunes the member scan."""
     from flink_quickstart_spark.operators.maintenance import (
         reset_store_generations,
+        write_store_manifest,
     )
 
     reset_store_generations(path)  # rebuild over a mutated store: see docstring
@@ -617,6 +619,7 @@ def ivf_build_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def ivf_drift_stats(
@@ -646,12 +649,12 @@ def ivf_drift_stats(
     examples/index_maintenance_job.py; the signal's behavior under
     real drift (fresh ≈ low, post-drift ↑, post-retrain ↓) is pinned
     in tests/test_invariants_r10.py."""
-    root = current_store_root(path)  # one resolve = one consistent snapshot
-    cent_rows = spark.read.parquet(f"{root}/centroids").collect()
+    snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
+    cent_rows = snap.read(spark, "centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
-    members = spark.read.parquet(f"{root}/members")
+    members = snap.read(spark, "members")
     occ = {
         int(r.cluster_id): int(r.n)
         for r in members.groupBy("cluster_id")
@@ -979,6 +982,7 @@ def lsh_build_index(
     """
     from flink_quickstart_spark.operators.maintenance import (
         reset_store_generations,
+        write_store_manifest,
     )
 
     reset_store_generations(path)  # rebuild over a mutated store: see docstring
@@ -1010,6 +1014,7 @@ def lsh_build_index(
         ],
         "band_id int, direction array<double>, bucket_length double",
     ).write.mode("overwrite").parquet(f"{path}/projections")
+    write_store_manifest(path)  # stamp generation 0's file list (r12)
 
 
 def ensure_lsh_index(
@@ -1133,7 +1138,7 @@ def lsh_upsert_index(
                 clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
                 prune = clause if prune is None else (prune | clause)
             existing = (
-                spark.read.parquet(store_data_dir(path, "postings"))
+                read_store(spark, path, "postings")
                 .where(prune)
                 .select(id_col, vec_col, "band_id", "bucket")
             )
@@ -1217,7 +1222,7 @@ def lsh_delete_index(
 def _lsh_delete_into(
     spark, path, gen, del_df, id_col, vec_col, max_combos
 ) -> None:
-    proj_rows = spark.read.parquet(store_data_dir(path, "projections")).collect()
+    proj_rows = read_store(spark, path, "projections").collect()
     bucket_length = float(proj_rows[0].bucket_length)
     dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
     for r in proj_rows:
@@ -1250,7 +1255,7 @@ def _lsh_delete_into(
             clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
             prune = clause if prune is None else (prune | clause)
         survivors_df = (
-            spark.read.parquet(store_data_dir(path, "postings"))
+            read_store(spark, path, "postings")
             .where(prune)
             .select(id_col, vec_col, "band_id", "bucket")
             .join(
@@ -1335,8 +1340,8 @@ def lsh_query_index(
     an order can yield a prune set that disagrees with the join-side
     rows and silently drop matches. Materialize (localCheckpoint) a
     nondeterministic batch first."""
-    root = current_store_root(path)  # one resolve = one consistent snapshot
-    proj_rows = spark.read.parquet(f"{root}/projections").collect()
+    snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
+    proj_rows = snap.read(spark, "projections").collect()
     bucket_length = float(proj_rows[0].bucket_length)
     dirs = np.zeros((len(proj_rows), len(proj_rows[0].direction)))
     for r in proj_rows:
@@ -1377,7 +1382,7 @@ def lsh_query_index(
     for band, buckets in by_band.items():
         clause = (F.col("band_id") == band) & F.col("bucket").isin(buckets)
         prune = clause if prune is None else (prune | clause)
-    postings = spark.read.parquet(f"{root}/postings").where(
+    postings = snap.read(spark, "postings").where(
         F.col("pos") <= cap_per_bucket
     )
     if prune is not None:
@@ -1486,8 +1491,8 @@ def ivf_query_index(
     it and the cogroup re-executes it; materialize (localCheckpoint) a
     nondeterministic batch first, or its probe rows may land in pruned-
     away clusters and silently drop matches."""
-    root = current_store_root(path)  # one resolve = one consistent snapshot
-    cent_rows = spark.read.parquet(f"{root}/centroids").collect()
+    snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
+    cent_rows = snap.read(spark, "centroids").collect()
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -1524,7 +1529,7 @@ def ivf_query_index(
         int(r.cluster_id)
         for r in probes.select("cluster_id").distinct().collect()
     ]
-    members = spark.read.parquet(f"{root}/members").where(
+    members = snap.read(spark, "members").where(
         F.col("cluster_id").isin(probed)
     )
 

@@ -36,7 +36,10 @@ import os
 
 from pyspark.sql import functions as F
 
-from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
+from flink_quickstart_spark.operators.maintenance import (
+    read_store as _rs,
+    store_data_dir as _sdd,
+)
 from flink_quickstart_spark.plans.analytics_r9 import _multiset_equal, _scratch
 from flink_quickstart_spark.plans.registry import register, tables
 
@@ -108,15 +111,15 @@ def q_llm_ivf_retrain(spark, sf_dir):
         "centroids",
     )
     members_eq = _multiset_equal(
-        spark.read.parquet(_sdd(ret, "members")),
-        spark.read.parquet(_sdd(ref, "members")),
+        _rs(spark, ret, "members"),
+        _rs(spark, ref, "members"),
         ["vec_id", "cluster_id"],
         "n_members",
         "retrain_eq_rebuild",
     )
     cents_eq = _multiset_equal(
-        spark.read.parquet(_sdd(ret, "centroids")),
-        spark.read.parquet(_sdd(ref, "centroids")),
+        _rs(spark, ret, "centroids"),
+        _rs(spark, ref, "centroids"),
         ["cluster_id", "centroid"],
         "_n_cents",
         "centroids_eq_rebuild",
@@ -205,8 +208,8 @@ def q_maintenance_compact_subset(spark, sf_dir):
     only_over = stats["partitions_compacted"] == stats["over_threshold_pre"]
     return (
         _multiset_equal(
-            spark.read.parquet(_sdd(store, "bands")),
-            spark.read.parquet(_sdd(full, "bands")),
+            _rs(spark, store, "bands"),
+            _rs(spark, full, "bands"),
             ["doc_id", "band_id", "sig"],
             "n_band_rows",
             "subset_eq_full",
@@ -262,7 +265,7 @@ def q_llm_pq_encode(spark, sf_dir):
     books = load_codebooks(spark, path)
     enc_eq = _multiset_equal(
         pq_encode_df(t.embeddings, books),
-        spark.read.parquet(_sdd(path, "codes")),
+        _rs(spark, path, "codes"),
         ["vec_id", "codes"],
         "n_vecs",
         "encode_deterministic",
@@ -463,7 +466,7 @@ def q_llm_ivfpq_upsert(spark, sf_dir):
     ref = _ivfpq_encode_df(t.embeddings, cents, books)
     cols = ["vec_id", "codes", "cluster_id"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(ups, "codes")).select(*cols),
+        _rs(spark, ups, "codes").select(*cols),
         ref.select(*cols),
         cols,
         "n_codes",
@@ -537,8 +540,8 @@ def q_llm_ivfpq_retrain(spark, sf_dir):
         "codebooks",
     )
     codes_eq = _multiset_equal(
-        spark.read.parquet(_sdd(ret, "codes")),
-        spark.read.parquet(_sdd(ref, "codes")),
+        _rs(spark, ret, "codes"),
+        _rs(spark, ref, "codes"),
         ["vec_id", "codes", "cluster_id"],
         "n_codes",
         "retrain_eq_rebuild",
@@ -547,10 +550,10 @@ def q_llm_ivfpq_retrain(spark, sf_dir):
         # one frame for both trained artifacts; the codebook key folds
         # (subspace, code) so a cross-subspace permutation can't hide
         return (
-            spark.read.parquet(_sdd(base, "centroids"))
+            _rs(spark, base, "centroids")
             .select(F.lit("cent").alias("kind"), F.col("cluster_id").alias("slot"), "centroid")
             .unionByName(
-                spark.read.parquet(_sdd(base, "codebooks")).select(
+                _rs(spark, base, "codebooks").select(
                     F.lit("book").alias("kind"),
                     (F.col("subspace") * 100_000 + F.col("code")).alias("slot"),
                     F.col("centroid"),
@@ -911,10 +914,10 @@ def q_llm_forget(spark, sf_dir):
         audit += json.load(fh)
     ok = all(a["status"] == "ok" for a in audit) and len(audit) == 4
     residue = sum(a["residue"] or 0 for a in audit)
-    n_bands = spark.read.parquet(_sdd(p_minhash, "bands")).count()
-    n_post = spark.read.parquet(_sdd(p_lsh, "postings")).count()
-    n_mem = spark.read.parquet(_sdd(p_ivf, "members")).count()
-    n_codes = spark.read.parquet(_sdd(p_ivfpq, "codes")).count()
+    n_bands = _rs(spark, p_minhash, "bands").count()
+    n_post = _rs(spark, p_lsh, "postings").count()
+    n_mem = _rs(spark, p_ivf, "members").count()
+    n_codes = _rs(spark, p_ivfpq, "codes").count()
     return spark.range(1).select(
         F.lit(n_bands).cast("bigint").alias("n_bands_after"),
         F.lit(n_post).cast("bigint").alias("n_postings_after"),

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from flink_quickstart_spark.operators.maintenance import (
     current_store_root,
+    read_store as _rs,
     store_data_dir as _sdd,
 )
 from flink_quickstart_spark.plans.analytics_r9 import _multiset_equal, _scratch
@@ -90,7 +91,7 @@ def q_llm_pq_upsert(spark, sf_dir):
     books = load_codebooks(spark, ups)
     return _multiset_equal(
         pq_encode_df(t.embeddings, books),
-        spark.read.parquet(_sdd(ups, "codes")),
+        _rs(spark, ups, "codes"),
         ["vec_id", "codes"],
         "n_vecs",
         "upsert_eq_reencode",
@@ -145,7 +146,7 @@ def q_llm_pq_delete(spark, sf_dir):
     books = load_codebooks(spark, deleted)
     return _multiset_equal(
         pq_encode_df(remainder, books),
-        spark.read.parquet(_sdd(deleted, "codes")),
+        _rs(spark, deleted, "codes"),
         ["vec_id", "codes"],
         "n_vecs",
         "delete_eq_reencode",

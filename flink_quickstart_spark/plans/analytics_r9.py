@@ -25,7 +25,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
-from flink_quickstart_spark.operators.maintenance import store_data_dir as _sdd
+from flink_quickstart_spark.operators.maintenance import (
+    read_store as _rs,
+    store_data_dir as _sdd,
+)
 from flink_quickstart_spark.plans.registry import register, tables
 
 
@@ -107,8 +110,8 @@ def q_llm_lsh_upsert(spark, sf_dir):
     _ensure_index(lambda: lsh_build_index(t.embeddings, full), full, src, "projections")
     cols = ["vec_id", "band_id", "bucket", "pos"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(ups, "postings")),
-        spark.read.parquet(_sdd(full, "postings")),
+        _rs(spark, ups, "postings"),
+        _rs(spark, full, "postings"),
         cols,
         "n_postings",
         "upsert_eq_rebuild",
@@ -165,8 +168,8 @@ def q_llm_lsh_delete(spark, sf_dir):
     _ensure_index(lambda: lsh_build_index(remainder, ref), ref, src, "projections")
     cols = ["vec_id", "band_id", "bucket", "pos"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(deleted, "postings")),
-        spark.read.parquet(_sdd(ref, "postings")),
+        _rs(spark, deleted, "postings"),
+        _rs(spark, ref, "postings"),
         cols,
         "n_postings",
         "delete_eq_rebuild",
@@ -229,7 +232,7 @@ def q_llm_ivf_upsert(spark, sf_dir):
     def build_ref() -> None:
         # full-corpus assignment against the UPSERTED index's centroids
         # (the pinned-centroid rebuild the invariant compares against)
-        cent_rows = spark.read.parquet(_sdd(ups, "centroids")).collect()
+        cent_rows = _rs(spark, ups, "centroids").collect()
         cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
         for r in cent_rows:
             cents[r.cluster_id] = r.centroid
@@ -239,15 +242,15 @@ def q_llm_ivf_upsert(spark, sf_dir):
             .partitionBy("cluster_id")
             .parquet(f"{ref}/members")
         )
-        spark.read.parquet(_sdd(ups, "centroids")).write.mode("overwrite").parquet(
+        _rs(spark, ups, "centroids").write.mode("overwrite").parquet(
             f"{ref}/centroids"
         )
 
     _ensure_index(build_ref, ref, src, "centroids")
     cols = ["vec_id", "cluster_id"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(ups, "members")),
-        spark.read.parquet(_sdd(ref, "members")),
+        _rs(spark, ups, "members"),
+        _rs(spark, ref, "members"),
         cols,
         "n_members",
         "upsert_eq_assign",
@@ -307,8 +310,8 @@ def q_llm_store_upsert(spark, sf_dir):
     _ensure_index(lambda: minhash_build_store(t.documents, full), full, src, "meta")
     cols = ["doc_id", "band_id", "sig"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(ups, "bands")),
-        spark.read.parquet(_sdd(full, "bands")),
+        _rs(spark, ups, "bands"),
+        _rs(spark, full, "bands"),
         cols,
         "n_band_rows",
         "upsert_eq_rebuild",
@@ -376,8 +379,8 @@ def q_llm_store_compact(spark, sf_dir):
     )
     cols = ["doc_id", "band_id", "sig"]
     return _multiset_equal(
-        spark.read.parquet(_sdd(compacted, "bands")),
-        spark.read.parquet(_sdd(full, "bands")),
+        _rs(spark, compacted, "bands"),
+        _rs(spark, full, "bands"),
         cols,
         "n_band_rows",
         "compact_eq_precompact",
