@@ -281,6 +281,59 @@ class LocalFSCommitBackend:
         return out
 
 
+class VersionedPointerCommitBackend(LocalFSCommitBackend):
+    """Reference OBJECT-STORE commit semantics, runnable on local disk
+    (r12, VERDICT r11 #1): the executable documentation of what a real
+    s3a/gs backend implements at the seam. Uses NO atomic rename and
+    NO hardlinks — the two POSIX primitives an object store lacks:
+
+    - pointer commits are PUT-IF-ABSENT of a generation-VERSIONED key
+      (``_current.v{N:06d}``, created ``O_CREAT|O_EXCL`` — the local
+      twin of S3 ``If-None-Match: *`` / GCS
+      ``x-goog-if-generation-match: 0``). Two racing committers of the
+      same generation number cannot both succeed; readers resolve
+      LIST + max, so a half-written newer key can never shadow a
+      committed older one (keys become visible only on successful
+      conditional create).
+    - ``clone_tree`` is a byte copy (the server-side-copy analog; a
+      production backend would prefer zero-copy manifest reuse for
+      unchanged files — the manifest already names them).
+
+    tests/test_manifest_r12.py runs the full
+    build→upsert→delete→compact lifecycle through this backend and
+    ``q_store_manifest_commit`` pins it as a driver-checked result."""
+
+    name = "versioned-pointer"
+
+    def _pointer_keys(self, path: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(path, _GEN_POINTER + ".v*")))
+
+    def read_pointer(self, path: str) -> dict | None:
+        keys = self._pointer_keys(path)
+        if not keys:
+            return None
+        with open(keys[-1]) as fh:
+            return json.loads(fh.read())
+
+    def commit_pointer(self, path: str, payload: dict) -> None:
+        key = os.path.join(
+            path, f"{_GEN_POINTER}.v{int(payload['generation']):06d}"
+        )
+        fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps(payload))
+
+    def clear_pointer(self, path: str) -> None:
+        for k in self._pointer_keys(path):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(k)
+
+    def clone_tree(self, src: str, dst: str) -> None:
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+
+
 _COMMIT_BACKEND = LocalFSCommitBackend()
 
 

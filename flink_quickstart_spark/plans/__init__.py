@@ -37,6 +37,7 @@ def load_all() -> None:
     from flink_quickstart_spark.plans import analytics_r9  # noqa: F401
     from flink_quickstart_spark.plans import analytics_r10  # noqa: F401
     from flink_quickstart_spark.plans import analytics_r11  # noqa: F401
+    from flink_quickstart_spark.plans import analytics_r12  # noqa: F401
 
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracle_sql", "load_all"]

@@ -86,9 +86,9 @@ def kafka_stream(
     MISSING_KAFKA_PACKAGE AnalysisException. Tests use the directory-
     monitoring file source instead (streaming/harness.py). Offline
     acquisition re-attempted and still unavailable r9 (2026-08-15 AM),
-    r10 (2026-08-15 PM), and r11 (2026-08-16: `find / -name
-    '*kafka*.jar'` → nothing, no protobuf wheel outside pyspark's
-    vendored stubs, PyPI DNS resolution fails): the environment
+    r10 (2026-08-15 PM), r11 (2026-08-16 AM), and r12 (2026-08-16 PM:
+    `find / -name '*kafka*.jar'` → nothing, `import google.protobuf`
+    → ModuleNotFoundError, PyPI DNS resolution fails): the environment
     contract forbids package installs.
     """
     return (

@@ -31,8 +31,8 @@ from flink_quickstart_spark.operators.dedup import (
     minhash_upsert_store,
 )
 from flink_quickstart_spark.operators.maintenance import (
-    LocalFSCommitBackend,
     StoreSnapshotExpired,
+    VersionedPointerCommitBackend,
     _GEN_POINTER,
     _MANIFEST,
     compact_minhash_store,
@@ -127,14 +127,12 @@ def test_legacy_store_without_manifest_falls_back(spark, tmp_path):
     assert snap.read(spark, "bands").select("doc_id").distinct().count() == a.count()
 
 
-class FakeObjectStoreBackend(LocalFSCommitBackend):
-    """Object-store commit semantics on local disk: NO atomic rename,
-    NO hardlinks. The pointer commit is a PUT-IF-ABSENT of a
-    generation-versioned key (`_current.v{N}` created O_CREAT|O_EXCL —
-    the same conditional-create S3 `If-None-Match: *` / GCS
-    `x-goog-if-generation-match: 0` give); reads resolve LIST+max.
-    clone_tree is a byte copy (server-side copy). Inherits
-    list_data_files/remove_tree (LIST / batched DELETE analogs)."""
+class FakeObjectStoreBackend(VersionedPointerCommitBackend):
+    """The package's reference object-store backend (put-if-absent
+    versioned pointer keys, byte-copy clone — the semantics a real
+    s3a/gs implementation has at the seam), instrumented with commit /
+    clone counters so the lifecycle test can assert it was actually
+    exercised."""
 
     name = "fake-object-store"
 
@@ -143,30 +141,15 @@ class FakeObjectStoreBackend(LocalFSCommitBackend):
         self.clones = 0
 
     def _keys(self, path):
-        return sorted(glob.glob(os.path.join(path, _GEN_POINTER + ".v*")))
-
-    def read_pointer(self, path):
-        keys = self._keys(path)
-        if not keys:
-            return None
-        with open(keys[-1]) as fh:
-            return json.loads(fh.read())
+        return self._pointer_keys(path)
 
     def commit_pointer(self, path, payload):
-        key = os.path.join(
-            path, f"{_GEN_POINTER}.v{int(payload['generation']):06d}"
-        )
-        fd = os.open(key, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # put-if-absent
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps(payload))
+        super().commit_pointer(path, payload)
         self.commits += 1
 
-    def clear_pointer(self, path):
-        for k in self._keys(path):
-            os.remove(k)
-
     def clone_tree(self, src, dst):
-        shutil.copytree(src, dst, dirs_exist_ok=True)
+        super().clone_tree(src, dst)
+        self.clones += 1
         self.clones += 1
 
 

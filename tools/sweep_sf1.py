@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -70,9 +71,27 @@ def main() -> int:
     unknown = [k for k in keys if k not in registry.REGISTRY]
     if unknown:
         ap.error(f"unknown --keys (not in registry): {','.join(unknown)}")
+    # Machine-load self-description (VERDICT r11 #5): r11's cold-pass
+    # controls read 1.5-2× over r10 purely from same-session machine
+    # load, which made round-over-round sweep deltas untrustworthy
+    # without a re-measure pass. Every key now records the 1-min load
+    # average at its start, the file records start/end load triples,
+    # and the sweep FLAGS itself not-comparable when load-15 at start
+    # exceeds half the cores (an idle box reads < 1; a co-running
+    # pytest session reads 15-30 on this 32-thread machine).
+    cpus = os.cpu_count() or 32
+    load_start = os.getloadavg()
+    load_flagged = load_start[2] > cpus / 2
+    if load_flagged:
+        print(
+            f"WARNING: load15={load_start[2]:.1f} > {cpus}/2 at sweep "
+            "start — timings will not be comparable across rounds; "
+            "re-run on an idle machine for trend-grade numbers"
+        )
     n_ok = n_guarded = n_err = 0
     for key in keys:
         spec = registry.REGISTRY[key]
+        load1 = round(os.getloadavg()[0], 2)
         t0 = time.time()
         try:
             # Consume engine-side: count + an xxhash64 fold over every
@@ -108,7 +127,12 @@ def main() -> int:
             continue
         secs = round(time.time() - t0, 2)
         n_ok += 1
-        results[key] = {"status": "ok", "rows": rows, "secs": secs}
+        results[key] = {
+            "status": "ok",
+            "rows": rows,
+            "secs": secs,
+            "load1_at_start": load1,
+        }
         print(f"ok {key}: {rows} rows ({secs}s)")
 
     # counts over the MERGED result set, so a --keys spot re-run reports
@@ -134,6 +158,25 @@ def main() -> int:
                     # expensive keys are uninterpretable)
                     "shuffle_partitions": parts,
                     "sized_for_bytes": sized_bytes,
+                    # machine-load self-description (VERDICT r11 #5):
+                    # per-key load1_at_start plus these file-level
+                    # triples make cross-round timing comparisons
+                    # self-qualifying — load_flagged=true means the
+                    # sweep itself disclaims trend-grade comparability
+                    "loadavg_at_start": [round(x, 2) for x in load_start],
+                    "loadavg_at_end": [
+                        round(x, 2) for x in os.getloadavg()
+                    ],
+                    "cpus": cpus,
+                    "load_flagged": load_flagged,
+                    "load_note": (
+                        "load15 at start exceeded cpus/2 — timings "
+                        "reflect a loaded machine; do not compare "
+                        "across rounds without a re-measure"
+                        if load_flagged
+                        else "machine idle at sweep start (load15 ≤ "
+                        "cpus/2); timings are trend-comparable"
+                    ),
                     "method": "single cold run per key, consumed "
                     "engine-side via agg(count, sum(xxhash64(*cols "
                     "cast string))) — no driver materialization; "
