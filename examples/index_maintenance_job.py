@@ -339,6 +339,34 @@ def main() -> None:
             f"(residue={a['residue']}, {a['seconds']}s)"
         )
     assert all(a["status"] == "ok" for a in audit)
+
+    # 7. LONG READERS + TIME TRAVEL (r12): a reader that must survive
+    # more than two mutations pins its generation (the keep-2 GC skips
+    # pinned generations); any retained commit is addressable with a
+    # VERSION-AS-OF read off its manifest
+    from flink_quickstart_spark.operators.maintenance import (
+        generation_id,
+        open_store_snapshot,
+        pin_generation,
+        retained_generations,
+        unpin_generation,
+    )
+
+    token = pin_generation(store)  # hold the current serving snapshot
+    pinned = open_store_snapshot(store)
+    n_pinned = pinned.read(spark, "bands").count()
+    minhash_upsert_store(spark, store, forget_docs)  # re-admit (new gen)
+    compact_minhash_store(spark, store)  # and compact (another gen)
+    assert pinned.read(spark, "bands").count() == n_pinned  # survived
+    unpin_generation(store, token)
+    cur = generation_id(store)
+    prev_snap = open_store_snapshot(store, generation=cur - 1)
+    assert prev_snap.read(spark, "bands").count() >= n_pinned
+    print(
+        f"pin + time travel: pinned read stable across 2 publishes; "
+        f"retained generations {sorted(retained_generations(store))}, "
+        f"read back generation {cur - 1} AS OF its manifest"
+    )
     print("index maintenance lifecycle complete")
 
 

@@ -418,16 +418,42 @@ class StoreSnapshot:
     same snapshot sees the same file list, no matter how many
     generations publish in between (until the keep-2 GC reclaims it —
     then reads fail loudly with :class:`StoreSnapshotExpired`; pin the
-    generation with :func:`pin_generation` to hold it longer)."""
+    generation with :func:`pin_generation` to hold it longer).
 
-    def __init__(self, path: str):
+    ``generation=N`` opens a RETAINED HISTORICAL generation instead of
+    the current one — TIME TRAVEL over the store's commit history
+    (the table-format ``VERSION AS OF`` read): generation 0 (the
+    build) is never GC'd, the previous generation is always retained,
+    and pinned generations are retained for as long as their pin
+    lives, so {0, pinned…, previous, current} are addressable. Asking
+    for a collected generation fails with the typed expiry error
+    naming what IS retained."""
+
+    def __init__(self, path: str, generation: int | None = None):
         self.path = path
-        self.generation = generation_id(path)
+        self.generation = (
+            generation_id(path) if generation is None else int(generation)
+        )
         self.root = (
             path
             if self.generation == 0
             else os.path.join(path, f"{_GEN_PREFIX}{self.generation:06d}")
         )
+        if generation is not None and (
+            not os.path.isdir(self.root)
+            # a staged-but-unpublished generation (crash between stage
+            # and pointer commit) is on disk but was never a commit —
+            # it is awaiting reclamation, not time-travelable
+            or self.generation > generation_id(path)
+        ):
+            raise StoreSnapshotExpired(
+                f"store {path!r} has no retained generation "
+                f"{self.generation} (retained: "
+                f"{sorted(retained_generations(path))}; current: "
+                f"{generation_id(path)}). Retention is keep-2 + pins; "
+                "pin_generation() before mutations to hold a snapshot "
+                "for time travel."
+            )
         self.manifest = _load_manifest(self.root)
 
     def data_dir(self, subdir: str) -> str:
@@ -477,12 +503,36 @@ class StoreSnapshot:
         return spark.read.option("basePath", d).parquet(*fl)
 
 
-def open_store_snapshot(path: str) -> StoreSnapshot:
+def open_store_snapshot(
+    path: str, generation: int | None = None
+) -> StoreSnapshot:
     """Resolve the store's CURRENT generation into a snapshot handle:
     one pointer read + one manifest read; every ``.read`` off the
     handle sees that one generation (multi-subdir readers — meta +
-    data — use this so both reads come from the SAME commit)."""
-    return StoreSnapshot(path)
+    data — use this so both reads come from the SAME commit).
+    ``generation=N`` time-travels to a retained historical generation
+    (see :class:`StoreSnapshot`)."""
+    return StoreSnapshot(path, generation=generation)
+
+
+def retained_generations(path: str) -> set[int]:
+    """Generation ids currently addressable for time travel: the
+    published ``_gen-*`` dirs still on disk (current + previous +
+    pinned — whatever the keep-2+pins GC has retained) plus the root
+    build (generation 0, never deleted) once it has a manifest."""
+    out: set[int] = set()
+    if os.path.isfile(os.path.join(path, _MANIFEST)):
+        out.add(0)
+    cur = generation_id(path)
+    for name in os.listdir(path) if os.path.isdir(path) else ():
+        if name.startswith(_GEN_PREFIX):
+            try:
+                gid = int(name[len(_GEN_PREFIX):])
+            except ValueError:
+                continue
+            if gid <= cur:  # a staged gid > cur was never published
+                out.add(gid)
+    return out
 
 
 def read_store(spark, path: str, subdir: str):

@@ -72,12 +72,114 @@ def pq_train_codebooks(
     run seeded L2 k-means per subspace (driver numpy — the same
     bounded-sample discipline as the IVF centroid trainer). dim must be
     divisible by m."""
+    mat = _pq_training_sample(df, id_col, vec_col, sample_rows)
+    return _train_subspace_codebooks(mat, m, k, seed, iters, "pq_train_codebooks")
+
+
+def _pq_training_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """The bounded deterministic training matrix every quantizer
+    trainer shares: orderBy(id).limit(N) (order-stable under AQE),
+    unit-normalized rows."""
     sample = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
     )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    return _train_subspace_codebooks(mat, m, k, seed, iters, "pq_train_codebooks")
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _opq_init_rotation(mat: np.ndarray, m: int) -> np.ndarray:
+    """OPQ's standard initialization (Ge et al., CVPR 2014 — the
+    'natural baseline' the paper iterates from): rotate into the PCA
+    eigenbasis, then allocate eigen-dimensions to the ``m`` subspaces
+    GREEDILY BALANCING the product of eigenvalues per subspace (sum of
+    logs), so no subspace is left with only near-dead directions. On
+    anisotropic data a contiguous split of the raw dims gives some
+    subspaces almost all the variance (their k centroids can't cover
+    it) and others none (their bits are wasted); the balanced eigen
+    split spends the m×log2(k) bit budget where the variance is."""
+    dim = mat.shape[1]
+    dsub = dim // m
+    cov = np.cov(mat, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    # greedy balance: biggest eigenvalue first, into the open subspace
+    # with the smallest log-product so far
+    log_v = np.log(np.maximum(vals, 1e-12))
+    assigned: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for j in range(dim):
+        open_s = [s for s in range(m) if len(assigned[s]) < dsub]
+        tgt = min(open_s, key=lambda s: (load[s], s))
+        assigned[tgt].append(j)
+        load[tgt] += log_v[j]
+    perm = [j for s in range(m) for j in assigned[s]]
+    return vecs[:, perm]
+
+
+def _pq_reconstruct(
+    y: np.ndarray, books: np.ndarray
+) -> np.ndarray:
+    """Encode-then-decode ``y`` against ``books`` (driver-side numpy —
+    the OPQ trainer's inner loop on the bounded sample)."""
+    m, _k, dsub = books.shape
+    out = np.empty_like(y)
+    for s in range(m):
+        sub = y[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s * dsub : (s + 1) * dsub] = books[s][np.argmin(d2, axis=1)]
+    return out
+
+
+def opq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k: int = 256,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+    iters: int = 10,
+    opq_iters: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train an OPQ rotation + codebooks (K4j, r12): learn an
+    ORTHOGONAL ``dim×dim`` matrix ``R`` so that PQ in the rotated space
+    ``x @ R`` quantizes better at the same m×log2(k) bit budget —
+    FAISS's ``OPQMatrix`` pre-transform. Alternating minimization of
+    ``||X R − quantize(X R)||_F`` (Ge et al., CVPR 2014): init from the
+    eigenvalue-balanced PCA permutation, then iterate {train codebooks
+    on X R → reconstruct → re-solve R by orthogonal Procrustes (SVD of
+    ``Xᵀ X̂``)}. Everything runs driver-side on the bounded
+    deterministic sample (same discipline as the IVF/PQ trainers:
+    seeded, orderBy(id).limit(N)), so train == retrain bit-identically.
+
+    Rotation preserves norms and inner products, so ADC sums in the
+    rotated space approximate the ORIGINAL cosine — queries are rotated
+    at plan time and nothing else in the search path changes. On
+    isotropic (uniform-random) vectors R buys nothing by construction;
+    on anisotropic/correlated real embedding corpora the balanced
+    subspaces cut reconstruction error — the q_llm_opq_encode contract
+    measures exactly that against plain PQ on the same data."""
+    mat = _pq_training_sample(df, id_col, vec_col, sample_rows)
+    if mat.shape[1] % m:
+        raise ValueError(
+            f"opq_train: dim {mat.shape[1]} not divisible by m={m}"
+        )
+    rot = _opq_init_rotation(mat, m)
+    books = None
+    for _ in range(max(1, int(opq_iters))):
+        y = mat @ rot
+        books = _train_subspace_codebooks(y, m, k, seed, iters, "opq_train")
+        recon = _pq_reconstruct(y, books)
+        u, _s, vt = np.linalg.svd(mat.T @ recon)
+        rot = u @ vt
+    # final codebooks for the final rotation
+    books = _train_subspace_codebooks(
+        mat @ rot, m, k, seed, iters, "opq_train"
+    )
+    return rot, books
 
 
 def _train_subspace_codebooks(
@@ -114,19 +216,24 @@ def pq_encode_df(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes array<smallint>) — one Arrow-batched argmin pass, map
     only. Encoding normalizes each vector first (the codebooks were
-    trained on unit vectors so ADC sums approximate cosine)."""
+    trained on unit vectors so ADC sums approximate cosine); an OPQ
+    store passes its stored ``rotation``, applied after the normalize
+    (orthogonal — unit norm preserved)."""
     m, _k, dsub = codebooks.shape
-    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    bc = df.sparkSession.sparkContext.broadcast((codebooks, rotation))
     id_t = df.schema[id_col].dataType.simpleString()
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = bc.value
+        books, rot = bc.value
         for pdf in batches:
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            if rot is not None:
+                v = v @ rot
             codes = np.zeros((len(v), m), dtype=np.int16)
             for s in range(m):
                 sub = v[:, s * dsub : (s + 1) * dsub]
@@ -168,6 +275,8 @@ def pq_build_index(
     sample_rows: int = 20_000,
     seed: int = 42,
     id_buckets: int = PQ_ID_BUCKETS,
+    opq: bool = False,
+    opq_iters: int = 8,
 ) -> None:
     """Materialize the compressed search form:
 
@@ -181,15 +290,31 @@ def pq_build_index(
       contract), so query cost is unchanged;
     - ``{path}/codebooks`` — (subspace, code, centroid array<double>)
       rows, m×k of them, so query sessions rebuild the LUTs from a
-      driver-sized read.
+      driver-sized read;
+    - ``opq=True`` (K4j, r12) additionally trains and stores the OPQ
+      rotation (:func:`opq_train`) as ``{path}/rotation`` (dim rows),
+      and all codes are of the ROTATED vectors. Every downstream path
+      (upsert, query, decode, forget) resolves the rotation from the
+      store itself, so an OPQ store is maintained and searched through
+      the exact same lifecycle as a plain one.
     """
     reset_store_generations(path)  # rebuild over a mutated store
     spark = df.sparkSession
-    books = pq_train_codebooks(
-        df, id_col, vec_col, m=m, k=k, sample_rows=sample_rows, seed=seed
-    )
+    if opq:
+        rot, books = opq_train(
+            df, id_col, vec_col, m=m, k=k, sample_rows=sample_rows,
+            seed=seed, opq_iters=opq_iters,
+        )
+    else:
+        rot = None
+        books = pq_train_codebooks(
+            df, id_col, vec_col, m=m, k=k, sample_rows=sample_rows, seed=seed
+        )
     (
-        _with_idmod(pq_encode_df(df, books, id_col, vec_col), id_col, id_buckets)
+        _with_idmod(
+            pq_encode_df(df, books, id_col, vec_col, rotation=rot),
+            id_col, id_buckets,
+        )
         .repartition("_idmod")
         .sortWithinPartitions("_idmod", id_col)
         .write.mode("overwrite")
@@ -204,6 +329,11 @@ def pq_build_index(
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    if rot is not None:
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in rot[i]]) for i in range(len(rot))],
+            "i int, row array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
     spark.createDataFrame(
         [(int(id_buckets),)], "id_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -232,10 +362,12 @@ def pq_upsert_index(
     an atomic generation commit."""
     with store_generation(path, "pq_upsert_index") as gen:
         books = load_codebooks(spark, path)
+        rot = load_rotation(spark, path)
         buckets = _pq_bucket_count(spark, path)
         (
             _with_idmod(
-                pq_encode_df(new_df, books, id_col, vec_col), id_col, buckets
+                pq_encode_df(new_df, books, id_col, vec_col, rotation=rot),
+                id_col, buckets,
             )
             .write.mode("append")
             .partitionBy("_idmod")
@@ -337,29 +469,46 @@ def load_codebooks(spark, path: str) -> np.ndarray:
     return books
 
 
+def load_rotation(spark, path: str) -> np.ndarray | None:
+    """The store's OPQ rotation matrix, or None for a plain-PQ store
+    (no ``rotation`` subdir in the current generation)."""
+    if not os.path.isdir(store_data_dir(path, "rotation")):
+        return None
+    rows = read_store(spark, path, "rotation").collect()
+    rot = np.zeros((len(rows), len(rows[0].row)))
+    for r in rows:
+        rot[r.i] = r.row
+    return rot
+
+
 def pq_decode_df(
     spark,
     path: str,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, recon array<double>) — reconstruct each vector from its
-    codes (centroid concat). Used by the reconstruction-quality
+    codes (centroid concat; an OPQ store's reconstruction is rotated
+    BACK into the original space with Rᵀ, so recon compares against
+    the source vectors either way). Used by the reconstruction-quality
     contract; production search never decodes (ADC reads codes only)."""
     books = load_codebooks(spark, path)
+    rot = load_rotation(spark, path)
     m, _k, dsub = books.shape
-    bc = spark.sparkContext.broadcast(books)
+    bc = spark.sparkContext.broadcast((books, rot))
     codes = read_store(spark, path, "codes").select(
         id_col, "codes"
     )
     id_t = codes.schema[id_col].dataType.simpleString()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b = bc.value
+        b, r = bc.value
         for pdf in batches:
             c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             recon = np.concatenate(
                 [b[s][c[:, s]] for s in range(m)], axis=1
             )
+            if r is not None:
+                recon = recon @ r.T
             yield pd.DataFrame({id_col: pdf[id_col], "recon": list(recon)})
 
     return codes.mapInPandas(decode, f"{id_col} {id_t}, recon array<double>")
@@ -403,10 +552,16 @@ def pq_query_index(
     )
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     books = load_codebooks(spark, path)
+    rot = load_rotation(spark, path)
+    # OPQ store: rotate the queries into the codes' space — R is
+    # orthogonal, so <qR, xR> == <q, x> and the ADC sums still
+    # approximate the ORIGINAL cosine (the exact re-rank tier below
+    # works on unrotated vectors either way)
+    qr = qn if rot is None else qn @ rot
     m, _kk, dsub = books.shape
     # LUT[q, s, c] = <query subvector s, codebook centroid c>
     lut = np.stack(
-        [qn[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        [qr[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
         axis=1,
     )
     bc = spark.sparkContext.broadcast((q_ids, lut))

@@ -28,10 +28,80 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 from pyspark.sql import functions as F
 
-from flink_quickstart_spark.plans.analytics_r9 import _scratch
+from flink_quickstart_spark.operators.maintenance import read_store as _rs
+from flink_quickstart_spark.plans.analytics_r9 import (
+    _multiset_equal,
+    _scratch,
+)
 from flink_quickstart_spark.plans.registry import register, tables
+
+
+# OPQ's demonstration OPERATING POINT (K4j): dsub = dim/m = 16 raw
+# dims per subspace at 8 bits each — the coarse regime FAISS runs PQ
+# in (SIFT128/m=8, dsub=16) and the one where a learned rotation has
+# room to matter. At the flat store's fine default (dsub=4, k=256 =
+# 2 bits/dim) rotation measurably buys ~nothing on this data — the
+# codebooks already resolve every direction — so the OPQ keys pin the
+# honest claim at the operating point where the technique earns its
+# extra artifact, not a vacuous one at the default.
+OPQ_M, OPQ_K = 4, 256
+
+
+def _correlated_corpus(embeddings):
+    """A deterministic ANISOTROPIC corpus derived from the uniform
+    synthetic embeddings (on which any rotation is provably useless —
+    isotropy is the quantizer's adversarial case but the rotation's
+    degenerate one): the second half of each vector is rewritten as
+    first_half + 0.1 × second_half, giving strong cross-half
+    correlation in the RAW coordinate order. A contiguous subspace
+    split then quantizes the two correlated halves independently
+    (cross-subspace structure is invisible to per-subspace k-means by
+    construction), while OPQ's eigenvalue-balanced rotation folds the
+    redundancy into every subspace — the structure real embedding
+    matrices exhibit (correlated features scattered across the vector,
+    'rogue' high-variance dims). Pure column expressions: no RNG, no
+    UDF, same rows every run and every engine."""
+    e = F.col("embedding")
+    h1 = F.slice(e, 1, 32)
+    h2 = F.slice(e, 33, 32)
+    return embeddings.select(
+        "vec_id",
+        F.concat(h1, F.zip_with(h1, h2, lambda a, b: a + 0.1 * b)).alias(
+            "embedding"
+        ),
+    )
+
+
+def _mean_recon_cos(spark, corpus, path):
+    """Mean cosine(original vector, decode(codes)) over the whole
+    corpus — the reconstruction-quality functional both PQ contract
+    keys grade; computed JVM-side (zip_with/aggregate, codegen)."""
+    from flink_quickstart_spark.operators.quantization import pq_decode_df
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    e = F.col("embedding").cast("array<double>")
+    r = F.col("recon")
+    return (
+        corpus.select("vec_id", e.alias("embedding"))
+        .join(pq_decode_df(spark, path), "vec_id")
+        .select(
+            (
+                dot(F.col("embedding"), r)
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(r, r))
+                )
+            ).alias("_cos")
+        )
+        .agg(F.avg("_cos").alias("mean_cos"))
+        .collect()[0]
+        .mean_cos
+    )
 
 
 @register(
@@ -221,4 +291,137 @@ def q_store_manifest_commit(spark, sf_dir):
         [(int(n_manifest), alien_invisible, versioned)],
         "n_band_rows_full bigint, alien_file_invisible boolean,"
         " versioned_pointer_commits boolean",
+    )
+
+
+@register(
+    "q_llm_opq_encode",
+    # OPQ contract (K4j): on the correlated corpus at the coarse
+    # operating point, (1) encode is bit-deterministic against the
+    # stored rotation+codebooks, (2) the learned rotation is orthogonal
+    # to machine precision (it preserves norms/inner products, so ADC
+    # still approximates the ORIGINAL cosine), and (3) OPQ's mean
+    # reconstruction cosine strictly beats plain PQ's at the SAME bit
+    # budget on the SAME data — the whole point of learning R.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS encode_deterministic,
+           TRUE AS rotation_orthogonal,
+           TRUE AS opq_beats_plain
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "compression"),
+)
+def q_llm_opq_encode(spark, sf_dir):
+    """K4j (r12): OPTIMIZED product quantization — learn an orthogonal
+    rotation R (alternating eigenvalue-balanced-PCA init + k-means +
+    orthogonal-Procrustes, Ge et al. CVPR 2014; FAISS ``OPQMatrix``)
+    so PQ quantizes ``x @ R`` instead of raw coordinates
+    (operators/quantization.opq_train / pq_build_index(opq=True)).
+    The rotation is a store artifact like the codebooks: upsert /
+    delete / compact / forget and the ADC query path all resolve it
+    from the store, so an OPQ store lives the exact same lifecycle as
+    a plain one. This key builds BOTH stores on the same correlated
+    corpus and pins determinism, orthogonality, and the
+    reconstruction win that justifies the extra artifact."""
+    from flink_quickstart_spark.operators.quantization import (
+        load_codebooks,
+        load_rotation,
+        pq_build_index,
+        pq_encode_df,
+    )
+    from flink_quickstart_spark.operators.similarity import _ensure_index
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = _correlated_corpus(t.embeddings)
+    opq_path = _scratch("opq_index", sf_name)
+    plain_path = _scratch("opq_plain_ref", sf_name)
+    _ensure_index(
+        lambda: pq_build_index(corpus, opq_path, m=OPQ_M, k=OPQ_K, opq=True),
+        opq_path, src, "codebooks",
+    )
+    _ensure_index(
+        lambda: pq_build_index(corpus, plain_path, m=OPQ_M, k=OPQ_K),
+        plain_path, src, "codebooks",
+    )
+    rot = load_rotation(spark, opq_path)
+    orthogonal = bool(
+        np.abs(rot @ rot.T - np.eye(len(rot))).max() < 1e-8
+    )
+    books = load_codebooks(spark, opq_path)
+    enc_eq = _multiset_equal(
+        pq_encode_df(corpus, books, rotation=rot),
+        _rs(spark, opq_path, "codes"),
+        ["vec_id", "codes"],
+        "n_vecs",
+        "encode_deterministic",
+    )
+    cos_opq = _mean_recon_cos(spark, corpus, opq_path)
+    cos_plain = _mean_recon_cos(spark, corpus, plain_path)
+    return (
+        enc_eq.withColumn("rotation_orthogonal", F.lit(orthogonal))
+        .withColumn(
+            "opq_beats_plain", F.lit(bool(cos_opq > cos_plain))
+        )
+        .select(
+            "n_vecs", "encode_deterministic", "rotation_orthogonal",
+            "opq_beats_plain",
+        )
+    )
+
+
+@register(
+    "q_llm_opq_query",
+    # Recall contract (the q_llm_pq_query grading, now through the
+    # rotated ADC path): OPQ ADC top-32 shortlist + exact re-rank must
+    # recover >= 0.9 of the exact brute-force top-3 on the correlated
+    # corpus — queries are rotated at plan time, codes are scanned with
+    # the same numpy-gather LUT kernel, and the re-rank tier works on
+    # UNROTATED vectors (R preserves inner products, so the shortlist
+    # transfers).
+    oracle="""
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok
+    FROM embeddings
+    """,
+    tags=("batch", "llm", "similarity", "approx", "compression"),
+)
+def q_llm_opq_query(spark, sf_dir):
+    """K4j (r12, search side): ADC search over an OPQ store — the
+    query vectors are rotated into the codes' space at plan time (one
+    driver-side matmul on the bounded query batch), the compressed
+    scan and LUT kernel are byte-identical to plain PQ's, and the
+    exact shortlist re-rank point-fetches original full-precision
+    vectors. Rotation adds ZERO scan cost and zero extra state beyond
+    the dim×dim matrix — the compressed tier's recall/byte trade just
+    moves to a better frontier on anisotropic data."""
+    from flink_quickstart_spark.operators.quantization import (
+        pq_build_index,
+        pq_query_index,
+    )
+    from flink_quickstart_spark.operators.similarity import (
+        _ensure_index,
+        brute_knn,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    corpus = _correlated_corpus(t.embeddings)
+    path = _scratch("opq_index", sf_name)
+    _ensure_index(
+        lambda: pq_build_index(corpus, path, m=OPQ_M, k=OPQ_K, opq=True),
+        path, src, "codebooks",
+    )
+    brute = brute_knn(corpus, k=3).select("query_id", "nbr_id")
+    opq = pq_query_index(
+        spark, path, corpus, k=3, shortlist=32, vectors=corpus
+    ).select("query_id", "nbr_id", F.lit(1).alias("hit"))
+    return brute.join(opq, ["query_id", "nbr_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))) >= 0.9
+        ).alias("recall_ok"),
     )

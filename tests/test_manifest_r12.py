@@ -41,6 +41,7 @@ from flink_quickstart_spark.operators.maintenance import (
     pin_generation,
     pinned_generations,
     read_store,
+    retained_generations,
     set_commit_backend,
     unpin_generation,
     write_store_manifest,
@@ -150,7 +151,6 @@ class FakeObjectStoreBackend(VersionedPointerCommitBackend):
     def clone_tree(self, src, dst):
         super().clone_tree(src, dst)
         self.clones += 1
-        self.clones += 1
 
 
 def test_full_lifecycle_through_fake_object_store_backend(spark, tmp_path):
@@ -251,3 +251,58 @@ def test_write_store_manifest_is_idempotent_and_sorted(spark, tmp_path):
     assert m1["files"] == m2["files"]  # deterministic enumeration
     paths = [e["path"] for e in m1["files"]]
     assert paths == sorted(paths) or len(set(paths)) == len(paths)
+
+
+# --- time travel (r12: VERSION-AS-OF reads over retained generations) ---
+
+
+def test_time_travel_reads_retained_generations(spark, tmp_path):
+    path = str(tmp_path / "store")
+    a, b, c = _slices(spark)
+    minhash_build_store(a, path)  # gen 0
+    minhash_upsert_store(spark, path, b)  # gen 1
+    minhash_upsert_store(spark, path, c)  # gen 2 (keep-2: {0, 1, 2})
+    assert retained_generations(path) == {0, 1, 2}
+
+    n = lambda g: (  # noqa: E731
+        open_store_snapshot(path, generation=g)
+        .read(spark, "bands").select("doc_id").distinct().count()
+    )
+    assert n(0) == a.count()
+    assert n(1) == a.count() + b.count()
+    assert n(2) == a.count() + b.count() + c.count()
+    # default open == current
+    assert open_store_snapshot(path).generation == 2
+
+
+def test_time_travel_collected_generation_fails_typed(spark, tmp_path):
+    path = str(tmp_path / "store")
+    a, b, c = _slices(spark)
+    minhash_build_store(a, path)
+    minhash_upsert_store(spark, path, b)  # gen 1
+    minhash_upsert_store(spark, path, c)  # gen 2
+    minhash_upsert_store(spark, path, c.limit(4))  # gen 3 → gen 1 GC'd
+    assert retained_generations(path) == {0, 2, 3}
+    with pytest.raises(StoreSnapshotExpired, match="retained"):
+        open_store_snapshot(path, generation=1)
+    # a staged-but-never-published generation is not addressable either
+    os.makedirs(os.path.join(path, "_gen-000099"))
+    assert 99 not in retained_generations(path)
+    with pytest.raises(StoreSnapshotExpired, match="retained"):
+        open_store_snapshot(path, generation=99)
+
+
+def test_time_travel_with_pin_reaches_old_generation(spark, tmp_path):
+    path = str(tmp_path / "store")
+    a, b, c = _slices(spark)
+    minhash_build_store(a, path)
+    minhash_upsert_store(spark, path, b)  # gen 1
+    pin_generation(path)  # pin gen 1
+    for i in range(3):
+        minhash_upsert_store(spark, path, c.limit(3 + i))  # gens 2-4
+    assert retained_generations(path) == {0, 1, 3, 4}
+    assert (
+        open_store_snapshot(path, generation=1)
+        .read(spark, "bands").select("doc_id").distinct().count()
+        == a.count() + b.count()
+    )
