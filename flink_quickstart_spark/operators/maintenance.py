@@ -1178,6 +1178,198 @@ def forget_rows(spark, jobs: list[dict], verify: bool = True) -> list[dict]:
     return audit
 
 
+# --- journaled (resumable) forget cascade (r12) ----------------------
+#
+# forget_rows is atomic PER STORE (every delete publishes as one
+# generation commit) but the CASCADE itself was not durable: a crash
+# between stores left no machine-readable record of which stores were
+# already forgotten, so the operator had to re-derive the state by
+# re-running the whole request — safe for the idempotent id-keyed
+# deletes, but an MV retraction replay over-subtracts (it fails loudly,
+# not silently, yet the compliance job is still wedged). The journal
+# makes the request itself durable: the forget payload and per-store
+# intent are persisted BEFORE any mutation, each store's completion is
+# recorded (with the generation it published), and resume completes
+# exactly the outstanding stores — detecting the crashed-after-publish
+# window by generation number instead of replaying the mutation.
+
+
+def _journal_req_dir(journal_dir: str, request_id: str) -> str:
+    return os.path.join(journal_dir, request_id)
+
+
+def _journal_status_path(req_dir: str) -> str:
+    return os.path.join(req_dir, "status.json")
+
+
+def _write_journal_status(req_dir: str, status: dict) -> None:
+    tmp = _journal_status_path(req_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(status, fh, indent=1)
+    os.replace(tmp, _journal_status_path(req_dir))
+
+
+def read_forget_journal(journal_dir: str, request_id: str) -> dict:
+    with open(_journal_status_path(_journal_req_dir(journal_dir, request_id))) as fh:
+        return json.load(fh)
+
+
+def forget_request_begin(
+    spark,
+    journal_dir: str,
+    jobs: list[dict],
+    request_id: str | None = None,
+) -> str:
+    """Persist a forget request DURABLY before any store is touched:
+    each job's forget payload (and, for MV min/max specs, its
+    ``source_df``) is written to parquet under the request directory,
+    and ``status.json`` records the per-store intent — kind, path,
+    column overrides, the store's CURRENT generation (the crash
+    detector resume uses), and status ``pending``. Returns the
+    request id. The request is then executed — initially or after a
+    crash, the call is the same — with :func:`resume_forget`."""
+    if request_id is None:
+        request_id = uuid.uuid4().hex[:16]
+    req_dir = _journal_req_dir(journal_dir, request_id)
+    if os.path.isdir(req_dir):
+        raise ValueError(
+            f"forget_request_begin: request {request_id!r} already exists "
+            f"in {journal_dir!r} — resume it with resume_forget(), or "
+            "pick a fresh request id."
+        )
+    os.makedirs(req_dir)
+    stores = []
+    for i, job in enumerate(jobs):
+        kind = job["kind"]
+        if kind not in _FORGET_KINDS:
+            raise ValueError(
+                f"forget_request_begin: unknown store kind {kind!r}; "
+                f"supported: {sorted(_FORGET_KINDS)}"
+            )
+        batch_rel = f"batch-{i:03d}"
+        job["df"].write.parquet(os.path.join(req_dir, batch_rel))
+        entry = {
+            "kind": kind,
+            "path": job["path"],
+            "batch": batch_rel,
+            "status": "pending",
+            "pre_generation": generation_id(job["path"]),
+        }
+        for opt in ("id_col", "text_col", "vec_col"):
+            if opt in job:
+                entry[opt] = job[opt]
+        if job.get("source_df") is not None:
+            src_rel = f"source-{i:03d}"
+            job["source_df"].write.parquet(os.path.join(req_dir, src_rel))
+            entry["source"] = src_rel
+        stores.append(entry)
+    _write_journal_status(
+        req_dir,
+        {
+            "request_id": request_id,
+            "created_unix": time.time(),
+            "complete": False,
+            "stores": stores,
+        },
+    )
+    return request_id
+
+
+def resume_forget(
+    spark,
+    journal_dir: str,
+    request_id: str,
+    verify: bool = True,
+    max_stores_per_run: int | None = None,
+) -> dict:
+    """Execute (or complete) a journaled forget request: process every
+    store still ``pending``, in intent order, marking each ``done``
+    (with the generation its delete published) as it completes. Safe to
+    call any number of times, including after a crash at ANY point:
+
+    - crash before a store's delete published → the store is still
+      ``pending`` at its recorded ``pre_generation`` → re-run (the
+      publish is atomic, so there is no torn middle);
+    - crash AFTER the publish but before the journal marked it done →
+      the store's current generation is AHEAD of the recorded one and
+      this request holds the only mutation intent for it → marked
+      ``done`` WITHOUT re-running (an MV retraction must not replay —
+      a second subtraction of the same contribution would either
+      over-retract loudly or, when later inserts re-covered the
+      balance, corrupt silently; the generation number is the
+      replay detector);
+    - all stores done → the request is marked ``complete`` and the
+      call is a no-op returning the final status.
+
+    ``max_stores_per_run`` bounds how many pending stores one
+    invocation processes (operational chunking for large cascades —
+    compliance batches run store-by-store across maintenance windows).
+    Per-store failures record ``status='error'`` + the message and the
+    first one re-raises after the pass, like :func:`forget_rows`; an
+    errored store stays eligible for the next resume."""
+    req_dir = _journal_req_dir(journal_dir, request_id)
+    status = read_forget_journal(journal_dir, request_id)
+    if status.get("complete"):
+        return status
+    first_err: Exception | None = None
+    processed = 0
+    for entry in status["stores"]:
+        if entry["status"] == "done":
+            continue
+        if max_stores_per_run is not None and processed >= max_stores_per_run:
+            break
+        try:
+            # a wedged store (unreadable pointer, dead mount) must be
+            # journaled as an error like a failed delete, so the
+            # generation probe sits inside the same guard
+            cur_gen = generation_id(entry["path"])
+            if cur_gen > entry["pre_generation"]:
+                # the mutation published but the crash beat the marker
+                # — do NOT replay (see docstring); record what we know
+                entry["status"] = "done"
+                entry["done_generation"] = cur_gen
+                entry["note"] = "publish detected by generation advance"
+            else:
+                job = {
+                    "kind": entry["kind"],
+                    "path": entry["path"],
+                    "df": spark.read.parquet(
+                        os.path.join(req_dir, entry["batch"])
+                    ),
+                }
+                for opt in ("id_col", "text_col", "vec_col"):
+                    if opt in entry:
+                        job[opt] = entry[opt]
+                if "source" in entry:
+                    job["source_df"] = spark.read.parquet(
+                        os.path.join(req_dir, entry["source"])
+                    )
+                audit = forget_rows(spark, [job], verify=verify)
+                entry["status"] = "done"
+                entry["done_generation"] = generation_id(entry["path"])
+                entry["residue"] = audit[0]["residue"]
+                entry["seconds"] = audit[0]["seconds"]
+        except Exception as exc:  # noqa: BLE001 — journal then re-raise
+            entry["status"] = "error"
+            entry["error"] = f"{type(exc).__name__}: {exc}"
+            if first_err is None:
+                first_err = exc
+        _write_journal_status(req_dir, status)
+        processed += 1
+    if all(e["status"] == "done" for e in status["stores"]):
+        status["complete"] = True
+        status["completed_unix"] = time.time()
+        _write_journal_status(req_dir, status)
+    if first_err is not None:
+        raise RuntimeError(
+            f"resume_forget: request {request_id!r} has "
+            f"{sum(1 for e in status['stores'] if e['status'] == 'error')} "
+            "errored stores (journal updated; re-run resume_forget after "
+            "fixing)"
+        ) from first_err
+    return status
+
+
 __all__ = [
     "StoreWriterConflict",
     "AbortStoreGeneration",
@@ -1207,4 +1399,9 @@ __all__ = [
     "compact_pq_index",
     "data_file_counts",
     "forget_rows",
+    "forget_request_begin",
+    "resume_forget",
+    "read_forget_journal",
+    "retained_generations",
+    "VersionedPointerCommitBackend",
 ]

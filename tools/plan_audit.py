@@ -343,6 +343,21 @@ MATERIALIZE_ALLOWED = {
         "≤ sample_rows rows) for the driver-side per-subspace k-means, "
         "the same discipline as _train_centroids (r10)"
     ),
+    "operators/quantization.py:_pq_training_sample:toPandas": (
+        "bounded deterministic training sample (orderBy(id).limit — "
+        "≤ sample_rows rows), the shared helper the PQ/OPQ trainers "
+        "call; same discipline as pq_train_codebooks' waiver (r12)"
+    ),
+    "operators/quantization.py:load_rotation:collect": (
+        "O(dims²) rotation-matrix rows (dims ≤ a few hundred — 16 KB "
+        "at dims=128) an OPQ query session loads once to rotate probe "
+        "vectors driver-side; same class as load_codebooks (r12)"
+    ),
+    "plans/analytics_r12.py:_mean_recon_cos:collect": (
+        "1-row scalar pull of the corpus-mean reconstruction cosine — "
+        "the cosine itself is computed engine-side (zip_with/aggregate "
+        "codegen); only the final AVG crosses to the driver (r12)"
+    ),
     "operators/quantization.py:load_codebooks:collect": (
         "m × k codebook rows (≤ 4096 at the defaults) — the "
         "driver-sized table every ADC query session rebuilds its "
