@@ -367,6 +367,46 @@ def main() -> None:
         f"retained generations {sorted(retained_generations(store))}, "
         f"read back generation {cur - 1} AS OF its manifest"
     )
+
+    # 8. AUDIT TRAIL (r12): the durable commit history — every
+    # published commit, including ones whose data the GC has since
+    # reclaimed — as a DataFrame (the DESCRIBE HISTORY analog)
+    from flink_quickstart_spark.operators.maintenance import store_history
+
+    hist = store_history(spark, store).orderBy("generation").collect()
+    assert hist[0].op == "build" and hist[-1].current
+    assert len(hist) == cur + 1  # one row per published commit
+    print(
+        "commit history: "
+        + " -> ".join(f"g{h.generation}:{h.op}" for h in hist)
+    )
+
+    # 9. CROSS-STORE ATOMICITY (r12): serve the signature store and the
+    # MV as ONE catalog version — a reader opened on version N keeps
+    # seeing the version-N PAIR while both stores are mutated and a new
+    # version commits (per-store pointers alone would show A-new/B-old
+    # mid-cascade)
+    from flink_quickstart_spark.operators.maintenance import (
+        catalog_commit,
+        open_catalog,
+    )
+
+    cat = f"{work}/serving_catalog"
+    v1 = catalog_commit(cat, {"sigs": store, "lang_mv": mv})
+    h1 = open_catalog(cat)
+    n_sigs_v1 = h1.read(spark, "sigs", "bands").count()
+    minhash_upsert_store(
+        spark, store, t.documents.where(F.col("doc_id") % 40 == 3)
+    )
+    assert h1.read(spark, "sigs", "bands").count() == n_sigs_v1
+    v2 = catalog_commit(cat, {"sigs": store, "lang_mv": mv})
+    h2 = open_catalog(cat)
+    assert h2.version == v2 > v1
+    assert h2.read(spark, "sigs", "bands").count() > n_sigs_v1
+    print(
+        f"catalog: v{h1.version} reader isolated across the cascade; "
+        f"v{h2.version} serves the new pair"
+    )
     print("index maintenance lifecycle complete")
 
 

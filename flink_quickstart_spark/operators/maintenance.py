@@ -401,6 +401,12 @@ def write_store_manifest(path: str, generation: int = 0, op: str = "build") -> s
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, os.path.join(root, _MANIFEST))
+    if generation == 0:
+        # a build's manifest stamp IS its commit (no pointer flip) —
+        # record it in the history log here; mutations record theirs
+        # inside store_generation AFTER the pointer commit, so the log
+        # only ever names generations that actually published
+        _record_store_commit(path, 0, op)
     return os.path.join(root, _MANIFEST)
 
 
@@ -410,6 +416,93 @@ def _load_manifest(root: str) -> dict | None:
             return json.load(fh)
     except FileNotFoundError:
         return None
+
+
+# --- commit history log (r12) ----------------------------------------
+#
+# The manifest travels WITH its generation, so the keep-2+pins GC
+# erases the commit trail along with the data — time travel can name
+# only the retained set, and an operator asking "what happened to this
+# store last Tuesday" has nothing to read. The history log is the
+# durable, metadata-only record of every commit that actually
+# published: one small JSON per commit under ``{store}/_history``,
+# written AFTER the pointer flip (mutations) or with the generation-0
+# manifest stamp (builds — their manifest IS the commit), never GC'd
+# with the data, cleared only by a rebuild (generation numbers restart,
+# so the old trail would lie). This is the table-format DESCRIBE
+# HISTORY analog; :func:`store_history` serves it as a DataFrame with
+# retention flags joined on.
+
+_HISTORY_DIR = "_history"
+
+
+def _record_store_commit(path: str, generation: int, op: str) -> None:
+    root = (
+        path
+        if generation == 0
+        else os.path.join(path, f"{_GEN_PREFIX}{generation:06d}")
+    )
+    man = _load_manifest(root)
+    files = man["files"] if man else []
+    hist = os.path.join(path, _HISTORY_DIR)
+    os.makedirs(hist, exist_ok=True)
+    rec = {
+        "generation": int(generation),
+        "op": op,
+        "committed_unix": time.time(),
+        "n_files": len(files),
+        "total_bytes": int(sum(e["bytes"] for e in files)),
+        "subdirs": sorted({e["path"].split(os.sep, 1)[0] for e in files}),
+        "backend": _COMMIT_BACKEND.name,
+    }
+    tmp = os.path.join(hist, f"commit-{generation:06d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(hist, f"commit-{generation:06d}.json"))
+
+
+def store_history(spark, path: str):
+    """The store's commit history as a DataFrame — the table-format
+    ``DESCRIBE HISTORY`` analog over the generation protocol: one row
+    per PUBLISHED commit (build = generation 0, every mutation after),
+    oldest first, with the op name, file/byte totals from the commit's
+    manifest, and two retention flags: ``retained`` (the generation is
+    still addressable for time travel — ``open_store_snapshot(path,
+    generation=N)``) and ``current`` (the generation a fresh reader
+    resolves). History records are metadata-only (O(#commits) small
+    JSONs, same driver-bounded class as the pins registry) and survive
+    the data GC — the trail of a store that has seen 1000 mutations is
+    1000 tiny records, while its data dirs hold only {0, pinned,
+    previous, current}."""
+    hist = os.path.join(path, _HISTORY_DIR)
+    names = sorted(os.listdir(hist)) if os.path.isdir(hist) else []
+    recs = []
+    for n in names:
+        if not (n.startswith("commit-") and n.endswith(".json")):
+            continue
+        with open(os.path.join(hist, n)) as fh:
+            recs.append(json.load(fh))
+    retained = retained_generations(path)
+    cur = generation_id(path)
+    rows = [
+        (
+            r["generation"],
+            r["op"],
+            float(r["committed_unix"]),
+            r["n_files"],
+            r["total_bytes"],
+            ",".join(r.get("subdirs", [])),
+            r["generation"] in retained,
+            r["generation"] == cur,
+        )
+        for r in sorted(recs, key=lambda r: r["generation"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "generation bigint, op string, committed_unix double, "
+        "n_files bigint, total_bytes bigint, subdirs string, "
+        "retained boolean, current boolean",
+    )
 
 
 class StoreSnapshot:
@@ -679,6 +772,11 @@ def store_generation(
             path,
             {"generation": new_id, "op": op, "published_unix": time.time()},
         )
+        # history AFTER the pointer: the log records only commits that
+        # actually published (a crash here loses one history row, never
+        # fabricates one — store_history is a trail, not the source of
+        # truth the readers resolve)
+        _record_store_commit(path, new_id, op)
         # GC: keep current + previous (in-flight readers of the prior
         # snapshot) plus any PINNED generations (pin_generation — long
         # readers that must survive >2 mutations); everything else must
@@ -720,6 +818,10 @@ def reset_store_generations(path: str, op: str = "reset_store_generations") -> N
             if name.startswith(_GEN_PREFIX):
                 _COMMIT_BACKEND.remove_tree(os.path.join(path, name))
         _COMMIT_BACKEND.remove_tree(os.path.join(path, _PINS_DIR))
+        # generation numbers restart after a rebuild — the old history
+        # trail would misattribute future commits, so it resets with
+        # the pins (the fresh build stamps a new generation-0 record)
+        _COMMIT_BACKEND.remove_tree(os.path.join(path, _HISTORY_DIR))
         with contextlib.suppress(FileNotFoundError):
             os.remove(os.path.join(path, _MANIFEST))  # stale gen-0 manifest
 
@@ -1370,6 +1472,160 @@ def resume_forget(
     return status
 
 
+# --- cross-store atomic catalog (r12) --------------------------------
+#
+# store_generation makes each STORE's mutation atomic, but a pipeline
+# serves SETS of stores that must agree: the signature store and the
+# ANN index built from the same corpus snapshot, the MV and the fact
+# store it summarizes, the N stores of one compliance cascade. A reader
+# resolving each store's pointer independently can see store A post-
+# mutation and store B pre-mutation — per-store atomicity, cross-store
+# tearing. The catalog closes that gap with one more level of the same
+# discipline: a catalog VERSION is an immutable JSON naming a
+# (store → generation) set, committed by one atomic pointer flip, and
+# the generations a version references are HELD by GC pins registered
+# before the flip (released when a later version stops referencing
+# them — pins of version N-1 are dropped at the commit of version N).
+# Readers open the catalog once and read every store at the pinned
+# generations of ONE version: all-or-nothing visibility across the set.
+# On an object store the pointer flip is the same put-if-absent commit
+# the backend seam already models (VersionedPointerCommitBackend).
+
+_CATALOG_VERSION_PREFIX = "v-"
+
+
+def _pinned_generation_of(path: str, token: str) -> int:
+    with open(os.path.join(path, _PINS_DIR, f"{token}.json")) as fh:
+        return int(json.load(fh)["generation"])
+
+
+def catalog_version(catalog: str) -> int:
+    """The catalog's current committed version (0 = never committed)."""
+    ptr = _COMMIT_BACKEND.read_pointer(catalog)
+    return 0 if ptr is None else int(ptr["generation"])
+
+
+def _catalog_version_file(catalog: str, version: int) -> str:
+    return os.path.join(
+        catalog, f"{_CATALOG_VERSION_PREFIX}{version:06d}.json"
+    )
+
+
+def catalog_commit(
+    catalog: str,
+    stores: dict[str, str],
+    ttl_seconds: float = 30 * 86400.0,
+) -> int:
+    """Atomically publish a consistent cross-store version: pin each
+    store's CURRENT generation (the pin's recorded generation — not a
+    separately-read one — is what the version references, so the
+    reference is consistent by construction even if a store publishes
+    between resolve and pin), write the immutable version file, flip
+    the catalog pointer, then release the pins the PREVIOUS version
+    held. Returns the new version number.
+
+    Single-writer via the catalog's own lease (concurrent commits fail
+    loudly with :class:`StoreWriterConflict`). Crash windows: pins
+    registered but no flip → the orphaned pins expire by TTL; version
+    file written but no flip → overwritten by the next commit; flip
+    done but previous pins unreleased → those pins expire by TTL
+    (retention leaks are bounded, never correctness).
+
+    Readers of a STALE catalog version (opened before this commit)
+    keep reading their pinned generations until the pins are released
+    here, after which they have the same store-level keep-2 exposure as
+    any unpinned reader — outliving it fails with the typed
+    :class:`StoreSnapshotExpired`."""
+    os.makedirs(catalog, exist_ok=True)
+    with store_writer_lease(catalog, "catalog_commit"):
+        cur = catalog_version(catalog)
+        new_v = cur + 1
+        entries = {}
+        for name in sorted(stores):
+            path = stores[name]
+            token = pin_generation(path, ttl_seconds=ttl_seconds)
+            entries[name] = {
+                "path": os.path.abspath(path),
+                "generation": _pinned_generation_of(path, token),
+                "pin_token": token,
+            }
+        payload = {
+            "format_version": 1,
+            "version": new_v,
+            "committed_unix": time.time(),
+            "stores": entries,
+        }
+        vfile = _catalog_version_file(catalog, new_v)
+        tmp = vfile + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, vfile)
+        _COMMIT_BACKEND.commit_pointer(
+            catalog,
+            {"generation": new_v, "op": "catalog_commit",
+             "published_unix": time.time()},
+        )
+        if cur > 0:
+            prev = _load_catalog_version(catalog, cur)
+            for e in prev["stores"].values():
+                unpin_generation(e["path"], e["pin_token"])
+        return new_v
+
+
+def _load_catalog_version(catalog: str, version: int) -> dict:
+    try:
+        with open(_catalog_version_file(catalog, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"catalog {catalog!r} has no version {version} "
+            f"(current: {catalog_version(catalog)})"
+        ) from None
+
+
+class CatalogSnapshot:
+    """One consistent cross-store read view: the catalog version and
+    its (store → generation) set, captured ONCE at open. Every
+    ``read`` resolves the named store at the version's PINNED
+    generation, so a multi-store query sees a set of stores that were
+    published together — never store A new / store B old. Version
+    files are immutable metadata and are never deleted, so any
+    historical version remains openable (cross-store time travel);
+    whether its DATA is still readable follows the store-level
+    retention contract (pins are held only for the CURRENT version —
+    older versions fail loudly with :class:`StoreSnapshotExpired` once
+    the keep-2 GC catches up)."""
+
+    def __init__(self, catalog: str, version: int | None = None):
+        self.catalog = catalog
+        self.version = (
+            catalog_version(catalog) if version is None else int(version)
+        )
+        if self.version == 0:
+            raise ValueError(
+                f"catalog {catalog!r} has no committed version yet"
+            )
+        self._payload = _load_catalog_version(catalog, self.version)
+
+    @property
+    def stores(self) -> dict[str, dict]:
+        return self._payload["stores"]
+
+    def snapshot(self, name: str) -> StoreSnapshot:
+        e = self.stores[name]
+        return StoreSnapshot(e["path"], generation=e["generation"])
+
+    def read(self, spark, name: str, subdir: str):
+        return self.snapshot(name).read(spark, subdir)
+
+
+def open_catalog(catalog: str, version: int | None = None) -> CatalogSnapshot:
+    """Resolve the catalog's current (or a historical) version into a
+    consistent cross-store snapshot handle — one pointer read + one
+    version-file read; see :class:`CatalogSnapshot`."""
+    return CatalogSnapshot(catalog, version=version)
+
+
 __all__ = [
     "StoreWriterConflict",
     "AbortStoreGeneration",
@@ -1402,6 +1658,11 @@ __all__ = [
     "forget_request_begin",
     "resume_forget",
     "read_forget_journal",
+    "store_history",
+    "catalog_commit",
+    "catalog_version",
+    "open_catalog",
+    "CatalogSnapshot",
     "retained_generations",
     "VersionedPointerCommitBackend",
 ]

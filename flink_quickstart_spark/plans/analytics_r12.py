@@ -508,3 +508,158 @@ def q_llm_forget_journal(spark, sf_dir):
         "n_band_rows_kept bigint, chunked_state_ok boolean,"
         " resume_completed_ok boolean",
     )
+
+
+@register(
+    "q_store_history",
+    # History contract (r12): after build -> upsert -> delete the
+    # commit log lists exactly the three published commits in order,
+    # every one still retained (0 never GC'd; keep-2 holds 1+2), only
+    # the last current, with non-empty manifest stats; and the final
+    # store obeys the complement count law (16 band rows per
+    # surviving document).
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_commits,
+           'build,minhash_upsert_store,minhash_delete_store' AS ops_csv,
+           TRUE AS history_flags_ok,
+           CAST(16 * count(*) AS BIGINT) AS n_band_rows_kept
+    FROM documents
+    WHERE doc_id % 5 <> 0
+    """,
+    tags=("batch", "llm", "index-maintenance", "governance"),
+)
+def q_store_history(spark, sf_dir):
+    """ops-ext (r12): queryable COMMIT HISTORY — the DESCRIBE HISTORY
+    analog over the generation protocol, completing the time-travel
+    story (retained_generations tells you what is still addressable;
+    store_history tells you what HAPPENED, durably: the manifest
+    travels with its generation and dies with the data GC, while the
+    history log is metadata-only and survives). This key runs
+    build -> upsert -> delete on a signature store and checks the full
+    trail: three commits, correct op names in order, retention and
+    current flags, non-empty per-commit manifest stats, plus the
+    complement count law on the final store."""
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_delete_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import store_history
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    docs = t.documents
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    batch = docs.where(F.col("doc_id") % 7 == 3)
+    gone = docs.where(F.col("doc_id") % 5 == 0)
+    store = _scratch("store_history", sf_name)
+    shutil.rmtree(store, ignore_errors=True)
+    minhash_build_store(corpus, store)
+    minhash_upsert_store(spark, store, batch)
+    minhash_delete_store(spark, store, gone)
+    # O(#commits) = 3 metadata rows — the same driver-bounded class as
+    # the pins registry (waived in tools/plan_audit.py)
+    hist = store_history(spark, store).orderBy("generation").collect()
+    flags_ok = bool(
+        [h.generation for h in hist] == [0, 1, 2]
+        and all(h.retained for h in hist)
+        and [h.current for h in hist] == [False, False, True]
+        and all(h.n_files > 0 and h.total_bytes > 0 for h in hist)
+        and all("bands" in h.subdirs for h in hist)
+    )
+    n_kept = _rs(spark, store, "bands").count()
+    return spark.createDataFrame(
+        [
+            (
+                len(hist),
+                ",".join(h.op for h in hist),
+                flags_ok,
+                int(n_kept),
+            )
+        ],
+        "n_commits bigint, ops_csv string, history_flags_ok boolean,"
+        " n_band_rows_kept bigint",
+    )
+
+
+@register(
+    "q_store_catalog",
+    # Cross-store atomicity contract (r12): a reader holding catalog
+    # v1 sees BOTH stores at their v1 generations throughout a
+    # two-store mutation cascade (including mid-cascade, where
+    # pointer-resolving readers would already see the new A with the
+    # old B); a fresh open after the v2 commit sees both new, with the
+    # count laws pinning both final stores.
+    oracle="""
+    SELECT CAST(16 * sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_band_rows_a,
+           CAST(16 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_band_rows_b,
+           TRUE AS stale_handle_consistent,
+           TRUE AS version_advanced
+    FROM documents
+    """,
+    tags=("batch", "llm", "index-maintenance", "isolation"),
+)
+def q_store_catalog(spark, sf_dir):
+    """ops-ext (r12): cross-store ATOMIC catalog — per-store generation
+    commits compose into all-or-nothing visibility for store SETS. A
+    catalog version is an immutable (store -> generation) JSON
+    committed by one pointer flip, its referenced generations held by
+    GC pins until a later version stops referencing them
+    (operators/maintenance.catalog_commit / open_catalog). This key
+    builds two signature stores over disjoint halves of the corpus,
+    commits catalog v1, opens a reader on it, mutates BOTH stores
+    (checking mid-cascade that the v1 reader still sees the v1 PAIR —
+    the tearing a per-store reader would show), commits v2, and
+    verifies the stale handle stayed on v1 while a fresh open reads
+    both final stores (count laws)."""
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import (
+        catalog_commit,
+        catalog_version,
+        open_catalog,
+    )
+
+    t = tables(spark, sf_dir)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    docs = t.documents
+    part = lambda r: docs.where(F.col("doc_id") % 4 == r)  # noqa: E731
+    a = _scratch("catalog_store_a", sf_name)
+    b = _scratch("catalog_store_b", sf_name)
+    cat = _scratch("catalog_ptr", sf_name)
+    for p in (a, b, cat):
+        shutil.rmtree(p, ignore_errors=True)
+    minhash_build_store(part(0), a)
+    minhash_build_store(part(1), b)
+    catalog_commit(cat, {"sigs_a": a, "sigs_b": b})
+    h1 = open_catalog(cat)
+    n_a_pre = h1.read(spark, "sigs_a", "bands").count()
+    n_b_pre = h1.read(spark, "sigs_b", "bands").count()
+
+    minhash_upsert_store(spark, a, part(2))
+    mid_ok = (
+        h1.read(spark, "sigs_a", "bands").count() == n_a_pre
+        and h1.read(spark, "sigs_b", "bands").count() == n_b_pre
+    )
+    minhash_upsert_store(spark, b, part(3))
+    v2 = catalog_commit(cat, {"sigs_a": a, "sigs_b": b})
+
+    stale_ok = bool(
+        mid_ok
+        and h1.version == 1
+        and h1.read(spark, "sigs_a", "bands").count() == n_a_pre
+        and h1.read(spark, "sigs_b", "bands").count() == n_b_pre
+    )
+    h2 = open_catalog(cat)
+    n_a = h2.read(spark, "sigs_a", "bands").count()
+    n_b = h2.read(spark, "sigs_b", "bands").count()
+    advanced = bool(v2 == 2 and catalog_version(cat) == 2 and h2.version == 2)
+    return spark.createDataFrame(
+        [(int(n_a), int(n_b), stale_ok, advanced)],
+        "n_band_rows_a bigint, n_band_rows_b bigint,"
+        " stale_handle_consistent boolean, version_advanced boolean",
+    )

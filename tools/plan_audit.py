@@ -353,6 +353,11 @@ MATERIALIZE_ALLOWED = {
         "at dims=128) an OPQ query session loads once to rotate probe "
         "vectors driver-side; same class as load_codebooks (r12)"
     ),
+    "plans/analytics_r12.py:q_store_history:collect": (
+        "O(#commits) history-log metadata rows (3 in this key; one "
+        "small JSON per published commit — the same driver-bounded "
+        "class as the pins registry) (r12)"
+    ),
     "plans/analytics_r12.py:_mean_recon_cos:collect": (
         "1-row scalar pull of the corpus-mean reconstruction cosine — "
         "the cosine itself is computed engine-side (zip_with/aggregate "

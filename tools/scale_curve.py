@@ -99,6 +99,13 @@ DOCUMENTED_SUPERLINEAR = {
         "corpus, 1/16th scan bytes + |q|×32 exact fetches — is measured "
         "by pq_query_fixed and must stay ~linear"
     ),
+    "q_llm_opq_query": (
+        "SELF-JOIN-shaped by construction (the q_llm_pq_query law, "
+        "through the rotated ADC path): brute-force truth AND all n "
+        "vectors as queries make pair work Θ(n²). The production "
+        "kernel is byte-identical to plain PQ's — the fixed-batch "
+        "shape pq_query_fixed measures ~linear covers it"
+    ),
     "q_llm_ivfpq_query": (
         "SELF-JOIN-shaped by construction (the q_llm_ann_ivf law): the "
         "contract key computes brute-force truth AND runs ALL n vectors "
@@ -292,6 +299,16 @@ DEFAULT_KEYS = [
     # stores per run BY DESIGN (the mutation protocol is the subject),
     # so they are sweep-covered rather than curve-probed.
     "pq_upsert_fixed", "q_llm_pq_upsert", "q_llm_pq_delete",
+    # r12: OPQ — the rotated encode is the same single Arrow pass as
+    # plain PQ (one extra broadcast matmul per batch; must stay
+    # ~linear) and the query key's ADC kernel is byte-identical to
+    # plain PQ (its brute-force truth side makes it a documented
+    # quadratic contract tier like q_llm_pq_query). The r12 store
+    # PROTOCOL keys (manifest / pinned / history / catalog / journal)
+    # rebuild their stores per run BY DESIGN (the commit protocol is
+    # the subject) and are sweep-covered, like
+    # q_store_snapshot_isolation above.
+    "q_llm_opq_encode", "q_llm_opq_query",
 ]
 
 
