@@ -338,15 +338,11 @@ MATERIALIZE_ALLOWED = {
         "itself cannot flood the driver; past the cap it fails loudly "
         "with the rebuild-crossover guidance (r10, VERDICT r9 #5)"
     ),
-    "operators/quantization.py:pq_train_codebooks:toPandas": (
-        "bounded deterministic training sample (orderBy(id).limit — "
-        "≤ sample_rows rows) for the driver-side per-subspace k-means, "
-        "the same discipline as _train_centroids (r10)"
-    ),
     "operators/quantization.py:_pq_training_sample:toPandas": (
         "bounded deterministic training sample (orderBy(id).limit — "
         "≤ sample_rows rows), the shared helper the PQ/OPQ trainers "
-        "call; same discipline as pq_train_codebooks' waiver (r12)"
+        "call — pq_train_codebooks' r10 waiver followed the toPandas "
+        "into this extracted helper (r12)"
     ),
     "operators/quantization.py:load_rotation:collect": (
         "O(dims²) rotation-matrix rows (dims ≤ a few hundred — 16 KB "
