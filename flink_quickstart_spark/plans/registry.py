@@ -229,28 +229,13 @@ _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 # the set (last sample ≥3 rounds old AND a dep file changed since, from
 # CORRECTNESS_r*.json × git history); this frozen ordering (stalest
 # first — last-sample round ascending, name within) drains the backlog
-# right after any never-sampled keys. Regenerate at round close (r11:
-# 72 keys, every one re-verified builder-side this round —
-# STALENESS_r11.json; the generation refactor touched dedup/
-# similarity/quantization/matview/maintenance, keeping the store-key
-# dep churn plus the r4–r6 backlog):
+# right after any never-sampled keys. Regenerate at round close (r12:
+# 48 keys, every one re-verified builder-side this round —
+# STALENESS_r12.json; the r7/r8 backlog plus the rank/aggregations
+# dep churn):
 #   python tools/staleness_report.py --json STALENESS_r{N}.json --verify-json VERIFY_r{N}.json
 _STALE_PRIORITY: tuple[str, ...] = (
-    "q_llm_novelty", "q_llm_shard_assign", "q_llm_source_overlap",
-    "q_llm_tfidf_cosine", "q_llm_token_len_hist", "q_llm_vocab_growth",
-    "q_llm_winnowing", "q_llm_xent_bigram", "q_maintenance_compact",
-    "q_multimodal_resize", "q_sample_group_topk_hash",
-    "q_sample_importance", "q_sample_temperature", "q_scan_merge_schema",
-    "q_scan_partitioned_roundtrip", "q_scan_text_roundtrip",
-    "q_sql_division", "q_sql_q11", "q_sql_q12", "q_sql_q16", "q_sql_q2",
-    "q_sql_q20", "q_sql_q21", "q_sql_q22", "q_sql_q9",
-    "q_text_halves_overlap", "q_text_repetition", "q_ts_ewma",
-    "q_ts_resample_interp", "q_ab_welch_ttest", "q_agg_approx_percentile",
-    "q_agg_approxcd", "q_agg_argminmax", "q_agg_bitops", "q_agg_bool",
-    "q_agg_cohort_ltv", "q_agg_collect", "q_agg_countdistinct",
-    "q_agg_cube", "q_agg_entropy", "q_agg_global", "q_agg_group",
-    "q_agg_groupingsets", "q_agg_having", "q_agg_histogram",
-    "q_agg_hll_rollup", "q_agg_moments", "q_agg_pareto", "q_agg_percentile",
+    "q_agg_moments", "q_agg_pareto", "q_agg_percentile",
     "q_agg_quantile_rollup", "q_agg_regression", "q_agg_rfm",
     "q_agg_rollup", "q_agg_salted", "q_agg_skew_audit",
     "q_agg_stats_family", "q_cogroup_stats_agg", "q_distinct",
@@ -258,6 +243,13 @@ _STALE_PRIORITY: tuple[str, ...] = (
     "q_pivot", "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
     "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",
     "q_ts_seasonal_profile", "q_udaf_wavg", "q_unpivot", "q_wf_streaks",
+    "q_cast_types", "q_except", "q_flatmap_tokenize", "q_intersect",
+    "q_limit_topn", "q_llm_ann_lsh_query", "q_llm_dedup_exact",
+    "q_llm_ingest_neardup", "q_llm_knn", "q_llm_langstats",
+    "q_llm_lexicon_score", "q_llm_neardup", "q_llm_neardup_cosine",
+    "q_llm_simhash", "q_llm_tfidf", "q_llm_wordcount",
+    "q_multimodal_decode", "q_profile_columns", "q_sample_split",
+    "q_sample_stratified", "q_scan_csv_roundtrip", "q_sort",
 )
 _STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
 
