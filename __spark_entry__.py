@@ -52,6 +52,10 @@ def _ensure_configs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Manifest snapshot reads pass explicit leaf-file lists; keep the
+    # distributed listing job for genuinely huge path sets only
+    # (see session.py for the measurement).
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
 
 
 def _with_configs(fn):

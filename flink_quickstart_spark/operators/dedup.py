@@ -567,11 +567,11 @@ def minhash_upsert_store(
     store lease; readers see the pre- or post-upsert store, never a
     torn batch — operators/maintenance.store_generation)."""
     from flink_quickstart_spark.operators.maintenance import (
-        read_store,
+        read_store_rows,
         store_generation,
     )
 
-    meta = read_store(spark, path, "meta").collect()[0]
+    meta = read_store_rows(path, "meta")[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     if is_epoch and epoch is None:
@@ -672,9 +672,10 @@ def _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col) -> None:
     from flink_quickstart_spark.operators.maintenance import (
         AbortStoreGeneration,
         read_store,
+        read_store_rows,
     )
 
-    meta = read_store(spark, path, "meta").collect()[0]
+    meta = read_store_rows(path, "meta")[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     is_epoch = bool(getattr(meta, "epoch_partitioned", False))
     part_cols = ["_hmod", "_epoch"] if is_epoch else ["_hmod"]
@@ -789,7 +790,7 @@ def minhash_ingest_neardup(
     from flink_quickstart_spark.operators.maintenance import open_store_snapshot
 
     snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
-    meta = snap.read(spark, "meta").collect()[0]
+    meta = snap.rows("meta")[0]
     family = getattr(meta, "hash_family", None) or "md5_60"
     if before_epoch is not None and not bool(
         getattr(meta, "epoch_partitioned", False)

@@ -595,6 +595,41 @@ class StoreSnapshot:
             )
         return spark.read.option("basePath", d).parquet(*fl)
 
+    def rows(self, subdir: str) -> list:
+        """Driver-side read of a SMALL store artifact (meta, centroids,
+        codebooks, rotation — the documented bounded pulls) as pyspark
+        Rows, through the SAME manifest file list as :meth:`read` but
+        via pyarrow, with no Spark job: these tables are
+        driver-destined by construction (kilobytes), and scheduling a
+        distributed job per fetch was measured at ~0.2 s of pure
+        overhead per maintenance/query op (OPTIMIZATION_r12.md §store
+        ops). Data tables keep going through :meth:`read`."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import Row
+
+        self._check_live()
+        fl = self.files(subdir)
+        if fl is None:  # legacy pre-manifest store: directory listing
+            d = self.data_dir(subdir)
+            fl = sorted(
+                os.path.join(r, f)
+                for r, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        out: list = []
+        try:
+            for f in sorted(fl):
+                for rec in pq.read_table(f).to_pylist():
+                    out.append(Row(**rec))
+        except FileNotFoundError as exc:
+            raise StoreSnapshotExpired(
+                f"store snapshot generation {self.generation} of "
+                f"{self.path!r} lost files mid-read ({exc}); retention "
+                "is keep-2 + pins — re-open or pin before mutations."
+            ) from exc
+        return out
+
 
 def open_store_snapshot(
     path: str, generation: int | None = None
@@ -632,6 +667,12 @@ def read_store(spark, path: str, subdir: str):
     """The standard reader for one subdir of a mutable store: current
     generation, manifest-resolved file list."""
     return StoreSnapshot(path).read(spark, subdir)
+
+
+def read_store_rows(path: str, subdir: str) -> list:
+    """Driver-side rows of a small store artifact from the current
+    generation's manifest — see :meth:`StoreSnapshot.rows`."""
+    return StoreSnapshot(path).rows(subdir)
 
 
 # --- reader-pinned generation retention (r12, VERDICT r11 #3) --------

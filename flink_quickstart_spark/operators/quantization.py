@@ -47,6 +47,7 @@ from flink_quickstart_spark.operators.maintenance import (
     current_store_root,
     reset_store_generations,
     read_store,
+    read_store_rows,
     store_data_dir,
     store_generation,
     write_store_manifest,
@@ -390,7 +391,7 @@ def _pq_bucket_count(spark, path: str) -> int:
             "running maintenance ops (the flat layout cannot locate a "
             "row's bucket)."
         )
-    return int(read_store(spark, path, "meta").collect()[0].id_buckets)
+    return int(read_store_rows(path, "meta")[0].id_buckets)
 
 
 def pq_delete_index(
@@ -459,7 +460,7 @@ def pq_delete_index(
 
 
 def load_codebooks(spark, path: str) -> np.ndarray:
-    rows = read_store(spark, path, "codebooks").collect()
+    rows = read_store_rows(path, "codebooks")
     m = 1 + max(r.subspace for r in rows)
     k = 1 + max(r.code for r in rows)
     dsub = len(rows[0].centroid)
@@ -474,7 +475,7 @@ def load_rotation(spark, path: str) -> np.ndarray | None:
     (no ``rotation`` subdir in the current generation)."""
     if not os.path.isdir(store_data_dir(path, "rotation")):
         return None
-    rows = read_store(spark, path, "rotation").collect()
+    rows = read_store_rows(path, "rotation")
     rot = np.zeros((len(rows), len(rows[0].row)))
     for r in rows:
         rot[r.i] = r.row
@@ -840,7 +841,7 @@ def load_ivfpq_artifacts(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, codebooks) from a persisted IVFPQ store — two
     driver-sized reads (n_clusters + m×k rows), the everything a query
     or maintenance session needs besides the codes scan."""
-    cent_rows = read_store(spark, path, "centroids").collect()
+    cent_rows = read_store_rows(path, "centroids")
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid

@@ -29,6 +29,7 @@ from flink_quickstart_spark.operators.maintenance import (
     AbortStoreGeneration,
     open_store_snapshot,
     read_store,
+    read_store_rows,
     store_data_dir,
     store_generation,
 )
@@ -111,21 +112,50 @@ def brute_knn(
             q = np.stack(pdf_b[vec_col].to_numpy()).astype(np.float64)
             q_ids = pdf_b[id_col].to_numpy()
             sims = (q @ c_mat.T) / (np.linalg.norm(q, axis=1)[:, None] * c_norms[None, :])
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i, qid in enumerate(q_ids):
-                s = np.where(c_ids == qid, -np.inf, sims[i])
-                # lexsort: last key is primary → order by (-sim, nbr_id)
-                top = np.lexsort((c_ids, -s))[:k]
-                out_q.extend([qid] * len(top))
-                out_n.extend(c_ids[top])
-                out_s.extend(s[top])
-                out_r.extend(range(1, len(top) + 1))
+            # self excluded; rank rows by (-sim, nbr_id) fully in C.
+            # argpartition narrows each row to a k+64 candidate window
+            # (O(n) instead of the O(n log n) full-row sort), then one
+            # small 2D lexsort applies the exact (sim desc, id asc)
+            # tie-break inside the window. Exactness guard: if a row's
+            # k-th ranked sim equals the window's minimum, a tie COULD
+            # span the window boundary — those rows (vanishingly rare
+            # on real-valued sims) fall back to the full-row lexsort,
+            # so the result is bit-identical to the naive sort always.
+            np.copyto(sims, -np.inf, where=q_ids[:, None] == c_ids[None, :])
+            m, n = sims.shape
+            k2 = min(n, k + 64)
+            if k2 < n:
+                idx2 = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2]
+                subs = np.take_along_axis(sims, idx2, axis=1)
+                o = np.lexsort((c_ids[idx2], -subs), axis=-1)[:, :k]
+                order = np.take_along_axis(idx2, o, axis=1)
+                kth = np.take_along_axis(subs, o[:, -1:], axis=1)[:, 0]
+                unsafe = kth <= subs.min(axis=1)
+                if unsafe.any():
+                    full = np.lexsort(
+                        (
+                            np.broadcast_to(c_ids, sims[unsafe].shape),
+                            -sims[unsafe],
+                        ),
+                        axis=-1,
+                    )[:, :k]
+                    order[unsafe] = full
+            else:
+                order = np.lexsort(
+                    (np.broadcast_to(c_ids, sims.shape), -sims), axis=-1
+                )[:, :k]
+            n_top = order.shape[1]
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "nbr_id": np.asarray(out_n, dtype=np.int64),
-                    "sim": np.round(np.asarray(out_s), sim_decimals),
-                    "rank": np.asarray(out_r, dtype=np.int64),
+                    "query_id": np.repeat(q_ids, n_top).astype(np.int64),
+                    "nbr_id": c_ids[order].ravel().astype(np.int64),
+                    "sim": np.round(
+                        np.take_along_axis(sims, order, axis=1).ravel(),
+                        sim_decimals,
+                    ),
+                    "rank": np.tile(
+                        np.arange(1, n_top + 1, dtype=np.int64), m
+                    ),
                 }
             )
 
@@ -483,7 +513,7 @@ def ivf_upsert_index(
     store lease; readers see the pre- or post-upsert index, never a
     torn batch — operators/maintenance.store_generation)."""
     with store_generation(path, "ivf_upsert_index") as gen:
-        cent_rows = read_store(spark, path, "centroids").collect()
+        cent_rows = read_store_rows(path, "centroids")
         cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
         for r in cent_rows:
             cents[r.cluster_id] = r.centroid
@@ -526,7 +556,7 @@ def _ivf_delete_into(spark, path, gen, del_df, id_col, vec_col) -> None:
     collect), not a correctness requirement."""
     import numpy as _np
 
-    cent_rows = read_store(spark, path, "centroids").collect()
+    cent_rows = read_store_rows(path, "centroids")
     cents = _np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -650,7 +680,7 @@ def ivf_drift_stats(
     real drift (fresh ≈ low, post-drift ↑, post-retrain ↓) is pinned
     in tests/test_invariants_r10.py."""
     snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
-    cent_rows = snap.read(spark, "centroids").collect()
+    cent_rows = snap.rows("centroids")
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid
@@ -1492,7 +1522,7 @@ def ivf_query_index(
     nondeterministic batch first, or its probe rows may land in pruned-
     away clusters and silently drop matches."""
     snap = open_store_snapshot(path)  # one resolve = one consistent snapshot
-    cent_rows = snap.read(spark, "centroids").collect()
+    cent_rows = snap.rows("centroids")
     cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         cents[r.cluster_id] = r.centroid

@@ -232,7 +232,11 @@ def q_llm_ivf_upsert(spark, sf_dir):
     def build_ref() -> None:
         # full-corpus assignment against the UPSERTED index's centroids
         # (the pinned-centroid rebuild the invariant compares against)
-        cent_rows = _rs(spark, ups, "centroids").collect()
+        from flink_quickstart_spark.operators.maintenance import (
+            read_store_rows,
+        )
+
+        cent_rows = read_store_rows(ups, "centroids")
         cents = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
         for r in cent_rows:
             cents[r.cluster_id] = r.centroid

@@ -86,6 +86,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Manifest snapshot reads (operators/maintenance.py read_store)
+        # hand Spark an EXPLICIT leaf-file list; above this threshold
+        # Spark launches a distributed listing job over the paths (one
+        # task per path), which for already-resolved file paths is pure
+        # job-scheduling overhead — measured 1.06 s -> 0.67 s per
+        # mv_read on a 192-file store (OPTIMIZATION_r12.md). Driver-side
+        # status of O(10k) paths is microseconds on local FS and one
+        # LIST per prefix on an object store; beyond ~10k paths the
+        # distributed job earns its keep again, hence the raised (not
+        # unbounded) threshold.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Streaming: RocksDB state store scales to out-of-heap state sizes

@@ -292,9 +292,11 @@ def foreach_batch_ingest_admission(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        from flink_quickstart_spark.operators.maintenance import read_store
+        from flink_quickstart_spark.operators.maintenance import (
+            read_store_rows,
+        )
 
-        meta = read_store(spark, store_path, "meta").collect()[0]
+        meta = read_store_rows(store_path, "meta")[0]
         epoch_store = bool(getattr(meta, "epoch_partitioned", False))
         # one materialization: the batch feeds the prune-set collection,
         # the band join, the exact verify, and the admission anti-join

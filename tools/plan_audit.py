@@ -301,15 +301,12 @@ MATERIALIZE_ALLOWED = {
         "rows) that become the STATIC partition predicate selecting "
         "which bucket partitions to re-rank (r9)"
     ),
-    "operators/similarity.py:ivf_upsert_index:collect": (
-        "O(n_clusters) centroid-table pull (default 16 rows) so the "
-        "batch is assigned against the STORED centroids — the pinned-"
-        "centroid append lifecycle (r9)"
-    ),
-    "operators/dedup.py:minhash_upsert_store:collect": (
-        "1-row meta pull (num_hashes/shingle_n/hmod/hash_family) so the "
-        "admitted batch is hashed with the store's pinned family (r9)"
-    ),
+    # r12-opt: seven former waivers (minhash/PQ meta pulls, centroid/
+    # codebook/rotation loads, the r9 retrain-reference centroid pull)
+    # are GONE as .collect() sites — those driver-destined artifact
+    # reads now go through maintenance.read_store_rows (driver-side
+    # pyarrow over the snapshot manifest, no Spark job; see
+    # OPTIMIZATION_r12.md "small store artifacts").
     "operators/similarity.py:_lsh_delete_into:collect": (
         "three driver-bounded pulls for partition-local deletion: the "
         "O(num_tables) projection table, the batch's affected (band, "
@@ -344,11 +341,6 @@ MATERIALIZE_ALLOWED = {
         "call — pq_train_codebooks' r10 waiver followed the toPandas "
         "into this extracted helper (r12)"
     ),
-    "operators/quantization.py:load_rotation:collect": (
-        "O(dims²) rotation-matrix rows (dims ≤ a few hundred — 16 KB "
-        "at dims=128) an OPQ query session loads once to rotate probe "
-        "vectors driver-side; same class as load_codebooks (r12)"
-    ),
     "plans/analytics_r12.py:q_store_history:collect": (
         "O(#commits) history-log metadata rows (3 in this key; one "
         "small JSON per published commit — the same driver-bounded "
@@ -359,21 +351,11 @@ MATERIALIZE_ALLOWED = {
         "the cosine itself is computed engine-side (zip_with/aggregate "
         "codegen); only the final AVG crosses to the driver (r12)"
     ),
-    "operators/quantization.py:load_codebooks:collect": (
-        "m × k codebook rows (≤ 4096 at the defaults) — the "
-        "driver-sized table every ADC query session rebuilds its "
-        "lookup tables from (r10)"
-    ),
     "operators/quantization.py:ivfpq_build_index:toPandas": (
         "bounded deterministic training sample (orderBy(id).limit — "
         "≤ sample_rows rows) re-read once at build time for the "
         "residual codebook k-means; the corpus encode itself is one "
         "distributed Arrow pass (r10)"
-    ),
-    "operators/quantization.py:load_ivfpq_artifacts:collect": (
-        "O(n_clusters) centroid rows (≤ 16 at the defaults) — the "
-        "codebooks half delegates to the already-waived load_codebooks "
-        "(r10)"
     ),
     "operators/quantization.py:ivfpq_retrain_index:collect": (
         "two O(n_clusters)-bounded occupancy pulls (≤ 16 rows each, "
@@ -385,11 +367,6 @@ MATERIALIZE_ALLOWED = {
         "bounded deterministic training sample (orderBy(id).limit — "
         "≤ sample_rows rows) for the residual codebook k-means, same "
         "discipline as the build (r10)"
-    ),
-    "operators/quantization.py:_pq_bucket_count:collect": (
-        "1-row meta pull (the flat-PQ store's pinned id-bucket "
-        "modulus) — a wrong modulus would silently break delete "
-        "pruning, so it is persisted and read, never guessed (r11)"
     ),
     "operators/quantization.py:pq_delete_index:collect": (
         "two affected-bucket combo pulls, ≤ id_buckets = 64 distinct "
@@ -419,11 +396,6 @@ MATERIALIZE_ALLOWED = {
         "per-cluster occupancy aggregates (engine-side count, "
         "driver-sized result) — the retrain itself is one distributed "
         "assignment pass + a partitioned write (r10)"
-    ),
-    "plans/analytics_r9.py:build_ref:collect": (
-        "O(n_clusters) centroid pull (16 rows) building the pinned-"
-        "centroid reference assignment the IVF upsert invariant "
-        "compares against (r9)"
     ),
     "plans/analytics_ext.py:q_embed_pca_project:collect": (
         "two aggregate-sized collects: the O(dims²)=2080-scalar raw-"
