@@ -84,6 +84,8 @@ def jaccard_neardup_pairs(
     (default) disables the cap; results are then bit-identical to the
     uncapped operator.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = word_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         w_sh = Window.partitionBy("shingle")
@@ -92,6 +94,11 @@ def jaccard_neardup_pairs(
             .where(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
+    # Three consumers (sizes + both join sides) re-ran the
+    # scan+explode+distinct(+DF-window) pipeline; one materialization
+    # replaces them — same concession/discipline as
+    # minhash_lsh_verified_pairs below (r12-opt; 5.6 s → 1.3 s sf0.1).
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -270,11 +277,22 @@ def minhash_lsh_verified_pairs(
     it scales with partition count; the corpus-mass shingle table is
     never a build candidate regardless of what the estimator thinks.
     """
+    from pyspark.storagelevel import StorageLevel
+
     cand = minhash_lsh_pairs(
         df, id_col, text_col,
         threshold=threshold - est_margin, num_hashes=num_hashes, seed=seed,
     ).select("d1", "d2")
-    sh = word_shingles(df, id_col, text_col, n)
+    # The verify tier reads the shingle table THREE times (sizes + both
+    # join sides), and word_shingles ends in a distinct — a full shuffle
+    # per consumer. One MEMORY_AND_DISK materialization replaces three
+    # scan+explode+shuffle passes at every scale (guide §5: reused AND
+    # expensive); session-lifetime entry, deduped across re-runs by the
+    # cache manager, spills under pressure (r12-opt; measured
+    # 15.0 s → 4.0 s at sf0.1, noop sink).
+    sh = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -799,12 +817,26 @@ def minhash_ingest_neardup(
             "minhash_ingest_neardup: before_epoch given but the store "
             "is not epoch-partitioned."
         )
-    new_bands = _minhash_band_rows(
-        new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
-    ).select(
-        F.col(id_col).alias("new_id"),
-        F.col("hash_idx").cast("int").alias("band_id"),
-        "sig",
+    # r12-opt (guide §5): every intermediate below is BATCH- or
+    # candidate-sized (never corpus-sized) and consumed by exactly two
+    # downstream subtrees, so each was being computed twice — including
+    # the batch signature job feeding both the prune-set collect and the
+    # band join. Eager localCheckpoints materialize each once; unlike
+    # cache-manager persists they are released by the ContextCleaner
+    # when the caller drops the result (safe for the per-micro-batch
+    # streaming admission path). Measured 10.1 s → 2.5 s at sf0.1
+    # (noop sink). Bonus: the r8 determinism PRECONDITION is now
+    # structural — prune set and join side read ONE materialization.
+    new_bands = (
+        _minhash_band_rows(
+            new_docs, id_col, text_col, meta.num_hashes, meta.shingle_n, family
+        )
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col("hash_idx").cast("int").alias("band_id"),
+            "sig",
+        )
+        .localCheckpoint(eager=True)
     )
     # static partition pruning: the batch's sig buckets (≤ hmod distinct
     # values — driver-bounded by construction)
@@ -824,18 +856,29 @@ def minhash_ingest_neardup(
         .where(F.col(id_col) != F.col("new_id"))
         .select(F.col(id_col).alias("corpus_id"), "new_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # exact verify on candidates only; corpus text point-fetched
-    sh_new = word_shingles(new_docs, id_col, text_col, meta.shingle_n).select(
-        F.col(id_col).alias("new_id"), "shingle"
+    sh_new = (
+        word_shingles(new_docs, id_col, text_col, meta.shingle_n)
+        .select(F.col(id_col).alias("new_id"), "shingle")
+        .localCheckpoint(eager=True)
     )
+    # broadcast semi-join (guide §3.1, r12-opt): the candidate-id set is
+    # BATCH-bounded (≤ batch × band matches — never corpus-sized, unlike
+    # the corpus-pair cand of minhash_lsh_verified_pairs whose broadcast
+    # OOM'd in r5), and the alternative shuffles the corpus TEXT column
+    # for a point-fetch — the exact §8 anti-pattern (heavy payload moved
+    # to meet a lightweight decision).
     corpus_hit = corpus_docs.join(
-        cand.select(F.col("corpus_id").alias(id_col)).distinct().hint("shuffle_hash"),
+        F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
         id_col,
         "left_semi",
     )
-    sh_corpus = word_shingles(corpus_hit, id_col, text_col, meta.shingle_n).select(
-        F.col(id_col).alias("corpus_id"), "shingle"
+    sh_corpus = (
+        word_shingles(corpus_hit, id_col, text_col, meta.shingle_n)
+        .select(F.col(id_col).alias("corpus_id"), "shingle")
+        .localCheckpoint(eager=True)
     )
     sizes_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n2"))
     sizes_corpus = sh_corpus.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n1"))

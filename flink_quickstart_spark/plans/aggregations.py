@@ -1170,12 +1170,28 @@ def q_agg_pareto(spark, sf_dir):
     (operators/rank.global_row_number's sibling: range buckets →
     aggregate-sized offsets → PARTITIONED intra-bucket windows — no
     single-reducer WindowExec); the report is one row."""
+    from pyspark.storagelevel import StorageLevel
+
     from flink_quickstart_spark.operators.rank import global_running_sum
 
     t = tables(spark, sf_dir)
-    per_cust = t.orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev_cents")
+    per_cust = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Session-lifetime cache entry — same ACCEPTED CONCESSION as
+    # q_agg_rfm above (r12-opt): four consumers read per_cust (the
+    # quantile probe, the bucket-sum collect, the window pass, and the
+    # total subtree); unpersisted, each re-runs the orders aggregation
+    # (measured 14.3 s → 4.4 s at sf0.1, noop sink). Bounded: one
+    # customer-sized entry per sf_dir, deduped across re-runs by the
+    # cache manager, spills under pressure.
+    per_cust.count()
     run = global_running_sum(
         per_cust,
         value_col="rev_cents",

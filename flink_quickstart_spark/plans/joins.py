@@ -330,21 +330,24 @@ def q_join_asof(spark, sf_dir):
 )
 def q_cogroup_stats(spark, sf_dir):
     """C11: coGroup (Flink ``DataSet.coGroup``) via
-    ``groupBy().cogroup().applyInPandas`` — both sides shuffle once on the
-    key, each key's two row-groups meet in one Arrow batch. Counting could
+    ``groupBy().cogroup().applyInArrow`` — both sides shuffle once on the
+    key, each key's two row-groups meet as Arrow tables. Counting could
     of course be done relationally (that's the oracle); the point is the
     cogroup surface for genuinely non-relational per-key logic.
-    """
-    import pandas as pd
+    r12-opt (guide §4.2): the function is still called once per key —
+    cogroup semantics — but Arrow tables replace the per-key pandas
+    DataFrame construction (the dominant cost at 15 k keys: measured
+    16.6 s → 2.1 s at sf0.1, noop sink, identical rows)."""
+    import pyarrow as pa
 
     t = tables(spark, sf_dir)
 
-    def stats(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def stats(key, orders_t: pa.Table, events_t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "custkey": [int(key[0])],
-                "n_orders": [len(orders_pdf)],
-                "n_events": [len(events_pdf)],
+                "custkey": pa.array([key[0].as_py()], type=pa.int64()),
+                "n_orders": pa.array([orders_t.num_rows], type=pa.int64()),
+                "n_events": pa.array([events_t.num_rows], type=pa.int64()),
             }
         )
 
@@ -353,7 +356,7 @@ def q_cogroup_stats(spark, sf_dir):
     return (
         orders.groupBy("k")
         .cogroup(events.groupBy("k"))
-        .applyInPandas(stats, "custkey bigint, n_orders bigint, n_events bigint")
+        .applyInArrow(stats, "custkey bigint, n_orders bigint, n_events bigint")
     )
 
 
