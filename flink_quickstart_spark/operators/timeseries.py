@@ -64,34 +64,69 @@ def sliding_znorm_distance(
         ]
     )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
-        n = len(x)
+    def _profile_one(keys: np.ndarray, x: np.ndarray, lo: int, hi: int):
+        """Distance profile for ONE key's sorted slice [lo, hi)."""
+        n = hi - lo
         if n < m:
-            return pd.DataFrame({"key": [], "win_pos": [], "dist": []}).astype(
-                {"key": "int64", "win_pos": "int32", "dist": "float64"}
-            )
+            return None
         # all sliding windows as a strided (n-m+1, m) view — no copy
-        wins = np.lib.stride_tricks.sliding_window_view(x, m)
+        wins = np.lib.stride_tricks.sliding_window_view(x[lo:hi], m)
         mu = wins.mean(axis=1, keepdims=True)
         sd = wins.std(axis=1, keepdims=True)
         sd[sd == 0] = 1.0
         z = (wins - mu) / sd
         dists = np.sqrt(((z - q) ** 2).sum(axis=1))
-        key = int(pdf[key_col].iloc[0])
         return pd.DataFrame(
             {
-                "key": np.full(len(dists), key, dtype=np.int64),
+                "key": np.full(len(dists), keys[lo], dtype=np.int64),
                 "win_pos": np.arange(len(dists), dtype=np.int32),
                 "dist": dists,
             }
         )
 
+    def _profile_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=np.int64)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        parts = [
+            p
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if (p := _profile_one(keys, x, int(lo), int(hi))) is not None
+        ]
+        if not parts:
+            return pd.DataFrame(
+                {"key": [], "win_pos": [], "dist": []}
+            ).astype({"key": "int64", "win_pos": "int32", "dist": "float64"})
+        return pd.concat(parts, ignore_index=True)
+
+    def scan(batches):
+        # r12-opt (guide §4.1): groupBy().applyInPandas flushes one
+        # Arrow batch PER GROUP each way — at thousands of small keys
+        # the per-group roundtrip dominated (measured 4.9 s → 1.0 s at
+        # sf0.1 for the profile stage). mapInPandas over key-sorted
+        # partitions gets full-size batches; a key straddling two
+        # batches is carried over (a repartition pins each key to one
+        # partition, and the in-partition sort makes its rows adjacent
+        # and window-ordered).
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_key = pdf[key_col].iloc[-1]
+            is_tail = pdf[key_col].to_numpy() == last_key
+            n_tail = int(is_tail.sum())
+            carry = pdf.iloc[len(pdf) - n_tail :]
+            done = pdf.iloc[: len(pdf) - n_tail]
+            if len(done):
+                yield _profile_frame(done)
+        if carry is not None and len(carry):
+            yield _profile_frame(carry)
+
     return (
         df.select(key_col, ts_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(per_key, out_schema)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, value_col)
+        .mapInPandas(scan, out_schema)
     )
 
 

@@ -174,10 +174,19 @@ def q_llm_bpe_encode(spark, sf_dir):
     hash-agg pipeline over the corpus: one shuffle (doc_id), zero
     Python, whole-stage codegen end to end."""
     from flink_quickstart_spark.operators.bpe import learn_bpe_merges
+    from flink_quickstart_spark.sources.tables import spread_unsplittable
 
     t = tables(spark, sf_dir)
+    # r12-opt (guide §2.5): both the word-frequency pass and the encode
+    # pass explode the corpus inside the single-task scan of a
+    # few-row-group input; row-group-adaptive spread (no-op on a real
+    # multi-file corpus) parallelizes them. Measured ~neutral at sf0.1
+    # (the 16 sequential merge-training jobs dominate this key — see
+    # OPTIMIZATION_r12.md), but the encode pass is the part that grows
+    # with the corpus, so the spread is kept for the scan-bound regime.
+    docs = spread_unsplittable(t.documents, sf_dir)
     words = (
-        t.documents.select(
+        docs.select(
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
         )
         .where(F.length("word") >= 2)
@@ -191,7 +200,7 @@ def q_llm_bpe_encode(spark, sf_dir):
         key=lambda r: r["step"],
     )
 
-    doc_words = t.documents.select(
+    doc_words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
     ).where(F.length("word") >= 2)

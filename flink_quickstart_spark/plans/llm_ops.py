@@ -478,9 +478,16 @@ def q_text_langid(spark, sf_dir):
 )
 def q_text_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min md5 over word trigram shingles —
-    portable (md5), order-insensitive, one expression per row."""
+    portable (md5), order-insensitive, one expression per row. r12-opt:
+    the per-row expression is heavy (16 md5s per doc) and ran inside the
+    single-task scan of a few-row-group input — row-group-adaptive
+    spread (guide §2.5; no-op on a multi-file corpus) parallelizes it
+    (3.2 s → 0.6 s at sf0.1, noop sink)."""
+    from flink_quickstart_spark.sources.tables import spread_unsplittable
+
     t = tables(spark, sf_dir)
-    return t.documents.where(F.size(F.split("text", " ")) >= 3).select(
+    docs = spread_unsplittable(t.documents, sf_dir)
+    return docs.where(F.size(F.split("text", " ")) >= 3).select(
         "doc_id", X.fingerprint("text", 3).alias("fp")
     )
 
@@ -675,7 +682,14 @@ def q_text_langid_ngram(spark, sf_dir):
     trigram explode is a narrow map; one shuffle per aggregate."""
     from pyspark.sql import Window
 
+    from flink_quickstart_spark.sources.tables import spread_unsplittable
+
     t = tables(spark, sf_dir)
+    # r12-opt (guide §2.5): both trigram explodes multiply the corpus
+    # ~3× in the SAME task as the scan — a few-row-group input runs
+    # them single-threaded; row-group-adaptive spread (no-op on a real
+    # multi-file corpus) measured 4.6 s → 1.1 s at sf0.1 (noop sink).
+    docs = spread_unsplittable(t.documents, sf_dir)
     # Guard len<3: sequence(1, 0) would default to step -1 and yield
     # [1, 0] (bogus sub-3-char "trigrams"); emit an empty array instead,
     # matching the oracle's empty range(1, strlen-1).
@@ -684,7 +698,7 @@ def q_text_langid_ngram(spark, sf_dir):
         " transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
         " ELSE array() END"
     )
-    train = t.documents.where(
+    train = docs.where(
         ~F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     )
     train_tri = train.select("lang", F.explode(tri_expr).alias("tri"))
@@ -696,7 +710,7 @@ def q_text_langid_ngram(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select(F.col("lang").alias("cand_lang"), "tri")
     )
-    doc_tri = t.documents.select(
+    doc_tri = docs.select(
         "doc_id", F.col("lang").alias("true_lang"), F.explode(tri_expr).alias("tri")
     )
     scored = (
@@ -1225,8 +1239,16 @@ def q_llm_dedup_spans(spark, sf_dir):
     100× documents ("Not enough memory to build and broadcast") — and
     the agg already hash-partitions dfreq on shingle, so SHJ reuses
     that exchange."""
+    from pyspark.storagelevel import StorageLevel
+
     t = tables(spark, sf_dir)
-    sh = word_shingles(t.documents, "doc_id", "text", n=5)
+    # Two consumers (the DF aggregate and the join-back) re-ran the
+    # scan+explode+distinct shingle pipeline; one materialization
+    # replaces both — the same r12-opt concession as the Jaccard tier
+    # (operators/dedup.py; measured 6.3 s → 1.0 s at sf0.1, noop sink).
+    sh = word_shingles(t.documents, "doc_id", "text", n=5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # d counts DOCUMENTS per shingle (sh is distinct per doc), so d >= 2
     # means the span recurs outside this document.
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))

@@ -71,6 +71,60 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     )
 
 
+_ROW_GROUP_CACHE: dict[str, int] = {}
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Total parquet row groups behind ``path`` (file or directory) —
+    the number of independently scannable units, i.e. the scan's real
+    parallelism ceiling. Driver-side footer reads, cached per path."""
+    if path in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[path]
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    )
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — unreadable footer: assume 1
+            total += 1
+    _ROW_GROUP_CACHE[path] = max(1, total)
+    return _ROW_GROUP_CACHE[path]
+
+
+def spread_unsplittable(
+    df: DataFrame, sf_dir: str, name: str = "documents"
+) -> DataFrame:
+    """Guide §2.5 'one huge unsplittable file': a parquet scan exposes
+    at most one task per ROW GROUP, so a table stored as few row groups
+    runs effectively single-threaded into any explode-heavy pipeline
+    regardless of core count (the bench testdata is one row group per
+    table — measured 4.6 s → 1.1 s on q_text_langid_ngram at sf0.1).
+    Repartition to the cluster's parallelism ONLY when the input's row
+    groups fall short of it; at real scale (many files / row groups)
+    this is a plan no-op, so no corpus-byte shuffle is ever added on a
+    cluster. Scheme-qualified paths (s3a://, hdfs://) skip the local
+    footer probe and are returned unchanged."""
+    if "://" in sf_dir and not sf_dir.startswith("file:"):
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if _parquet_row_groups(f"{sf_dir}/{name}.parquet") >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so ``spark.sql`` is first-class."""
     for name in TABLE_NAMES:

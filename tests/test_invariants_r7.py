@@ -101,11 +101,13 @@ def test_cogroup_jvm_twin_is_python_free(spark):
     )
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     # and the API form genuinely exercises the cogroup surface
-    pandas_plan = (
+    # (r12-opt: applyInPandas -> applyInArrow — still one call per key,
+    # the cogroup semantics; only the per-key serialization changed)
+    cogroup_plan = (
         REGISTRY["q_cogroup_stats"]
         .builder(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "FlatMapCoGroupsInPandas" in pandas_plan
+    assert "FlatMapCoGroupsInArrow" in cogroup_plan, cogroup_plan
