@@ -35,25 +35,55 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Guide §2.5, operator-level twin of sources.tables.
+    spread_unsplittable: the shingle explode + hash kernels are
+    CPU-heavy map work, and with the signature ``distinct`` removed
+    (§2.4) they run in the SCAN stage — which for a few-row-group input
+    is a single task at any core count. Repartition to the cluster's
+    parallelism ONLY when the plan's physical partitioning falls short
+    of it; on a real corpus (many files/row groups, or an upstream
+    exchange sized by data) this is a no-op, so no corpus shuffle is
+    added at scale. The check compiles the plan driver-side (no job).
+    Shuffling the raw (id, text) rows here is strictly cheaper than the
+    removed distinct's (id, shingle) exchange (~n× the text bytes)."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — unplannable input: leave as-is
+        return df
+    return df.repartition(cores) if n < cores else df
+
+
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) rows.
+    """Word n-gram shingles per document: (id, shingle) rows.
 
     JVM-side only: split → transform over index sequence → explode →
     distinct. The distinct is per (doc, shingle) — a narrow pre-aggregation
     that bounds the inverted-index fanout.
-    """
+
+    ``distinct=False`` (r13, guide §2.4) skips that exchange and emits
+    the raw multiset: every SIGNATURE consumer ends in a ``min``
+    aggregate (min over a multiset == min over its set), so for them
+    the distinct was a full shuffle of the corpus-scale shingle-string
+    table bought for nothing — dropping it leaves ONE exchange in the
+    signature pipeline (the post-partial-agg (id, hash_idx, min) rows,
+    16 longs per document) and keeps the hash work map-side in the
+    scan stage. Jaccard/inverted-index consumers (set-size semantics)
+    keep the default."""
     toks = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
     )
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    out = df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_neardup_pairs(
@@ -84,7 +114,7 @@ def jaccard_neardup_pairs(
     (default) disables the cap; results are then bit-identical to the
     uncapped operator.
     """
-    from pyspark.storagelevel import StorageLevel
+    from flink_quickstart_spark.session import tracked_persist
 
     sh = word_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -98,7 +128,9 @@ def jaccard_neardup_pairs(
     # scan+explode+distinct(+DF-window) pipeline; one materialization
     # replaces them — same concession/discipline as
     # minhash_lsh_verified_pairs below (r12-opt; 5.6 s → 1.3 s sf0.1).
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # Tracked (r13): session.release_tracked_persists() is the drain
+    # point for long-lived sessions over changing corpora.
+    sh = tracked_persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -179,9 +211,16 @@ def minhash_lsh_pairs(
     # collisions at 64 bits are ≪ the TF slot-collision rate the
     # num_features sizing already bounds; candidates remain contract-
     # graded (recall vs exact verify), values remain exact downstream.
-    shingles = word_shingles(df, id_col, text_col, 3).select(
-        id_col, F.xxhash64("shingle").alias("tok")
-    )
+    # distinct=False + collect_set (r13, §2.4): binary HashingTF sees a
+    # token SET either way, so the (id, shingle-string) distinct
+    # exchange was a full shuffle bought for nothing — collect_set
+    # dedups map-side inside the one groupBy exchange this stage needs.
+    # approx_count_distinct is set-cardinality over a multiset too.
+    # Narrow inputs spread first (§2.5) so the map-side set-building
+    # and the HLL vocab probe parallelize.
+    shingles = word_shingles(
+        _spread_if_narrow(df), id_col, text_col, 3, distinct=False
+    ).select(id_col, F.xxhash64("shingle").alias("tok"))
     if num_features is None:
         vocab = shingles.agg(
             F.approx_count_distinct("tok").alias("d")
@@ -192,7 +231,7 @@ def minhash_lsh_pairs(
         # the next decade; min-hash cost is ∝ nnz, not slot count, so a
         # wide sparse universe is free)
         num_features = 1 << max(18, min(28, (32 * max(vocab, 1) - 1).bit_length()))
-    sh = shingles.groupBy(id_col).agg(F.collect_list("tok").alias("shingles"))
+    sh = shingles.groupBy(id_col).agg(F.collect_set("tok").alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features",
         numFeatures=num_features, binary=True,
@@ -277,7 +316,7 @@ def minhash_lsh_verified_pairs(
     it scales with partition count; the corpus-mass shingle table is
     never a build candidate regardless of what the estimator thinks.
     """
-    from pyspark.storagelevel import StorageLevel
+    from flink_quickstart_spark.session import tracked_persist
 
     cand = minhash_lsh_pairs(
         df, id_col, text_col,
@@ -289,10 +328,9 @@ def minhash_lsh_verified_pairs(
     # scan+explode+shuffle passes at every scale (guide §5: reused AND
     # expensive); session-lifetime entry, deduped across re-runs by the
     # cache manager, spills under pressure (r12-opt; measured
-    # 15.0 s → 4.0 s at sf0.1, noop sink).
-    sh = word_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # 15.0 s → 4.0 s at sf0.1, noop sink). Tracked (r13):
+    # session.release_tracked_persists() drains it.
+    sh = tracked_persist(word_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -340,8 +378,13 @@ def simhash64(
 
     Near-dup candidates = identical fingerprints (or hamming ≤ k via
     rotations at scale).
+
+    r13: the md5/xxhash + 60-way conditional-sum partial aggregation is
+    map-side in the scan stage — a narrow input is spread first (§2.5,
+    plan no-op on a real corpus); integer ±1 sums are order-free, so
+    fingerprints are bit-identical under any partitioning.
     """
-    toks = df.select(
+    toks = _spread_if_narrow(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).where(F.col("tok") != "")
     if token_hash == "md5_60":
@@ -390,8 +433,19 @@ def portable_minhash_signatures(
     later session and still value-match a SQL oracle. Same expressions
     as the q_llm_minhash_signatures key; sketch property
     P[sig_i(A) = sig_i(B)] = Jaccard(A, B). Shapes: shingle explode ×
-    num_hashes posexplode → one hash aggregate keyed (id, i)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    num_hashes posexplode → one hash aggregate keyed (id, i).
+
+    r13 (guide §2.4): the shingle ``distinct`` is skipped — ``min`` over
+    the shingle multiset equals min over the set, so the distinct's
+    full shuffle of (id, shingle-string) rows bought nothing; the only
+    exchange left is the post-partial-agg (id, hash_idx, min) rows
+    (16 longs/doc). Duplicate in-doc shingles now pay their md5s, a
+    per-task constant dwarfed by the removed corpus-scale exchange.
+    With the hashing now map-side in the scan stage, a narrow input is
+    spread first (§2.5 — plan no-op on a real corpus)."""
+    sh = word_shingles(
+        _spread_if_narrow(df), id_col, text_col, n, distinct=False
+    )
     hashed = sh.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
@@ -445,9 +499,14 @@ def _minhash_band_rows(
         return portable_minhash_signatures(df, id_col, text_col, num_hashes, n)
     if hash_family != "xx64":
         raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
-    sh = word_shingles(df, id_col, text_col, n).select(
-        id_col, F.xxhash64("shingle").alias("_s64")
-    )
+    # distinct=False: min over the shingle multiset == min over the set
+    # (same §2.4 shuffle removal as portable_minhash_signatures — the
+    # distinct exchanged the full shingle-STRING table per signature
+    # job); the hash kernel now lives in the scan stage, so spread a
+    # narrow input (§2.5 — no-op on a real corpus)
+    sh = word_shingles(
+        _spread_if_narrow(df), id_col, text_col, n, distinct=False
+    ).select(id_col, F.xxhash64("shingle").alias("_s64"))
     hashed = sh.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),

@@ -37,6 +37,21 @@ def _truncate_lineage(df: DataFrame, use_reliable: bool) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _mark_truncate_lazy(df: DataFrame, use_reliable: bool) -> DataFrame:
+    """Lineage truncation whose MATERIALIZATION is deferred to the
+    caller's next action (r13, guide §1/§5): ``eager=False`` marks the
+    plan's RDD for (local) checkpointing, and the first job that
+    computes it persists its partitions as a side effect. An iterative
+    loop that ends every step in a convergence/bookkeeping aggregate
+    can therefore fold the truncation INTO that aggregate — one job per
+    iteration instead of checkpoint-job + aggregate-job. Only safe when
+    the caller's next action computes EVERY partition (a full aggregate
+    or count does; a take()/limit would checkpoint partially)."""
+    if use_reliable:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def _materialize_static(df: DataFrame) -> DataFrame:
     """Materialize a LOOP-STATIC input once, via columnar cache.
 
@@ -159,7 +174,13 @@ def connected_components(
         )
         prev_ckpt = None
         if (i + 1) % checkpoint_interval == 0:
-            new_labels = _truncate_lineage(new_labels, reliable_checkpoint)
+            # r13 (§1/§5): LAZY-marked truncation — the convergence
+            # count below is the action that materializes the snapshot
+            # (it computes every partition), so each iteration runs ONE
+            # job instead of eager-checkpoint-job + count-job. The
+            # counted value and the labels are bit-identical; only the
+            # job count changes (measured: 2 jobs/iter → 1).
+            new_labels = _mark_truncate_lazy(new_labels, reliable_checkpoint)
             prev_ckpt, last_ckpt = last_ckpt, new_labels
         changed = new_labels.where(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
@@ -190,17 +211,21 @@ def pagerank(
     the standard redistribute-to-all treatment. Returns ``(node, rank)``
     with ranks summing to ~1.
 
-    Loop shape (the part that matters at 100 TB): the dangling mass is a
-    1-row aggregate folded back in via ``crossJoin(F.broadcast(...))`` —
-    NOT a per-iteration driver ``.collect()`` — so each iteration is a
-    single lazy plan with one action (the eager lineage truncation).
-    Each rank snapshot references the previous one TWICE (dangling
-    branch + contribution branch); without per-iteration truncation the
-    recomputed plan doubles per step, which is why
-    ``checkpoint_interval`` defaults to 1 here. The loop-static inputs
-    (node list, degree-annotated edges, dangling set) are materialized
-    once before the loop (r6): left lazy, each of them re-runs the
-    caller's edge-construction plan every single iteration.
+    Loop shape (the part that matters at 100 TB): the dangling mass is
+    a 1-row aggregate collected as a SCALAR (8 bytes — an aggregate
+    result, not a data pull; §5's no-driver-data-work rule is about
+    row-set collects) and folded back in as a literal. That one action
+    doubles as the materializer of the previous iteration's
+    lazily-marked lineage truncation, so each iteration runs exactly
+    ONE job (r13; it ran two before — an eager checkpoint job plus the
+    dangling-mass broadcast-exchange job). Each rank snapshot references
+    the previous one TWICE (dangling branch + contribution branch);
+    without per-iteration truncation the recomputed plan doubles per
+    step, which is why ``checkpoint_interval`` defaults to 1 here. The
+    loop-static inputs (node list, degree-annotated edges, dangling
+    set) are materialized once before the loop (r6): left lazy, each of
+    them re-runs the caller's edge-construction plan every single
+    iteration.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -240,12 +265,26 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
     last_ckpt = None  # superseded-snapshot release (r7 sf3-OOM leak fix)
+    pending = None  # lazily-marked snapshot awaiting its materializing action
     for i in range(iterations):
-        # 1-row dangling-mass aggregate, broadcast-folded (no collect)
-        dmass = (
+        # 1-row dangling-mass aggregate, collected as a SCALAR (r13,
+        # §1/§5): this action also materializes the previous
+        # iteration's lazily-marked checkpoint (the semi-join computes
+        # every rank partition), so each iteration runs ONE job where
+        # it ran an eager-checkpoint job plus a broadcast-exchange job
+        # before. The collected double re-enters the plan as a literal
+        # — the same IEEE value the broadcast `_dmass` column carried,
+        # evaluated by the same expression tree, so ranks are
+        # bit-identical (and the key's output rounds to 6 decimals on
+        # top of that).
+        dmass = float(
             ranks.join(dangling_nodes.hint("shuffle_hash"), "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
+            .collect()[0][0]
         )
+        if pending is not None:  # materialized by the action above
+            _release(last_ckpt)
+            last_ckpt, pending = pending, None
         contribs = (
             edges_deg.join(ranks.hint("shuffle_hash"), edges_deg.src == ranks.node)
             .select(
@@ -257,20 +296,26 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.col("_dmass") / F.lit(float(n_nodes))
+                    + F.lit(damping) * F.lit(dmass) / F.lit(float(n_nodes))
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_interval == 0:
-            ranks = _truncate_lineage(ranks, reliable_checkpoint)
-            _release(last_ckpt)
-            last_ckpt = ranks
+            if i == iterations - 1:
+                # the final snapshot has no following dmass action to
+                # fold into — materialize eagerly so the loop-static
+                # caches can be released before returning
+                ranks = _truncate_lineage(ranks, reliable_checkpoint)
+                _release(last_ckpt)
+                last_ckpt = ranks
+            else:
+                ranks = _mark_truncate_lazy(ranks, reliable_checkpoint)
+                pending = ranks
     # the final ranks snapshot stays live for the caller; the
     # loop-static inputs may be released only if that snapshot is
     # self-contained (final iteration checkpointed)

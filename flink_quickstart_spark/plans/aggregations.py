@@ -1170,19 +1170,17 @@ def q_agg_pareto(spark, sf_dir):
     (operators/rank.global_row_number's sibling: range buckets →
     aggregate-sized offsets → PARTITIONED intra-bucket windows — no
     single-reducer WindowExec); the report is one row."""
-    from pyspark.storagelevel import StorageLevel
-
     from flink_quickstart_spark.operators.rank import global_running_sum
+    from flink_quickstart_spark.session import tracked_persist
 
     t = tables(spark, sf_dir)
-    per_cust = (
+    per_cust = tracked_persist(
         t.orders.groupBy("o_custkey")
         .agg(
             F.round(F.sum("o_totalprice") * 100)
             .cast("long")
             .alias("rev_cents")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Session-lifetime cache entry — same ACCEPTED CONCESSION as
     # q_agg_rfm above (r12-opt): four consumers read per_cust (the
@@ -1190,7 +1188,8 @@ def q_agg_pareto(spark, sf_dir):
     # total subtree); unpersisted, each re-runs the orders aggregation
     # (measured 14.3 s → 4.4 s at sf0.1, noop sink). Bounded: one
     # customer-sized entry per sf_dir, deduped across re-runs by the
-    # cache manager, spills under pressure.
+    # cache manager, spills under pressure. Tracked (r13):
+    # session.release_tracked_persists() drains it.
     per_cust.count()
     run = global_running_sum(
         per_cust,
@@ -1266,13 +1265,12 @@ def q_agg_rfm(spark, sf_dir):
     is everything. per_cust is materialized once (columnar cache,
     spills; identical plans across calls reuse the entry) so the two
     probe jobs scan the tiny per-customer table, not orders."""
-    from pyspark.storagelevel import StorageLevel
-
     from flink_quickstart_spark.operators.rank import global_ntiles
+    from flink_quickstart_spark.session import tracked_persist
 
     t = tables(spark, sf_dir)
     anchor = t.orders.agg(F.max("o_orderdate").alias("mx"))
-    per_cust = (
+    per_cust = tracked_persist(
         t.orders.crossJoin(F.broadcast(anchor))
         .groupBy("o_custkey")
         .agg(
@@ -1282,7 +1280,6 @@ def q_agg_rfm(spark, sf_dir):
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Session-lifetime cache entry — ACCEPTED CONCESSION (r8 ADVICE):
     # the returned lazy plan still references per_cust, so unpersisting

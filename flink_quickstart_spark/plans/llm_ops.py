@@ -1239,16 +1239,15 @@ def q_llm_dedup_spans(spark, sf_dir):
     100× documents ("Not enough memory to build and broadcast") — and
     the agg already hash-partitions dfreq on shingle, so SHJ reuses
     that exchange."""
-    from pyspark.storagelevel import StorageLevel
+    from flink_quickstart_spark.session import tracked_persist
 
     t = tables(spark, sf_dir)
     # Two consumers (the DF aggregate and the join-back) re-ran the
     # scan+explode+distinct shingle pipeline; one materialization
     # replaces both — the same r12-opt concession as the Jaccard tier
     # (operators/dedup.py; measured 6.3 s → 1.0 s at sf0.1, noop sink).
-    sh = word_shingles(t.documents, "doc_id", "text", n=5).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Tracked (r13): session.release_tracked_persists() drains it.
+    sh = tracked_persist(word_shingles(t.documents, "doc_id", "text", n=5))
     # d counts DOCUMENTS per shingle (sh is distinct per doc), so d >= 2
     # means the span recurs outside this document.
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
@@ -1690,7 +1689,11 @@ def q_llm_minhash_signatures(spark, sf_dir):
     t = tables(spark, sf_dir)
     # shared with the persisted signature store (r8): the exact same
     # expressions build {store}/bands, so any session's store rows
-    # value-match this key's oracle
+    # value-match this key's oracle.
+    # r13: the shingle distinct is removed (§2.4, operators/dedup.py)
+    # and the operator spreads a narrow scan itself (§2.5), so the 16×
+    # md5 kernel runs map-side at full parallelism with ONE exchange
+    # left in the plan (the 16-longs-per-doc partial-agg output).
     return portable_minhash_signatures(t.documents, "doc_id", "text")
 
 

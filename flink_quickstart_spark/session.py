@@ -50,6 +50,55 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+# --- tracked operator persists (r13, VERDICT r12 #2/#8 + ADVICE) -----
+#
+# A few operators persist() a corpus-scale intermediate that feeds 3+
+# consumers inside one query (the r12 repeated-subtree elimination:
+# shingle tables, the pareto per-customer aggregate). Those entries are
+# session-lifetime by default — correct under LRU + disk spill, and the
+# right §5 trade versus recomputing three shuffles — but a long-lived
+# session invoking the operators over CHANGING inputs accumulates one
+# CacheManager entry per distinct input plan, without bound. The seam
+# below tracks every such persist so a host application (or a test) can
+# release them all once the results are materialized:
+#
+#     from flink_quickstart_spark.session import release_tracked_persists
+#     n_released = release_tracked_persists()
+#
+# Releasing is SAFE at any point — an unpersisted DataFrame recomputes
+# from lineage — it only forfeits the intra-query reuse if called
+# mid-query. bench/verify never call it (timing is unaffected).
+
+_TRACKED_PERSISTS: list = []
+
+
+def tracked_persist(df, storage_level=None):
+    """persist() a DataFrame and register it for bulk release via
+    :func:`release_tracked_persists`. Operators use this for their
+    multi-consumer materializations instead of a bare ``persist`` so
+    the session-lifetime cache growth has an explicit drain point."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> int:
+    """Unpersist every operator-tracked cache entry; returns how many
+    were released. Idempotent; safe while queries are not mid-flight
+    (a released entry silently recomputes if re-read)."""
+    n = 0
+    for df in _TRACKED_PERSISTS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — dying session: best-effort
+            pass
+    _TRACKED_PERSISTS.clear()
+    return n
+
+
 def get_spark(
     app_name: str = "flink-quickstart-spark",
     master: str | None = None,

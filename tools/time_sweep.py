@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -44,10 +45,24 @@ def main() -> int:
         shuffle_partitions=shuffle_partitions_for_bytes(dir_bytes(args.sf)),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Machine-load self-description (VERDICT r12 #2, mirroring
+    # tools/sweep_sf1.py): per-key load1 at start plus file-level load
+    # triples make cross-round timing comparisons self-qualifying; a
+    # sweep started on a loaded box flags itself not-comparable.
+    cpus = os.cpu_count() or 32
+    load_start = os.getloadavg()
+    load_flagged = load_start[2] > cpus / 2
+    if load_flagged:
+        print(
+            f"WARNING: load15={load_start[2]:.1f} > {cpus}/2 at sweep "
+            "start — timings will not be comparable across rounds; "
+            "re-run on an idle machine for trend-grade numbers"
+        )
     out: dict[str, dict] = {}
     for key in keys:
         builder = registry.REGISTRY[key].builder
         spark.sparkContext.setJobDescription(f"sweep:{key}")
+        load1 = round(os.getloadavg()[0], 2)
         try:
             t0 = time.time()
             builder(spark, args.sf).write.format("noop").mode(
@@ -61,7 +76,11 @@ def main() -> int:
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
-            out[key] = {"cold": round(cold, 3), "best": round(best, 3)}
+            out[key] = {
+                "cold": round(cold, 3),
+                "best": round(best, 3),
+                "load1_at_start": load1,
+            }
             print(f"{best:8.3f}s (cold {cold:7.3f})  {key}", flush=True)
         except Exception as exc:  # noqa: BLE001
             out[key] = {"error": str(exc)[:200]}
@@ -69,7 +88,26 @@ def main() -> int:
     spark.sparkContext.setJobDescription(None)
     if args.json:
         Path(args.json).write_text(
-            json.dumps({"sf": args.sf, "runs": args.runs, "keys": out}, indent=1)
+            json.dumps(
+                {
+                    "sf": args.sf,
+                    "runs": args.runs,
+                    "loadavg_at_start": [round(x, 2) for x in load_start],
+                    "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+                    "cpus": cpus,
+                    "load_flagged": load_flagged,
+                    "load_note": (
+                        "load15 at start exceeded cpus/2 — timings "
+                        "reflect a loaded machine; do not compare "
+                        "across rounds without a re-measure"
+                        if load_flagged
+                        else "machine idle at sweep start (load15 ≤ "
+                        "cpus/2); timings are trend-comparable"
+                    ),
+                    "keys": out,
+                },
+                indent=1,
+            )
         )
         print(f"wrote {args.json}")
     return 0
