@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from flink_quickstart_spark.operators.maintenance import (
     AbortStoreGeneration,
+    StoreSnapshot,
     current_store_root,
     reset_store_generations,
     read_store,
@@ -515,6 +516,36 @@ def pq_decode_df(
     return codes.mapInPandas(decode, f"{id_col} {id_t}, recon array<double>")
 
 
+def _adc_scan_coalesce(df: DataFrame, path: str, subdir: str = "codes",
+                       prefixes: list[str] | None = None) -> DataFrame:
+    """Size the ADC codes scan's partitions to the DATA (r13, §2.2):
+    every scan partition emits up to |queries| × shortlist candidate
+    rows into the global top-k window regardless of how few code rows
+    it holds, so a tiny store split into file-count partitions floods
+    the window with |q|×cut×partitions rows (measured 2.0 M rows and a
+    0.9 s window at sf0.1 vs 64 k rows after coalescing). Target ~4 MB
+    of codes per partition, computed DRIVER-SIDE from the store
+    manifest (no job); ``coalesce`` only merges splits, so at real
+    scale (≥128 MB splits) this is a plan no-op. ``prefixes`` narrows
+    the byte count to the probed partition dirs (IVFPQ)."""
+    import math
+
+    try:
+        man = StoreSnapshot(path).manifest
+    except Exception:  # noqa: BLE001 — no manifest: leave the scan alone
+        return df
+    if man is None:
+        return df
+    pfx = subdir.rstrip("/") + os.sep
+    entries = [e for e in man["files"] if e["path"].startswith(pfx)]
+    if prefixes is not None:
+        keep = tuple(os.path.join(subdir, p) for p in prefixes)
+        entries = [e for e in entries if e["path"].startswith(keep)]
+    total = sum(e["bytes"] for e in entries)
+    n = max(1, math.ceil(total / (4 * 1024 * 1024)))
+    return df.coalesce(n)
+
+
 def _adc_topk(sims, ids_q, n_ids, cut, sim_decimals):
     """Vectorized per-query top-``cut`` over an ADC sims matrix (rows =
     queries, cols = scanned codes), exact (sim desc, nbr id asc)
@@ -608,14 +639,17 @@ def pq_query_index(
     # works on unrotated vectors either way)
     qr = qn if rot is None else qn @ rot
     m, _kk, dsub = books.shape
-    # LUT[q, s, c] = <query subvector s, codebook centroid c>
-    lut = np.stack(
-        [qr[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
-        axis=1,
-    )
-    bc = spark.sparkContext.broadcast((q_ids, lut))
-    codes = read_store(spark, path, "codes").select(
-        id_col, "codes"
+    # LUT per subspace, SUBSPACE-MAJOR (r13, §4.2/§4.5): a list of
+    # contiguous (Q × k) arrays, so the batch loop gathers directly —
+    # the former (Q, m, k) stack forced a full-LUT strided copy per
+    # subspace per batch
+    lut = [
+        np.ascontiguousarray(qr[:, s * dsub : (s + 1) * dsub] @ books[s].T)
+        for s in range(m)
+    ]
+    bc = spark.sparkContext.broadcast((np.asarray(q_ids, dtype=np.int64), lut))
+    codes = _adc_scan_coalesce(
+        read_store(spark, path, "codes").select(id_col, "codes"), path
     )
     cut = shortlist if shortlist else k  # per-partition keep size
 
@@ -624,13 +658,13 @@ def pq_query_index(
         for pdf in batches:
             c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             n_ids = pdf[id_col].to_numpy()
-            sims = np.zeros((len(ids_q), len(c)))
-            for s in range(m):
-                sims += tables[:, s, :][:, c[:, s]]
+            sims = tables[0][:, c[:, 0]].copy()
+            for s in range(1, m):
+                sims += tables[s][:, c[:, s]]
             np.copyto(
                 sims,
                 -np.inf,
-                where=np.asarray(ids_q)[:, None] == n_ids[None, :],
+                where=ids_q[:, None] == n_ids[None, :],
             )
             yield _adc_topk(sims, ids_q, n_ids, cut, sim_decimals)
 
@@ -677,31 +711,47 @@ def _exact_rerank(
             f"{op}: shortlist re-rank needs vectors= (the "
             "full-precision table the codes were built from)."
         )
-    qdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, qn)],
-        "query_id bigint, _qvec array<double>",
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    # r13 (§4.2/§5): the query matrix is ALREADY a budget-guarded
+    # driver collect — broadcast it as numpy instead of round-tripping
+    # it through a 2000-row pickled createDataFrame + broadcast join
+    # (measured 0.6 s of driver-side row conversion per query call),
+    # and score the point-fetched candidate batch with one vectorized
+    # einsum instead of the per-row zip_with/aggregate fold (measured
+    # 0.85 s over 64 k candidates; numpy also matches the brute tier's
+    # BLAS arithmetic). Rank on the UNROUNDED cosine (brute_knn's
+    # discipline); round only the emitted value.
+    bcq = spark.sparkContext.broadcast(
+        (np.asarray(q_ids, dtype=np.int64), qn)
     )
     full = vectors.select(
         F.col(id_col).cast("long").alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("_nvec"),
     )
-    # rank on the UNROUNDED cosine (brute_knn's discipline — rounding
-    # first would manufacture ties among near-duplicates that the exact
-    # tier distinguishes), round only the emitted value
-    reranked = (
-        full.join(F.broadcast(top.select("query_id", "nbr_id")), "nbr_id")
-        .join(F.broadcast(qdf), "query_id")
-        .withColumn(
-            "_sim_raw",
-            dot(F.col("_qvec"), F.col("_nvec"))
-            / (
-                F.sqrt(dot(F.col("_nvec"), F.col("_nvec")))
-                * F.sqrt(dot(F.col("_qvec"), F.col("_qvec")))
-            ),
-        )
+    fetched = full.join(
+        F.broadcast(top.select("query_id", "nbr_id")), "nbr_id"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qmat = bcq.value
+        pos = pd.Series(np.arange(len(ids_q)), index=ids_q)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nv = np.stack(pdf["_nvec"].to_numpy())
+            qi = pos[pdf["query_id"].to_numpy()].to_numpy()
+            num = np.einsum("ij,ij->i", qmat[qi], nv)
+            sim = num / (np.linalg.norm(nv, axis=1) * qnorm[qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "nbr_id": pdf["nbr_id"],
+                    "_sim_raw": sim,
+                }
+            )
+
+    reranked = fetched.mapInPandas(
+        score, "query_id bigint, nbr_id bigint, _sim_raw double"
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("_sim_raw").desc(), F.col("nbr_id")
@@ -935,10 +985,12 @@ def ivfpq_query_index(
     order = np.argsort(-base, axis=1)[:, :n_probe]
     probe_mask = np.zeros(base.shape, dtype=bool)
     probe_mask[np.arange(len(qn))[:, None], order] = True
-    lut = np.stack(
-        [qn[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
-        axis=1,
-    )
+    # subspace-major contiguous LUT list (r13, §4.2/§4.5 — no per-batch
+    # full-LUT strided copies; same values, direct gathers)
+    lut = [
+        np.ascontiguousarray(qn[:, s * dsub : (s + 1) * dsub] @ books[s].T)
+        for s in range(m)
+    ]
     bc = spark.sparkContext.broadcast(
         (np.asarray(q_ids, dtype=np.int64), base, probe_mask, lut)
     )
@@ -948,7 +1000,10 @@ def ivfpq_query_index(
     )
     if where is not None:
         codes = codes.where(where)
-    codes = codes.select(id_col, "codes", "cluster_id")
+    codes = _adc_scan_coalesce(
+        codes.select(id_col, "codes", "cluster_id"), path,
+        prefixes=[f"cluster_id={c}" for c in probed],
+    )
     cut = shortlist if shortlist else k
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -959,7 +1014,7 @@ def ivfpq_query_index(
             n_ids = pdf[id_col].to_numpy()
             sims = base_[:, clus].copy()  # Q × N residual-free term
             for s in range(m):
-                sims += tables[:, s, :][:, c[:, s]]
+                sims += tables[s][:, c[:, s]]
             sims[~pmask[:, clus]] = -np.inf  # outside this query's probes
             np.copyto(
                 sims, -np.inf, where=ids_q[:, None] == n_ids[None, :]
