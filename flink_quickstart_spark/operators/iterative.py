@@ -102,11 +102,61 @@ def _release(df: DataFrame | None) -> None:
         pass
 
 
+def _driver_union_find(edge_tbl, spark) -> DataFrame:
+    """Exact min-label connected components on the driver (path-halving
+    union-find) for a SMALL Arrow-collected edge table — O(E α(E)) in
+    C-speed dict ops, replacing O(diameter) Spark rounds that are pure
+    job/exchange overhead at this size. Returns the identical
+    (node, component=min reachable id) labeling the distributed loop
+    converges to. Both boundary crossings are Arrow (toArrow() in, a
+    pyarrow.Table out): the pickled-row path costs ~0.16 s to collect
+    and leaves an RDD-backed local relation whose EVERY downstream
+    action re-pays Python deserialization (~0.3 s measured at 300
+    rows); the Arrow local relation reads in ~0.05 s."""
+    import pyarrow as pa
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(
+        edge_tbl.column(0).to_pylist(), edge_tbl.column(1).to_pylist()
+    ):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id — the root is always the component min,
+            # exactly the distributed loop's converged label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    id_t = edge_tbl.schema.field(0).type  # preserve int32/int64 exactly
+    nodes = list(parent)
+    out = pa.table(
+        {
+            "node": pa.array(nodes, id_t),
+            "component": pa.array([find(n) for n in nodes], id_t),
+        }
+    )
+    # one partition: the table is budget-bounded (≤ ~1.6 MB)
+    return spark.createDataFrame(out).coalesce(1)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_interval: int = 1,
     reliable_checkpoint: bool = False,
+    driver_edge_budget: int = 100_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -134,11 +184,29 @@ def connected_components(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = (
-        _truncate_lineage(sym, True)
-        if reliable_checkpoint
-        else _materialize_static(sym)
-    )
+    n_sym = None
+    if reliable_checkpoint:
+        sym = _truncate_lineage(sym, True)
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        # inline _materialize_static so its materializing count() also
+        # serves as the fast-path budget probe — one job, not two
+        sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+        n_sym = sym.count()
+    # Small-graph fast path (r13, §1.2): the loop's per-iteration cost
+    # at small edge counts is pure job/exchange overhead (measured
+    # 0.35 s × 17 rounds for a 920-edge cosine pair graph), so a graph
+    # whose SYMMETRIZED edge list fits a budget-guarded driver collect
+    # (the brute_knn/broadcast-budget discipline; 100 k rows ≈ 1.6 MB)
+    # is solved exactly with driver union-find instead. Above the
+    # budget — any real corpus — the distributed loop below is the
+    # path, unchanged. Labels are identical by construction (min
+    # reachable id, deterministic either way).
+    if n_sym is not None and n_sym <= driver_edge_budget:
+        labels = _driver_union_find(sym.toArrow(), edges.sparkSession)
+        _release(sym)
+        return labels
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -56,7 +56,10 @@ def test_connected_components_one_job_per_iteration(spark):
     )
 
     # path graph 1-2-3-4-5 plus isolated edge 10-11: diameter 4 → the
-    # loop converges after 4 changing iterations + 1 no-change check
+    # loop converges after 4 changing iterations + 1 no-change check.
+    # driver_edge_budget=0 forces the DISTRIBUTED loop (the fast path
+    # is pinned separately below) so this keeps testing the fused
+    # convergence count.
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
     )
@@ -64,7 +67,7 @@ def test_connected_components_one_job_per_iteration(spark):
     try:
         labels = {
             r["node"]: r["component"]
-            for r in connected_components(edges).collect()
+            for r in connected_components(edges, driver_edge_budget=0).collect()
         }
     finally:
         spark.sparkContext.setJobGroup(None, None)
@@ -73,6 +76,42 @@ def test_connected_components_one_job_per_iteration(spark):
     # jobs included) vs 39 for the old eager-checkpoint-then-count
     # shape on this exact graph — one job per iteration saved
     assert _jobs_in_group(spark, "r13-cc-jobs") <= 35
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The budget-guarded driver union-find returns label-identical
+    results to the distributed min-label loop, on an adversarial mix:
+    chains (diameter > 1), a cycle, a star, ids out of order, and
+    duplicate/self edges."""
+    import random
+
+    from flink_quickstart_spark.operators.iterative import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    edges = []
+    # three chains with shuffled ids
+    for base in (100, 200, 300):
+        ids = list(range(base, base + 12))
+        rng.shuffle(ids)
+        edges += list(zip(ids, ids[1:]))
+    edges += [(1, 2), (2, 3), (3, 1)]  # cycle
+    edges += [(50, x) for x in range(51, 58)]  # star
+    edges += [(400, 401), (401, 400), (400, 400)]  # dup + self edge
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    fast = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_edge_budget=0).collect()
+    }
+    assert fast == dist
+    # and each component label is the component's min node id
+    for node, comp in fast.items():
+        assert comp <= node
 
 
 def test_tracked_persist_release(spark):
