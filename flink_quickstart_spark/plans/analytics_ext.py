@@ -135,54 +135,69 @@ def q_embed_pca_project(spark, sf_dir):
     realizes the covariance model). Hash-match fails iff any check
     fails.
 
-    Scale shape: the covariance reduction is the same one-pass constant-
-    output aggregate as q_embed_covariance; its 2080-scalar result (an
-    O(dims²) driver collect — aggregate-sized, waived in plan_audit) is
-    eigendecomposed on the driver (64×64, microseconds) and the top-k
-    basis returns as a broadcast literal; projection itself is a
-    map-side array fold — no shuffle. Exactly how a 100 TB corpus gets
-    a PCA: reduce, solve small, broadcast back."""
+    Scale shape: the covariance reduction is a one-pass constant-output
+    aggregate; its dims²-scalar result (an O(dims²) driver collect —
+    aggregate-sized, waived in plan_audit) is eigendecomposed on the
+    driver (64×64, microseconds) and the top-k basis returns as a
+    broadcast closure; projection itself is map-side — no shuffle.
+    Exactly how a 100 TB corpus gets a PCA: reduce, solve small,
+    broadcast back.
+
+    r13-opt (guide §4.2): both passes are ``mapInArrow`` partial
+    reductions — one BLAS ``Mᵀ M`` / projection matmul per Arrow batch
+    emitting a single partial row — replacing the 2080-struct-per-row
+    explode (52 M structs through a hash aggregate at sf0.1) and the
+    per-row ``zip_with``/``aggregate`` expression folds. Driver-side
+    combination of the per-batch partials is aggregate-sized (a few
+    rows × dims² doubles). Float summation order changes; every
+    consumer of those floats is a contract check with a 1e-8/1 % band,
+    and none of the floats reach the output (booleans + exact count)."""
     import numpy as np
+    import pyarrow as pa
 
     from flink_quickstart_spark.sources.tables import spread_unsplittable
 
     t = tables(spark, sf_dir)
-    # r12-opt (guide §2.5): the 2080-struct-per-row moment explode ran
-    # inside the single-task scan of a few-row-group input;
-    # row-group-adaptive spread (no-op on a multi-file corpus)
-    # parallelizes the reduction (3.9 s → 0.9 s at sf0.1, noop sink).
-    # The contract oracle's checks carry 1% bands, so the float
-    # summation-order change from repartitioning is immaterial.
+    # r12-opt (guide §2.5): row-group-adaptive spread (no-op on a
+    # multi-file corpus) parallelizes the reduction over a single-row-
+    # group input.
     emb = spread_unsplittable(t.embeddings, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        F.col("embedding").cast("array<double>").alias("e")
     )
-    # one-pass raw-moment reduction: sums of xi and of xi*xj (upper tri)
-    pairs = F.explode(
-        F.expr(
-            f"""flatten(transform(sequence(1, {DIMS}), i ->
-                transform(sequence(i, {DIMS}), j -> struct(
-                  i AS di, j AS dj, e[i - 1] * e[j - 1] AS prod,
-                  e[i - 1] AS xi))))"""
+
+    def _batch_matrix(batch: "pa.RecordBatch") -> "np.ndarray":
+        col = batch.column(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.size == batch.num_rows * DIMS:
+            return flat.reshape(-1, DIMS)
+        # ragged/null fallback — not expected on this corpus
+        return np.asarray(col.to_pylist(), dtype=np.float64).reshape(
+            -1, DIMS
         )
-    ).alias("p")
-    mom = (
-        emb.select(pairs)
-        .groupBy("p.di", "p.dj")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p.prod").alias("s_prod"),
-            F.sum("p.xi").alias("s_xi"),
-        )
-        .collect()
-    )
-    n = mom[0]["n"]
-    mean = np.zeros(DIMS)
-    raw = np.zeros((DIMS, DIMS))
-    for r in mom:
-        i, j = r["di"] - 1, r["dj"] - 1
-        raw[i, j] = raw[j, i] = r["s_prod"] / n
-        if i == j:
-            mean[i] = r["s_xi"] / n
+
+    def _moments(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _batch_matrix(b)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n": pa.array([m.shape[0]], pa.int64()),
+                    "s_x": pa.array(
+                        [m.sum(axis=0).tolist()], pa.list_(pa.float64())
+                    ),
+                    "s_xx": pa.array(
+                        [(m.T @ m).ravel().tolist()], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+    parts = emb.mapInArrow(
+        _moments, "n bigint, s_x array<double>, s_xx array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    mean = sum(np.asarray(r["s_x"]) for r in parts) / n
+    raw = sum(np.asarray(r["s_xx"]).reshape(DIMS, DIMS) for r in parts) / n
     cov = raw - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(eigvals)[::-1][:4]
@@ -201,45 +216,45 @@ def q_embed_pca_project(spark, sf_dir):
     trace = float(np.trace(cov))
     explained = float(top_eigs.sum()) / trace if trace > 0 else 0.0
 
-    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
-    proj_cols = []
-    for c in range(4):
-        vec = F.array(*[F.lit(float(v)) for v in basis[:, c]])
-        proj_cols.append(
-            F.expr(
-                "aggregate(zip_with(ec, v{c}, (x, w) -> x * w), "
-                "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)".replace(
-                    "{c}", str(c)
-                )
-            ).alias(f"pc{c}")
-        )
-    centered = emb.select(
-        "vec_id",
-        F.zip_with("e", mean_lit, lambda x, m: x - m).alias("ec"),
-    )
-    for c in range(4):
-        vec = F.array(*[F.lit(float(v)) for v in basis[:, c]])
-        centered = centered.withColumn(f"v{c}", vec)
-    projected = centered.select("vec_id", *proj_cols)
-    # distributed check: component variance must match the eigenvalue
-    stats = projected.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            (
-                F.avg(F.col(f"pc{c}") * F.col(f"pc{c}"))
-                - F.avg(f"pc{c}") * F.avg(f"pc{c}")
-            ).alias(f"var{c}")
-            for c in range(4)
-        ],
-    ).collect()[0]
+    # distributed check: the broadcast basis applied to the corpus must
+    # realize the covariance model — per-component variance of the
+    # PROJECTED coordinates matches the driver-side eigenvalues. Same
+    # partial-reduction shape: one (M−mean)·basis matmul per batch.
+    mean_c, basis_c = mean.copy(), basis.copy()
+
+    def _proj_stats(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            p = (_batch_matrix(b) - mean_c) @ basis_c  # rows × 4
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "n": pa.array([p.shape[0]], pa.int64()),
+                    "s_p": pa.array(
+                        [p.sum(axis=0).tolist()], pa.list_(pa.float64())
+                    ),
+                    "s_pp": pa.array(
+                        [(p * p).sum(axis=0).tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+    pstats = emb.mapInArrow(
+        _proj_stats, "n bigint, s_p array<double>, s_pp array<double>"
+    ).collect()
+    n_proj = sum(r["n"] for r in pstats)
+    s_p = sum(np.asarray(r["s_p"]) for r in pstats)
+    s_pp = sum(np.asarray(r["s_pp"]) for r in pstats)
+    proj_var = s_pp / n_proj - (s_p / n_proj) ** 2
     var_ok = all(
-        abs(stats[f"var{c}"] - top_eigs[c]) <= 0.01 * max(top_eigs[c], 1e-12)
+        abs(proj_var[c] - top_eigs[c]) <= 0.01 * max(top_eigs[c], 1e-12)
         for c in range(4)
     )
     return spark.createDataFrame(
         [
             (
-                int(stats["n"]),
+                int(n_proj),
                 4,
                 orthonormal,
                 eigs_sorted,

@@ -376,11 +376,24 @@ def q_udtf_split(spark, sf_dir):
 )
 def q_grouped_map_zscore(spark, sf_dir):
     """J3: grouped-map transform (Flink ``ProcessWindowFunction`` analog)
-    via ``applyInPandas`` — per-user z-score of event values. One shuffle
-    on user_id; each group is one Arrow batch."""
+    — per-user z-score of event values. One shuffle on user_id.
+
+    r13-opt (guide §4.1, the r12 sliding_znorm precedent): the
+    ``groupBy().applyInPandas`` surface paid a per-GROUP invocation +
+    serialization round (~2 ms × 1.5 k users dominated the key), so the
+    same per-group function now runs inside ``mapInArrow`` over
+    hash-partitioned, (user_id, event_id)-sorted partitions with
+    key-carry across Arrow batches. The per-group MATH is the identical
+    pandas calls on the identical value sequence — events arrive from
+    the scan in event_id order, so the explicit sort reproduces the old
+    shuffle-arrival order within each group bit-for-bit (and pins a
+    deterministic order for multi-mapper inputs at scale, where arrival
+    order was arbitrary)."""
+    import pyarrow as pa
+
     t = tables(spark, sf_dir)
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    def group_z(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=0)
         z = (pdf["value"] - pdf["value"].mean()) / std if std > 0 else None
         return pd.DataFrame(
@@ -391,10 +404,45 @@ def q_grouped_map_zscore(spark, sf_dir):
             }
         )
 
+    def _emit(pdf: pd.DataFrame) -> pa.RecordBatch:
+        out = pd.concat(
+            [group_z(g) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
+        return pa.RecordBatch.from_pydict(
+            {
+                "event_id": pa.array(out["event_id"], pa.int64()),
+                "user_id": pa.array(out["user_id"], pa.int64()),
+                "zscore": pa.array(out["zscore"], pa.float64()),
+            }
+        )
+
+    def zscores(batches):
+        carry = None
+        for b in batches:
+            pdf = b.to_pandas()
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # the partition is sorted on user_id: only the LAST user can
+            # straddle the batch boundary — hold it back
+            last_mask = pdf["user_id"] == pdf["user_id"].iat[-1]
+            carry = pdf[last_mask]
+            head = pdf[~last_mask]
+            if len(head):
+                yield _emit(head)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
     return (
         t.events.select("event_id", "user_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(zscore, "event_id bigint, user_id bigint, zscore double")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .mapInArrow(
+            zscores, "event_id bigint, user_id bigint, zscore double"
+        )
     )
 
 

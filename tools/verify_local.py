@@ -32,6 +32,14 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+def _table_pattern(sf: str, t: str) -> str:
+    """DuckDB read pattern for a table: the canonical testdata tables
+    are single files, but staged replicas (tools/make_sf.py) are Spark
+    output DIRECTORIES — glob their part files."""
+    p = Path(sf) / f"{t}.parquet"
+    return f"{p}/*.parquet" if p.is_dir() else str(p)
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -82,7 +90,7 @@ def analyze_sweep(sf: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_table_pattern(sf, t)}')"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     t0, n_fail = time.time(), 0
@@ -132,7 +140,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_table_pattern(args.sf, t)}')"
         )
 
     qs = entrymod.queries()
