@@ -579,13 +579,29 @@ def minhash_build_store(
     if epoch_partitioned:
         bands = bands.withColumn("_epoch", F.lit(0).cast("int"))
         part_cols = ["_hmod", "_epoch"]
-    (
-        bands.repartition("_hmod")
-        .sortWithinPartitions("_hmod", "band_id", "sig")
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(f"{path}/bands")
+    # r13 (§6): batch-sized builds write driver-side — Spark's per-file
+    # machinery costs ~20× the bytes at 125-row files; the row bound is
+    # exact metadata (≤ num_hashes signatures per doc), and over budget
+    # the distributed write below is the path, unchanged.
+    from flink_quickstart_spark.operators.maintenance import (
+        write_partitioned_small,
     )
+
+    if not write_partitioned_small(
+        bands,
+        f"{path}/bands",
+        part_cols,
+        ["band_id", "sig"],
+        df.count() * int(num_hashes),
+        mode="overwrite",
+    ):
+        (
+            bands.repartition("_hmod")
+            .sortWithinPartitions("_hmod", "band_id", "sig")
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(f"{path}/bands")
+        )
     spark.createDataFrame(
         [
             (
@@ -688,13 +704,28 @@ def minhash_upsert_store(
                 .parquet(os.path.join(gen, "bands"))
             )
         else:
-            (
-                bands.repartition("_hmod")
-                .sortWithinPartitions("_hmod", "band_id", "sig")
-                .write.mode("append")
-                .partitionBy("_hmod")
-                .parquet(os.path.join(gen, "bands"))
+            # r13 (§6): batch-bounded appends write driver-side under
+            # the small-write budget (exact row bound ≤ num_hashes per
+            # doc); at scale the distributed append is unchanged.
+            from flink_quickstart_spark.operators.maintenance import (
+                write_partitioned_small,
             )
+
+            if not write_partitioned_small(
+                bands,
+                os.path.join(gen, "bands"),
+                ["_hmod"],
+                ["band_id", "sig"],
+                new_docs.count() * int(meta.num_hashes),
+                mode="append",
+            ):
+                (
+                    bands.repartition("_hmod")
+                    .sortWithinPartitions("_hmod", "band_id", "sig")
+                    .write.mode("append")
+                    .partitionBy("_hmod")
+                    .parquet(os.path.join(gen, "bands"))
+                )
 
 
 def ensure_minhash_store(
@@ -791,14 +822,30 @@ def _minhash_delete_into(spark, path, gen, del_docs, id_col, text_col) -> None:
             .localCheckpoint(eager=True)
         )
         try:
-            (
-                survivors.repartition("_hmod")
-                .sortWithinPartitions("_hmod", "band_id", "sig")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*part_cols)
-                .parquet(os.path.join(gen, "bands"))
+            # r13 (§6): the survivor set is touched-bucket-bounded and
+            # already materialized (localCheckpoint) — counting it is a
+            # cache scan; under the small-write budget the rewrite goes
+            # driver-side with the same dynamic-overwrite semantics.
+            from flink_quickstart_spark.operators.maintenance import (
+                write_partitioned_small,
             )
+
+            if not write_partitioned_small(
+                survivors,
+                os.path.join(gen, "bands"),
+                part_cols,
+                ["band_id", "sig"],
+                survivors.count(),
+                mode="dynamic",
+            ):
+                (
+                    survivors.repartition("_hmod")
+                    .sortWithinPartitions("_hmod", "band_id", "sig")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*part_cols)
+                    .parquet(os.path.join(gen, "bands"))
+                )
             surviving = {
                 tuple(int(r[c]) for c in part_cols)
                 for r in survivors.select(*part_cols).distinct().collect()

@@ -630,6 +630,38 @@ class StoreSnapshot:
             ) from exc
         return out
 
+    def count(self, subdir: str) -> int:
+        """Row count of the snapshot's ``subdir`` from parquet FOOTER
+        metadata over the same manifest file list as :meth:`read` —
+        identical generation resolution and :class:`StoreSnapshotExpired`
+        semantics, no Spark job (r13, guide §1/§5: the count is an
+        aggregate-sized driver value; footers are authoritative row
+        counts, and scheduling a 64-partition distributed scan per
+        protocol check was ~0.4 s of pure overhead)."""
+        import pyarrow.parquet as pq
+
+        self._check_live()
+        fl = self.files(subdir)
+        if fl is None:  # legacy pre-manifest store: directory listing
+            d = self.data_dir(subdir)
+            fl = sorted(
+                os.path.join(r, f)
+                for r, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        total = 0
+        try:
+            for f in fl:
+                total += pq.ParquetFile(f).metadata.num_rows
+        except FileNotFoundError as exc:
+            raise StoreSnapshotExpired(
+                f"store snapshot generation {self.generation} of "
+                f"{self.path!r} lost files mid-read ({exc}); retention "
+                "is keep-2 + pins — re-open or pin before mutations."
+            ) from exc
+        return total
+
 
 def open_store_snapshot(
     path: str, generation: int | None = None
@@ -673,6 +705,12 @@ def read_store_rows(path: str, subdir: str) -> list:
     """Driver-side rows of a small store artifact from the current
     generation's manifest — see :meth:`StoreSnapshot.rows`."""
     return StoreSnapshot(path).rows(subdir)
+
+
+def read_store_count(path: str, subdir: str) -> int:
+    """Driver-side row count of a store subdir from the current
+    generation's manifest footers — see :meth:`StoreSnapshot.count`."""
+    return StoreSnapshot(path).count(subdir)
 
 
 # --- reader-pinned generation retention (r12, VERDICT r11 #3) --------
@@ -888,6 +926,96 @@ def require_local_path(path: str, op: str) -> None:
         )
 
 
+_SMALL_WRITE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SMALL_WRITE_ROWS", "200000") or 0
+)
+
+
+def write_partitioned_small(
+    df,
+    dest: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    n_rows_upper: int | None,
+    mode: str = "append",
+) -> bool:
+    """Budget-guarded DRIVER-SIDE hive-partitioned parquet write — the
+    write twin of ``read_store_rows`` (r12, guide §6): a store publish
+    whose batch is driver-budget-sized pays Spark's per-small-file
+    machinery ~20× over the bytes moved (measured at sf0.1: the 64-dir
+    ``_hmod`` write of an 8 k-row batch costs ~1.3 s in Spark vs 0.05 s
+    written directly — task setup + Hadoop FS + writer init + commit per
+    ~125-row file). Below ``n_rows_upper ≤ $SPARK_GRAFT_SMALL_WRITE_ROWS``
+    (default 200 k rows ≈ single-digit MB; 0 disables) the batch is
+    Arrow-collected and written with pyarrow into the SAME layout: one
+    sorted file per hive partition dir, identical dir encoding, stats
+    on, ``*.zstd.parquet`` naming, so readers/manifest/GC see the same
+    store. Above the budget — any real corpus/batch — returns False and
+    the caller runs the distributed write unchanged.
+
+    ``mode``: ``append`` adds files next to existing ones (the upsert
+    contract), ``overwrite`` truncates ``dest`` first (fresh build),
+    ``dynamic`` truncates only the partition dirs being written (the
+    compaction contract). Returns True iff the write happened here.
+    Partition values must be integer-typed and non-null (true of every
+    store layout: pmod/bucket/cluster ids); anything else falls back."""
+    if (
+        n_rows_upper is None
+        or _SMALL_WRITE_ROWS <= 0
+        or n_rows_upper > _SMALL_WRITE_ROWS
+    ):
+        return False
+    scheme = dest.split("://", 1)[0] if "://" in dest else ""
+    if scheme and scheme != "file":
+        return False
+    dest = dest[7:] if dest.startswith("file://") else dest
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = df.toArrow()
+    except Exception:  # noqa: BLE001 — unsupported type → distributed path
+        return False
+    for c in partition_cols:
+        if (
+            not pa.types.is_integer(tbl.schema.field(c).type)
+            or tbl.column(c).null_count
+        ):
+            return False
+    tbl = tbl.sort_by([(c, "ascending") for c in [*partition_cols, *sort_cols]])
+    if mode == "overwrite" and os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest, exist_ok=True)
+    n = tbl.num_rows
+    if n == 0:
+        return True
+    keys = [
+        tbl.column(c).to_numpy(zero_copy_only=False) for c in partition_cols
+    ]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    bounds = np.flatnonzero(change).tolist() + [n]
+    data_cols = [c for c in tbl.column_names if c not in partition_cols]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        d = os.path.join(
+            dest,
+            *[f"{c}={int(k[s])}" for c, k in zip(partition_cols, keys)],
+        )
+        if mode == "dynamic" and os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tbl.slice(s, e - s).select(data_cols),
+            os.path.join(d, f"part-00000-{uuid.uuid4()}-c000.zstd.parquet"),
+            compression="zstd",
+        )
+    return True
+
+
 def data_file_counts(base_dir: str) -> dict[str, int]:
     """parquet data files per partition directory (fs metadata only)."""
     counts: dict[str, int] = {}
@@ -955,29 +1083,33 @@ def compact_partitions(
                 "partitions_total": len(counts),
                 "partitions_compacted": 0,
             }
-    df = spark.read.parquet(data_dir)
-    if targets is not None:
-        # partition-value prune: Hive string values compare against the
-        # typed partition columns via Spark's implicit cast, and the
-        # predicate is on partition cols only → file-listing-level prune
-        from pyspark.sql import functions as F
+    if not _compact_driver_side(
+        data_dir, partition_cols, sort_cols, targets, write_dir
+    ):
+        df = spark.read.parquet(data_dir)
+        if targets is not None:
+            # partition-value prune: Hive string values compare against
+            # the typed partition columns via Spark's implicit cast, and
+            # the predicate is on partition cols only →
+            # file-listing-level prune
+            from pyspark.sql import functions as F
 
-        pred = None
-        for vals in targets:
-            clause = None
-            for c, v in zip(partition_cols, vals):
-                eq = F.col(c) == F.lit(v)
-                clause = eq if clause is None else (clause & eq)
-            pred = clause if pred is None else (pred | clause)
-        df = df.where(pred)
-    (
-        df.repartition(*partition_cols)
-        .sortWithinPartitions(*partition_cols, *sort_cols)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(write_dir)
-    )
+            pred = None
+            for vals in targets:
+                clause = None
+                for c, v in zip(partition_cols, vals):
+                    eq = F.col(c) == F.lit(v)
+                    clause = eq if clause is None else (clause & eq)
+                pred = clause if pred is None else (pred | clause)
+            df = df.where(pred)
+        (
+            df.repartition(*partition_cols)
+            .sortWithinPartitions(*partition_cols, *sort_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(write_dir)
+        )
     after = sum(data_file_counts(write_dir).values())
     return {
         "files_before": before,
@@ -985,6 +1117,73 @@ def compact_partitions(
         "partitions_total": len(counts),
         "partitions_compacted": len(counts) if targets is None else len(targets),
     }
+
+
+def _compact_driver_side(
+    data_dir: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    targets: list[tuple] | None,
+    write_dir: str,
+) -> bool:
+    """Driver-side form of :func:`compact_partitions` for stores whose
+    rewritten rows fit the small-write budget (guide §6, the
+    write_partitioned_small rationale; footer ``num_rows`` sums decide —
+    fs metadata only, no job). Reads each touched partition's files
+    with pyarrow, concatenates, sorts by ``sort_cols`` and writes ONE
+    file per partition into ``write_dir`` with dynamic-overwrite
+    semantics (only rewritten partition dirs are replaced). Row
+    multiset and layout identical to the distributed path. Returns
+    False (caller runs the Spark rewrite) when over budget, remote, or
+    anything unexpected is encountered."""
+    if _SMALL_WRITE_ROWS <= 0:
+        return False
+    scheme = data_dir.split("://", 1)[0] if "://" in data_dir else ""
+    if scheme and scheme != "file":
+        return False
+    src = data_dir[7:] if data_dir.startswith("file://") else data_dir
+    dst = write_dir[7:] if write_dir.startswith("file://") else write_dir
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        files_by_rel: dict[str, list[str]] = {}
+        total = 0
+        for root, _dirs, files in os.walk(src):
+            fl = sorted(f for f in files if f.endswith(".parquet"))
+            if not fl:
+                continue
+            rel = os.path.relpath(root, src)
+            if (
+                targets is not None
+                and _parse_partition_values(rel, partition_cols)
+                not in targets
+            ):
+                continue
+            paths = [os.path.join(root, f) for f in fl]
+            for p in paths:
+                total += pq.ParquetFile(p).metadata.num_rows
+                if total > _SMALL_WRITE_ROWS:
+                    return False
+            files_by_rel[rel] = paths
+        for rel, paths in files_by_rel.items():
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+            d = os.path.join(dst, rel)
+            if os.path.isdir(d):
+                shutil.rmtree(d)  # dynamic overwrite of THIS partition
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                tbl,
+                os.path.join(
+                    d, f"part-00000-{uuid.uuid4()}-c000.zstd.parquet"
+                ),
+                compression="zstd",
+            )
+    except Exception:  # noqa: BLE001 — schema drift etc. → Spark path
+        return False
+    return True
 
 
 def _noop_compact_stats(src: str, max_files: int | None) -> dict | None:
@@ -1658,6 +1857,11 @@ class CatalogSnapshot:
 
     def read(self, spark, name: str, subdir: str):
         return self.snapshot(name).read(spark, subdir)
+
+    def count(self, name: str, subdir: str) -> int:
+        """Footer-metadata row count at the version's pinned generation
+        — see :meth:`StoreSnapshot.count`."""
+        return self.snapshot(name).count(subdir)
 
 
 def open_catalog(catalog: str, version: int | None = None) -> CatalogSnapshot:

@@ -32,6 +32,9 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from flink_quickstart_spark.operators.maintenance import read_store as _rs
+from flink_quickstart_spark.operators.maintenance import (
+    read_store_count as _rsc,
+)
 from flink_quickstart_spark.plans.analytics_r9 import (
     _multiset_equal,
     _scratch,
@@ -148,7 +151,7 @@ def q_store_pinned_snapshot(spark, sf_dir):
         compact_minhash_store,
         open_store_snapshot,
         pin_generation,
-        read_store,
+        read_store_count,
         unpin_generation,
     )
 
@@ -167,13 +170,16 @@ def q_store_pinned_snapshot(spark, sf_dir):
     minhash_upsert_store(spark, store, b1)  # generation 1
     token = pin_generation(store)  # pins generation 1
     snap = open_store_snapshot(store)
-    n_pinned = snap.read(spark, "bands").count()
+    # r13 (§1/§5): protocol-check counts come from footer metadata
+    # over the snapshot's manifest file list — same resolution + expiry
+    # semantics, no distributed scan per check (StoreSnapshot.count)
+    n_pinned = snap.count("bands")
 
     minhash_upsert_store(spark, store, b2)  # generation 2
     minhash_upsert_store(spark, store, b3)  # generation 3
     minhash_upsert_store(spark, store, b4)  # generation 4 — without the
     # pin, generation 1 would have been collected at this publish
-    survived = bool(snap.read(spark, "bands").count() == n_pinned) and bool(
+    survived = bool(snap.count("bands") == n_pinned) and bool(
         n_pinned == 16 * (b0.count() + b1.count())
     )
 
@@ -185,7 +191,7 @@ def q_store_pinned_snapshot(spark, sf_dir):
     except StoreSnapshotExpired:
         typed = True
 
-    n_full = read_store(spark, store, "bands").count()
+    n_full = read_store_count(store, "bands")
     return spark.createDataFrame(
         [(int(n_full), survived, typed)],
         "n_band_rows_full bigint, pin_survived_3_publishes boolean,"
@@ -240,7 +246,7 @@ def q_store_manifest_commit(spark, sf_dir):
         VersionedPointerCommitBackend,
         current_store_root,
         generation_id,
-        read_store,
+        read_store_count,
         set_commit_backend,
     )
 
@@ -275,7 +281,9 @@ def q_store_manifest_commit(spark, sf_dir):
         alien_rows = spark.read.parquet(a_dst).count()
 
         n_docs = docs.count()
-        n_manifest = read_store(spark, store, "bands").count()
+        # r13 (§1/§5): manifest-resolved count from footer metadata;
+        # the CONTRAST reads (raw file / directory listing) stay Spark
+        n_manifest = read_store_count(store, "bands")
         n_listing = spark.read.parquet(bands_dir).count()
         alien_invisible = bool(n_manifest == 16 * n_docs) and bool(
             n_listing == n_manifest + alien_rows
@@ -460,7 +468,7 @@ def q_llm_forget_journal(spark, sf_dir):
     from flink_quickstart_spark.operators.dedup import minhash_build_store
     from flink_quickstart_spark.operators.maintenance import (
         forget_request_begin,
-        read_store,
+        read_store_count,
         resume_forget,
     )
     from flink_quickstart_spark.operators.matview import mv_build
@@ -502,7 +510,7 @@ def q_llm_forget_journal(spark, sf_dir):
         and all(e["status"] == "done" for e in st2["stores"])
         and resume_forget(spark, jdir, rid)["complete"]  # no-op re-call
     )
-    n_kept = read_store(spark, store, "bands").count()
+    n_kept = read_store_count(store, "bands")  # r13: footer count
     return spark.createDataFrame(
         [(int(n_kept), bool(chunked_ok), resumed_ok)],
         "n_band_rows_kept bigint, chunked_state_ok boolean,"
@@ -567,7 +575,7 @@ def q_store_history(spark, sf_dir):
         and all(h.n_files > 0 and h.total_bytes > 0 for h in hist)
         and all("bands" in h.subdirs for h in hist)
     )
-    n_kept = _rs(spark, store, "bands").count()
+    n_kept = _rsc(store, "bands")  # r13: footer count
     return spark.createDataFrame(
         [
             (
@@ -637,13 +645,15 @@ def q_store_catalog(spark, sf_dir):
     minhash_build_store(part(1), b)
     catalog_commit(cat, {"sigs_a": a, "sigs_b": b})
     h1 = open_catalog(cat)
-    n_a_pre = h1.read(spark, "sigs_a", "bands").count()
-    n_b_pre = h1.read(spark, "sigs_b", "bands").count()
+    # r13 (§1/§5): protocol-check counts via footer metadata at the
+    # version's pinned generations (CatalogSnapshot.count)
+    n_a_pre = h1.count("sigs_a", "bands")
+    n_b_pre = h1.count("sigs_b", "bands")
 
     minhash_upsert_store(spark, a, part(2))
     mid_ok = (
-        h1.read(spark, "sigs_a", "bands").count() == n_a_pre
-        and h1.read(spark, "sigs_b", "bands").count() == n_b_pre
+        h1.count("sigs_a", "bands") == n_a_pre
+        and h1.count("sigs_b", "bands") == n_b_pre
     )
     minhash_upsert_store(spark, b, part(3))
     v2 = catalog_commit(cat, {"sigs_a": a, "sigs_b": b})
@@ -655,8 +665,8 @@ def q_store_catalog(spark, sf_dir):
         and h1.read(spark, "sigs_b", "bands").count() == n_b_pre
     )
     h2 = open_catalog(cat)
-    n_a = h2.read(spark, "sigs_a", "bands").count()
-    n_b = h2.read(spark, "sigs_b", "bands").count()
+    n_a = h2.count("sigs_a", "bands")
+    n_b = h2.count("sigs_b", "bands")
     advanced = bool(v2 == 2 and catalog_version(cat) == 2 and h2.version == 2)
     return spark.createDataFrame(
         [(int(n_a), int(n_b), stale_ok, advanced)],

@@ -144,6 +144,53 @@ def test_operator_persists_are_tracked(spark):
     assert release_tracked_persists() >= 1
 
 
+def test_small_write_store_equals_spark_write(spark, tmp_path, monkeypatch):
+    """The budget-guarded driver-side partitioned writer (r13, §6)
+    produces a store Spark reads IDENTICALLY to the distributed write:
+    same rows, same column types, same partition values — across build,
+    upsert (append) and compaction (dynamic overwrite)."""
+    from flink_quickstart_spark.operators import maintenance as mnt
+    from flink_quickstart_spark.operators.dedup import (
+        minhash_build_store,
+        minhash_upsert_store,
+    )
+    from flink_quickstart_spark.operators.maintenance import (
+        compact_minhash_store,
+        read_store,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    small, big = str(tmp_path / "s"), str(tmp_path / "b")
+
+    def lifecycle(path, budget):
+        monkeypatch.setattr(mnt, "_SMALL_WRITE_ROWS", budget)
+        minhash_build_store(b0, path)
+        minhash_upsert_store(spark, path, b1)
+        compact_minhash_store(spark, path)
+
+    lifecycle(small, 10**9)  # driver-side writer path
+    lifecycle(big, 0)  # distributed Spark writes
+
+    a, b = read_store(spark, small, "bands"), read_store(spark, big, "bands")
+    assert [(f.name, f.dataType) for f in a.schema] == [
+        (f.name, f.dataType) for f in b.schema
+    ]
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    # compaction left one file per partition on the driver path too
+    from flink_quickstart_spark.operators.maintenance import (
+        data_file_counts,
+        store_data_dir,
+    )
+
+    assert set(data_file_counts(store_data_dir(small, "bands")).values()) == {
+        1
+    }
+
+
 @pytest.mark.parametrize("family", ["md5_60", "xx64"])
 def test_signatures_multiset_min_equals_set_min(spark, family):
     """§2.4 shuffle removal: the signature kernels now hash the raw
