@@ -102,52 +102,55 @@ def _release(df: DataFrame | None) -> None:
         pass
 
 
-def _driver_union_find(edge_tbl, spark) -> DataFrame:
-    """Exact min-label connected components on the driver (path-halving
-    union-find) for a SMALL Arrow-collected edge table — O(E α(E)) in
-    C-speed dict ops, replacing O(diameter) Spark rounds that are pure
-    job/exchange overhead at this size. Returns the identical
-    (node, component=min reachable id) labeling the distributed loop
-    converges to. Both boundary crossings are Arrow (toArrow() in, a
+def _driver_components(edge_tbl, spark) -> DataFrame:
+    """Exact min-label connected components on the driver for a SMALL
+    Arrow-collected RAW edge table (no symmetrization needed — the
+    relation is symmetric by construction of the algorithm): vectorized
+    numpy hook-and-compress (edge min-relaxation both directions, then
+    pointer doubling to a fixed point — O(E log D) in C-speed array
+    ops; measured 0.39 s at 600 k edges, ~2× the dict union-find and
+    allocation-flat). Replaces O(diameter) Spark rounds that are pure
+    job/exchange overhead at this size. Labels are identical to the
+    distributed loop's fixed point: node ids sort ascending in
+    ``np.unique``, so the converged min INDEX per component is the min
+    reachable id. Both boundary crossings are Arrow (toArrow() in, a
     pyarrow.Table out): the pickled-row path costs ~0.16 s to collect
     and leaves an RDD-backed local relation whose EVERY downstream
     action re-pays Python deserialization (~0.3 s measured at 300
     rows); the Arrow local relation reads in ~0.05 s."""
+    import numpy as np
     import pyarrow as pa
 
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(
-        edge_tbl.column(0).to_pylist(), edge_tbl.column(1).to_pylist()
-    ):
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN id — the root is always the component min,
-            # exactly the distributed loop's converged label
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
     id_t = edge_tbl.schema.field(0).type  # preserve int32/int64 exactly
-    nodes = list(parent)
+    src = edge_tbl.column(0).to_numpy(zero_copy_only=False)
+    dst = edge_tbl.column(1).to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        out = pa.table(
+            {"node": pa.array([], id_t), "component": pa.array([], id_t)}
+        )
+        return spark.createDataFrame(out).coalesce(1)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    m = len(src)
+    s, d = inv[:m], inv[m:]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        np.minimum.at(label, d, label[s])  # hook: relax every edge
+        np.minimum.at(label, s, label[d])
+        while True:  # compress: pointer-double to this round's roots
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
     out = pa.table(
         {
             "node": pa.array(nodes, id_t),
-            "component": pa.array([find(n) for n in nodes], id_t),
+            "component": pa.array(nodes[label], id_t),
         }
     )
-    # one partition: the table is budget-bounded (≤ ~1.6 MB)
+    # one partition: the table is budget-bounded (≤ ~32 MB)
     return spark.createDataFrame(out).coalesce(1)
 
 
@@ -156,7 +159,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_interval: int = 1,
     reliable_checkpoint: bool = False,
-    driver_edge_budget: int = 100_000,
+    driver_edge_budget: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
@@ -181,32 +184,56 @@ def connected_components(
     4-iteration events graph). On a cluster, ``reliable_checkpoint``
     swaps localCheckpoint for reliable storage.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    n_sym = None
+    # Materialize the RAW edge list once (r13, §5): the budget probe,
+    # the driver fast path, and the sym build below all read it — and
+    # un-materialized, the symmetrizing scan executed the caller's
+    # edge-construction plan (a fact-fact join in the registered keys)
+    # once per union branch.
+    raw = edges.select("src", "dst")
+    n_edges = None
     if reliable_checkpoint:
-        sym = _truncate_lineage(sym, True)
+        raw = _truncate_lineage(raw, True)
     else:
         from pyspark.storagelevel import StorageLevel
 
-        # inline _materialize_static so its materializing count() also
-        # serves as the fast-path budget probe — one job, not two
-        sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-        n_sym = sym.count()
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = raw.count()
     # Small-graph fast path (r13, §1.2): the loop's per-iteration cost
     # at small edge counts is pure job/exchange overhead (measured
     # 0.35 s × 17 rounds for a 920-edge cosine pair graph), so a graph
-    # whose SYMMETRIZED edge list fits a budget-guarded driver collect
-    # (the brute_knn/broadcast-budget discipline; 100 k rows ≈ 1.6 MB)
-    # is solved exactly with driver union-find instead. Above the
-    # budget — any real corpus — the distributed loop below is the
-    # path, unchanged. Labels are identical by construction (min
-    # reachable id, deterministic either way).
-    if n_sym is not None and n_sym <= driver_edge_budget:
-        labels = _driver_union_find(sym.toArrow(), edges.sparkSession)
-        _release(sym)
+    # whose RAW edge list fits a budget-guarded driver collect (≤ 2 M
+    # rows ≈ 32 MB Arrow — well inside the 2 GiB broadcast-budget
+    # discipline of operators/similarity.py; union-find needs no
+    # symmetrization) is solved exactly with the vectorized driver
+    # hook-and-compress instead. The count is the materializing job;
+    # above the budget — any real corpus — the distributed loop below
+    # is the path, unchanged. Labels are identical by construction
+    # (min reachable id, deterministic either way).
+    if n_edges is not None and n_edges <= driver_edge_budget:
+        labels = _driver_components(raw.toArrow(), edges.sparkSession)
+        _release(raw)
         return labels
+    # single-scan symmetrization (r13, §2.3): explode each cached edge
+    # row into (src,dst)+(dst,src) — one scan of the materialized raw
+    # table instead of one caller-plan execution per union branch.
+    sym = raw.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"), F.col("dst").alias("dst")
+                ),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    sym = (
+        _truncate_lineage(sym, True)
+        if reliable_checkpoint
+        else _materialize_static(sym)
+    )
+    _release(raw)  # sym is self-contained now
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -265,12 +292,52 @@ def connected_components(
     return labels
 
 
+def _driver_pagerank(
+    edge_tbl, iterations: int, damping: float, spark
+) -> DataFrame:
+    """Exact power iteration on the driver for a SMALL Arrow-collected
+    edge list (vectorized numpy — bincount scatter-add per step),
+    replacing O(iterations) Spark rounds that are pure job/exchange
+    overhead at this size. Same update expression as the distributed
+    loop, same association order; summation order inside the
+    per-node contribution sum differs, which is the double-rounding
+    envelope the key's round-6 output already absorbs across engines
+    (the DuckDB oracle sums in its own order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    src = edge_tbl.column(0).to_numpy(zero_copy_only=False)
+    dst = edge_tbl.column(1).to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    si, di = inv[: len(src)], inv[len(src):]
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dmass = float(rank[dangling].sum())
+        in_mass = np.bincount(
+            di, weights=rank[si] / deg[si], minlength=n
+        )
+        rank = (1.0 - damping) / n + damping * dmass / float(n) + (
+            damping * in_mass
+        )
+    out = pa.table(
+        {
+            "node": pa.array(nodes, edge_tbl.schema.field(0).type),
+            "rank": pa.array(rank, pa.float64()),
+        }
+    )
+    return spark.createDataFrame(out).coalesce(1)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_interval: int = 1,
     reliable_checkpoint: bool = False,
+    driver_edge_budget: int = 4_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
 
@@ -295,6 +362,32 @@ def pagerank(
     them re-runs the caller's edge-construction plan every single
     iteration.
     """
+    # Materialize the EDGE LIST itself first (r13, §5): every loop-static
+    # below (nodes, out_deg, dangling set, degree-annotated edges) reads
+    # it, and un-materialized they re-ran the caller's edge-construction
+    # plan — a fact-fact join in the registered key — FIVE times during
+    # setup. The materializing count doubles as the driver fast-path
+    # budget probe.
+    edges = edges.select("src", "dst")
+    n_edges = None
+    if reliable_checkpoint:
+        edges = _truncate_lineage(edges, True)
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = edges.count()
+    # Small-graph fast path (r13, §1.2): a graph whose edge list fits
+    # the driver budget (4 M rows ≈ 64 MB Arrow — well inside the 2 GiB
+    # broadcast-budget discipline of operators/similarity.py) runs the
+    # same power iteration vectorized on the driver; above it — any
+    # real corpus — the distributed loop below is the path, unchanged.
+    if n_edges is not None and n_edges <= driver_edge_budget:
+        ranks = _driver_pagerank(
+            edges.toArrow(), iterations, damping, edges.sparkSession
+        )
+        _release(edges)
+        return ranks
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -391,4 +484,5 @@ def pagerank(
         _release(nodes)
         _release(dangling_nodes)
         _release(edges_deg)
+        _release(edges)
     return ranks

@@ -1088,8 +1088,24 @@ def q_llm_decontaminate(spark, sf_dir):
     join + two hash aggs. At 100 TB the benchmark shingle set is tiny
     relative to the corpus — broadcast it and the scan stays
     one-pass, shuffling only (doc_id, overlap-count) partials."""
+    from flink_quickstart_spark.session import tracked_persist
+    from flink_quickstart_spark.sources.tables import spread_unsplittable
+
     t = tables(spark, sf_dir)
-    sh = word_shingles(t.documents, "doc_id", "text", 3)
+    # r13-opt (§5, the r12 neardup-family pattern): the shingle table
+    # feeds THREE subtrees (bench shingles, train sizes, train overlap)
+    # and was re-exploded for each; materialize it once (columnar
+    # cache, spills, drainable via release_tracked_persists). The
+    # spread parallelizes the explode over a single-row-group input
+    # (§2.5 — no-op on a multi-file corpus).
+    sh = tracked_persist(
+        word_shingles(
+            spread_unsplittable(t.documents, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            3,
+        )
+    )
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
         "e", "f"
     )
@@ -3128,7 +3144,13 @@ def q_llm_winnowing(spark, sf_dir):
         )
     )
     winw = w.rowsBetween(Window.currentRow, 3)
-    wins = (
+    # r13-opt (§5): the selected-fingerprint set feeds the df cap AND
+    # both sides of the pair self-join — four executions of the
+    # explode + double-window + distinct chain without materialization.
+    # Columnar cache, spills, drainable via release_tracked_persists.
+    from flink_quickstart_spark.session import tracked_persist
+
+    wins = tracked_persist(
         tri.select(
             "doc_id",
             F.min("h").over(winw).alias("fp"),

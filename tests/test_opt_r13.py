@@ -35,9 +35,13 @@ def test_pagerank_one_job_per_iteration(spark):
         [(1, 2), (2, 3), (3, 1), (3, 4), (5, 3)], "src long, dst long"
     )
     iterations = 4
+    # driver_edge_budget=0 forces the DISTRIBUTED loop (the fast path
+    # is pinned separately below)
     spark.sparkContext.setJobGroup("r13-pr-jobs", "pagerank job count")
     try:
-        ranks = pagerank(edges, iterations=iterations).collect()
+        ranks = pagerank(
+            edges, iterations=iterations, driver_edge_budget=0
+        ).collect()
     finally:
         spark.sparkContext.setJobGroup(None, None)
     # AQE splits each action into one job per shuffle stage, so the
@@ -72,10 +76,43 @@ def test_connected_components_one_job_per_iteration(spark):
     finally:
         spark.sparkContext.setJobGroup(None, None)
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
-    # fused convergence count: measured 34 in-group jobs (AQE stage
-    # jobs included) vs 39 for the old eager-checkpoint-then-count
-    # shape on this exact graph — one job per iteration saved
-    assert _jobs_in_group(spark, "r13-cc-jobs") <= 35
+    # fused convergence count: measured 37 in-group jobs (AQE stage
+    # jobs included; raw-edge materialization adds one tiny cached
+    # count while REMOVING a full caller-plan execution from the sym
+    # build) vs 39 for the old eager-checkpoint-then-count shape on
+    # this exact graph — one job per iteration saved
+    assert _jobs_in_group(spark, "r13-cc-jobs") <= 38
+
+
+def test_pagerank_fast_path_matches_distributed(spark):
+    """The budget-guarded driver power iteration agrees with the
+    distributed loop to well inside the key's round-6 output precision
+    (the same double-summation-order envelope the DuckDB oracle
+    already rides)."""
+    import random
+
+    from flink_quickstart_spark.operators.iterative import pagerank
+
+    rng = random.Random(13)
+    edges = list(
+        {
+            (rng.randrange(0, 60), rng.randrange(0, 60))
+            for _ in range(200)
+        }
+    )
+    edges += [(100, 101)]  # dangling dst + isolated pair
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=8, driver_edge_budget=0).collect()
+    }
+    assert set(fast) == set(dist)
+    for node in fast:
+        assert abs(fast[node] - dist[node]) < 1e-12
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
 
 
 def test_connected_components_fast_path_matches_distributed(spark):
