@@ -964,9 +964,14 @@ def minhash_ingest_neardup(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # exact verify on candidates only; corpus text point-fetched
+    # exact verify on candidates only; corpus text point-fetched.
+    # r13 (§2.5): both exact-verify shingle explodes spread a narrow
+    # scan first — the corpus-side explode otherwise runs inside the
+    # input's single-row-group scan task (measured 5.5 s of the 7.3 s
+    # key at sf0.1); no-op on a real multi-file corpus.
     sh_new = (
-        word_shingles(new_docs, id_col, text_col, meta.shingle_n)
+        word_shingles(_spread_if_narrow(new_docs), id_col, text_col,
+                      meta.shingle_n)
         .select(F.col(id_col).alias("new_id"), "shingle")
         .localCheckpoint(eager=True)
     )
@@ -982,7 +987,8 @@ def minhash_ingest_neardup(
         "left_semi",
     )
     sh_corpus = (
-        word_shingles(corpus_hit, id_col, text_col, meta.shingle_n)
+        word_shingles(_spread_if_narrow(corpus_hit), id_col, text_col,
+                      meta.shingle_n)
         .select(F.col(id_col).alias("corpus_id"), "shingle")
         .localCheckpoint(eager=True)
     )

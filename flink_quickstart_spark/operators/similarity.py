@@ -1637,7 +1637,7 @@ def lsh_ann_buckets(
     (docs/SCALE_DESIGN.md §ANN).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feat = df.select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -1650,11 +1650,57 @@ def lsh_ann_buckets(
         seed=seed,
     )
     model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, threshold, distCol="dist")
-    return pairs.where(
-        F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
+    # r13-opt (guide §4.1): ml's approxSimilarityJoin computes the
+    # verify distance through a per-PAIR Python/JVM UDF over MLlib
+    # vectors (measured ~5 s of the 5.3 s call at sf0.1); the bucketing
+    # MODEL is kept (same seed → identical buckets → identical
+    # candidate set), but collision pairing + exact distance run as
+    # plain DataFrame ops — posexplode of the hash tables, (table,
+    # bucket) equi-join, and a codegen'd zip_with/aggregate euclidean
+    # whose index-order summation reproduces ml's sqdist loop
+    # bit-for-bit (same association order), so the emitted pairs and
+    # rounded distances are identical.
+    flat = model.transform(feat).select(
+        F.col(id_col),
+        F.posexplode("hashes").alias("_tbl", "_h"),
     ).select(
-        F.col(f"datasetA.{id_col}").alias("d1"),
-        F.col(f"datasetB.{id_col}").alias("d2"),
-        F.round("dist", 6).alias("dist"),
+        id_col,
+        "_tbl",
+        vector_to_array("_h")[0].cast("long").alias("_bucket"),
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+        )
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(_va, _vb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+    )
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("d1"), F.col("_v").alias("_va")),
+            "d1",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("d2"), F.col("_v").alias("_vb")),
+            "d2",
+        )
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= threshold)
+        .select("d1", "d2", F.round("dist", 6).alias("dist"))
     )
