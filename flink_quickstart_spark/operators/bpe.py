@@ -75,8 +75,60 @@ def _adjacent_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+def _driver_bpe_merges(
+    wrapped: list[str], cnts: list[int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The SAME greedy merge loop on the driver for a budget-sized
+    vocabulary (r13, guide §1.2): each Spark iteration was one
+    explode+aggregate job + a top-1 pull — pure job overhead at
+    vocabulary scale — where the classic incremental trainer
+    (Sennrich et al. 2016) updates pair counts only for words
+    containing the merged pair. Selection (max pair count, ties on
+    ascending BINARY (lhs, rhs) — compared as UTF-8 bytes, matching
+    Spark/DuckDB string order) and application (left-to-right
+    non-overlapping ``str.replace`` on the wrapped form, exactly
+    ``F.replace``'s scan) are step-for-step identical to the
+    distributed loop, so the merge table is value-identical."""
+    from collections import Counter
+
+    def pairs_of(s: str):
+        syms = s[1:-1].split(")(")
+        return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+    pc: Counter = Counter()
+    for s, c in zip(wrapped, cnts):
+        for pr in pairs_of(s):
+            pc[pr] += c
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not pc:
+            break  # vocabulary exhausted (all words single-symbol)
+        (lhs, rhs), n = min(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        merges.append((step, lhs, rhs, lhs + rhs, int(n)))
+        pat, rep = f"({lhs})({rhs})", f"({lhs}{rhs})"
+        for i, s in enumerate(wrapped):
+            if pat not in s:
+                continue
+            c = cnts[i]
+            for pr in pairs_of(s):
+                pc[pr] -= c
+                if pc[pr] <= 0:
+                    del pc[pr]
+            s2 = s.replace(pat, rep)
+            wrapped[i] = s2
+            for pr in pairs_of(s2):
+                pc[pr] += c
+    return merges
+
+
 def learn_bpe_merges(
-    spark: SparkSession, words: DataFrame, n_merges: int
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int,
+    driver_vocab_budget: int = 2_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a word-frequency table.
 
@@ -87,10 +139,26 @@ def learn_bpe_merges(
 
     Deterministic: ties in pair count break on (lhs, rhs) ascending
     binary string order, identical in Spark and the SQL oracle.
+
+    Small-vocabulary fast path (r13): a word-frequency table within
+    ``driver_vocab_budget`` rows (the working set is vocabulary-sized
+    by design — see the module docstring) trains with the incremental
+    driver loop in :func:`_driver_bpe_merges`, value-identically;
+    above the budget the distributed per-merge aggregate below is the
+    path, unchanged.
     """
     w = words.select(_wrap_symbols("word").alias("s"), F.col("cnt")).localCheckpoint(
         eager=True
     )
+    if w.count() <= driver_vocab_budget:
+        tbl = w.toArrow()
+        merges_d = _driver_bpe_merges(
+            tbl.column("s").to_pylist(),
+            tbl.column("cnt").to_pylist(),
+            n_merges,
+        )
+        _release(w)
+        return spark.createDataFrame(merges_d, MERGE_SCHEMA)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (

@@ -181,6 +181,37 @@ def test_operator_persists_are_tracked(spark):
     assert release_tracked_persists() >= 1
 
 
+def test_bpe_driver_trainer_matches_distributed(spark):
+    """The budget-guarded driver BPE trainer returns the IDENTICAL
+    merge table (steps, pairs, counts) as the distributed per-merge
+    aggregate loop — including tie-breaks (ascending binary pair
+    order) and greedy left-to-right merge application."""
+    from flink_quickstart_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fast = [
+        tuple(r)
+        for r in learn_bpe_merges(spark, words, 12).orderBy("step").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in learn_bpe_merges(
+            spark, words, 12, driver_vocab_budget=0
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    assert fast == dist and len(fast) == 12
+
+
 def test_small_write_store_equals_spark_write(spark, tmp_path, monkeypatch):
     """The budget-guarded driver-side partitioned writer (r13, §6)
     produces a store Spark reads IDENTICALLY to the distributed write:
