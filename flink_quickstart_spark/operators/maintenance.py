@@ -603,7 +603,16 @@ class StoreSnapshot:
         driver-destined by construction (kilobytes), and scheduling a
         distributed job per fetch was measured at ~0.2 s of pure
         overhead per maintenance/query op (OPTIMIZATION_r12.md §store
-        ops). Data tables keep going through :meth:`read`."""
+        ops). Data tables keep going through :meth:`read`.
+
+        Error contract (r13, ADVICE r12): an empty manifest list raises
+        the same diagnostic as :meth:`read` (callers index ``rows(...)
+        [0]``); per-file pyarrow reads drop hive-partition path columns,
+        so partitioned subdirs are refused; and mid-read races surface
+        as :class:`StoreSnapshotExpired` for every error class pyarrow
+        raises on vanished/truncated files (not just
+        FileNotFoundError)."""
+        import pyarrow as pa_lib
         import pyarrow.parquet as pq
         from pyspark.sql import Row
 
@@ -617,12 +626,23 @@ class StoreSnapshot:
                 for f in files
                 if f.endswith(".parquet")
             )
+        if not fl:
+            raise FileNotFoundError(
+                f"store snapshot {self.path!r} gen {self.generation}: "
+                f"manifest lists no data files under {subdir!r}"
+            )
+        if any("=" in os.path.basename(os.path.dirname(f)) for f in fl):
+            raise ValueError(
+                f"StoreSnapshot.rows: {subdir!r} is hive-partitioned; "
+                "per-file pyarrow reads would drop the partition-path "
+                "columns — use .read() for data tables."
+            )
         out: list = []
         try:
             for f in sorted(fl):
                 for rec in pq.read_table(f).to_pylist():
                     out.append(Row(**rec))
-        except FileNotFoundError as exc:
+        except (FileNotFoundError, OSError, pa_lib.ArrowInvalid) as exc:
             raise StoreSnapshotExpired(
                 f"store snapshot generation {self.generation} of "
                 f"{self.path!r} lost files mid-read ({exc}); retention "
@@ -638,6 +658,7 @@ class StoreSnapshot:
         aggregate-sized driver value; footers are authoritative row
         counts, and scheduling a 64-partition distributed scan per
         protocol check was ~0.4 s of pure overhead)."""
+        import pyarrow as pa_lib
         import pyarrow.parquet as pq
 
         self._check_live()
@@ -654,7 +675,7 @@ class StoreSnapshot:
         try:
             for f in fl:
                 total += pq.ParquetFile(f).metadata.num_rows
-        except FileNotFoundError as exc:
+        except (FileNotFoundError, OSError, pa_lib.ArrowInvalid) as exc:
             raise StoreSnapshotExpired(
                 f"store snapshot generation {self.generation} of "
                 f"{self.path!r} lost files mid-read ({exc}); retention "

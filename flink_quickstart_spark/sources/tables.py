@@ -71,18 +71,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     )
 
 
-_ROW_GROUP_CACHE: dict[str, int] = {}
+_ROW_GROUP_CACHE: dict[tuple, int] = {}
 
 
 def _parquet_row_groups(path: str) -> int:
     """Total parquet row groups behind ``path`` (file or directory) —
     the number of independently scannable units, i.e. the scan's real
-    parallelism ceiling. Driver-side footer reads, cached per path."""
-    if path in _ROW_GROUP_CACHE:
-        return _ROW_GROUP_CACHE[path]
+    parallelism ceiling. Driver-side footer reads, cached per
+    (path, mtime, size) so a file regenerated at the same path within
+    one driver process invalidates the entry (r13, ADVICE r12)."""
     import os
 
     import pyarrow.parquet as pq
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    if key in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[key]
 
     files = (
         [path]
@@ -100,8 +108,8 @@ def _parquet_row_groups(path: str) -> int:
             total += pq.ParquetFile(f).metadata.num_row_groups
         except Exception:  # noqa: BLE001 — unreadable footer: assume 1
             total += 1
-    _ROW_GROUP_CACHE[path] = max(1, total)
-    return _ROW_GROUP_CACHE[path]
+    _ROW_GROUP_CACHE[key] = max(1, total)
+    return _ROW_GROUP_CACHE[key]
 
 
 def spread_unsplittable(
