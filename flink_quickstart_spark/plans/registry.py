@@ -229,27 +229,42 @@ _NEWEST_EXTRA = frozenset({"q_graph_common_neighbors"})  # r4, lives in graph.py
 # the set (last sample ≥3 rounds old AND a dep file changed since, from
 # CORRECTNESS_r*.json × git history); this frozen ordering (stalest
 # first — last-sample round ascending, name within) drains the backlog
-# right after any never-sampled keys. Regenerate at round close (r12:
-# 48 keys, every one re-verified builder-side this round —
-# STALENESS_r12.json; the r7/r8 backlog plus the rank/aggregations
-# dep churn):
+# right after any never-sampled keys. Regenerate at round close (r13:
+# 97 keys — the r13 optimization pass touched broad dep files
+# (sources/tables.py, llm_ops.py, dedup.py, maintenance.py); every
+# one re-verified builder-side this round — STALENESS_r13.json):
 #   python tools/staleness_report.py --json STALENESS_r{N}.json --verify-json VERIFY_r{N}.json
 _STALE_PRIORITY: tuple[str, ...] = (
-    "q_agg_moments", "q_agg_pareto", "q_agg_percentile",
-    "q_agg_quantile_rollup", "q_agg_regression", "q_agg_rfm",
-    "q_agg_rollup", "q_agg_salted", "q_agg_skew_audit",
-    "q_agg_stats_family", "q_cogroup_stats_agg", "q_distinct",
-    "q_llm_ann_query", "q_llm_dedup_semantic", "q_llm_dedup_semantic_ivf",
-    "q_pivot", "q_ts_autocorr", "q_ts_cusum", "q_ts_decimate_minmax",
-    "q_ts_lateness", "q_ts_outlier_mad", "q_ts_outlier_rolling",
-    "q_ts_seasonal_profile", "q_udaf_wavg", "q_unpivot", "q_wf_streaks",
-    "q_cast_types", "q_except", "q_flatmap_tokenize", "q_intersect",
-    "q_limit_topn", "q_llm_ann_lsh_query", "q_llm_dedup_exact",
-    "q_llm_ingest_neardup", "q_llm_knn", "q_llm_langstats",
-    "q_llm_lexicon_score", "q_llm_neardup", "q_llm_neardup_cosine",
-    "q_llm_simhash", "q_llm_tfidf", "q_llm_wordcount",
-    "q_multimodal_decode", "q_profile_columns", "q_sample_split",
-    "q_sample_stratified", "q_scan_csv_roundtrip", "q_sort",
+    "q_ab_cuped", "q_fn_bitwise", "q_fn_datetime_extended",
+    "q_fn_string_extended", "q_fn_trig", "q_fn_try_safe", "q_fn_url",
+    "q_join_asof_nearest", "q_llm_chunk_stitch", "q_llm_span_mask",
+    "q_multimodal_dhash", "q_multimodal_ppm_stats",
+    "q_multimodal_video_frames", "q_multimodal_wav_stats",
+    "q_sql_grouping_id", "q_text_rrf_fusion", "q_udf_sql_registered",
+    "q_dq_benford", "q_embed_covariance", "q_embed_pca_project",
+    "q_join_theta_pctile", "q_join_theta_sum", "q_llm_bpe_encode",
+    "q_sql_q4", "q_cogroup_stats", "q_fn_array", "q_fn_conditional",
+    "q_fn_datetime", "q_fn_hash", "q_fn_json", "q_fn_map", "q_fn_math",
+    "q_fn_string", "q_graph_components", "q_graph_pagerank",
+    "q_grouped_map_zscore", "q_join_anti", "q_join_asof",
+    "q_join_broadcast", "q_join_cross", "q_join_interval",
+    "q_join_orders_customer", "q_join_outer", "q_join_range_binned",
+    "q_join_semi", "q_join_star", "q_join_theta", "q_llm_simhash",
+    "q_llm_tfidf", "q_llm_wordcount", "q_multimodal_decode",
+    "q_profile_columns", "q_sample_split", "q_sample_stratified",
+    "q_scan_csv_roundtrip", "q_sort", "q_sql_corr_subquery",
+    "q_udf_scalar", "q_udtf_split", "q_join_bucketed", "q_llm_ann_ivf",
+    "q_llm_ann_lsh", "q_llm_chunk", "q_llm_decontaminate",
+    "q_llm_dedup_groups", "q_llm_dedup_spans", "q_llm_ivf_upsert",
+    "q_llm_lsh_delete", "q_llm_lsh_upsert", "q_llm_neardup_minhash",
+    "q_llm_pack_sequences", "q_llm_sample_balanced", "q_llm_store_compact",
+    "q_llm_store_upsert", "q_multimodal_framesample", "q_sql_cte_topk",
+    "q_sql_exists", "q_sql_q10", "q_sql_q13", "q_sql_q14", "q_sql_q15",
+    "q_sql_q17", "q_sql_q18", "q_sql_q19", "q_sql_q3", "q_sql_q5",
+    "q_sql_q6", "q_sql_q7", "q_sql_q8", "q_sql_window",
+    "q_text_fingerprint", "q_text_langid", "q_text_langid_ngram",
+    "q_text_quality", "q_text_tokens", "q_ts_znorm_match",
+    "q_ts_znorm_topk",
 )
 _STALE_RANK = {n: i for i, n in enumerate(_STALE_PRIORITY)}
 

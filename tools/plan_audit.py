@@ -206,6 +206,13 @@ ALLOWED = {
 # that are PROVABLY bounded (O(buckets) / O(1) scalars, or an explicitly
 # budget-guarded corpus pull) — never fact-table rows.
 MATERIALIZE_ALLOWED = {
+    "operators/iterative.py:pagerank:collect": (
+        "1-row dangling-mass scalar aggregate per power iteration — "
+        "the r13 action fusion: this collect doubles as the "
+        "materializer of the previous iteration's lazily-marked "
+        "lineage truncation (one job/iteration instead of two); an "
+        "8-byte aggregate result, not a data pull"
+    ),
     "operators/rank.py:global_ntiles:collect": (
         "one grouping-sets aggregate pull covering EVERY ordering's "
         "per-bucket counts (≤ specs × buckets ≤ a few hundred rows) — "
